@@ -1,44 +1,172 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the library code) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2 + the training-data ops); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible entry — column names
+match exactly.  Non-SQL entries (extraction, langid, rolling hash, LSH
+ANN) are intentionally absent from ``oracle_sql`` → rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+# The repo is not an installed package: make it importable for THIS process
+# (the driver may import this module from any cwd) ...
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# ... and for Ray WORKER processes, which do not share the driver's
+# sys.path: register every package module for cloudpickle by-value
+# serialization so UDF classes/functions ship their code with the task
+# instead of being looked up by module name on the worker.
+def _register_pickle_by_value() -> None:
+    import importlib
+
+    from ray import cloudpickle as _cp
+
+    # Eagerly import the pipeline entry modules so every transitively
+    # needed submodule exists in sys.modules before registration.
+    for m in (
+        "png_from_pdf_extracter_ray.pipelines.extract_pipeline",
+        "png_from_pdf_extracter_ray.pipelines.relational",
+        "png_from_pdf_extracter_ray.pipelines.textops",
+        "png_from_pdf_extracter_ray.state.manifest",
+    ):
+        importlib.import_module(m)
+    for name, mod in list(sys.modules.items()):
+        if name.startswith("png_from_pdf_extracter_ray") and mod is not None:
+            try:
+                _cp.register_pickle_by_value(mod)
+            except Exception:
+                pass
+
+
+_register_pickle_by_value()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (summary columns)."""
+    from png_from_pdf_extracter_ray.pipelines.extract_pipeline import flagship
+
+    return flagship("/root/testdata/sf0.001", expand=2, summary_only=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from png_from_pdf_extracter_ray.pipelines import relational as rel
+    from png_from_pdf_extracter_ray.pipelines import textops
+    from png_from_pdf_extracter_ray.pipelines.extract_pipeline import flagship
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- flagship extraction (non-SQL: rows-only check) ---
+        "extract_flagship": lambda sf: flagship(sf, expand=2, summary_only=True),
+        # --- relational operators (SQL-checked) ---
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "lang_whitelist_filter": rel.lang_whitelist_filter,
+        "groupby_lang_counts": rel.groupby_lang_counts,
+        "dedup_exact_text": rel.dedup_exact_text,
+        "top_longest_docs": rel.top_longest_docs,
+        "customers_per_nation": rel.customers_per_nation,
+        "orders_priority_rollup": rel.orders_priority_rollup,
+        "events_hourly": rel.events_hourly,
+        "nations_per_region": rel.nations_per_region,
+        # --- text analysis (SQL-checked) ---
+        "token_counts": textops.token_counts,
+        "quality_scores": textops.quality_scores,
+        "md5_fingerprints": textops.md5_fingerprints,
+        # --- text analysis (non-SQL: rows-only) ---
+        "rolling_fingerprints": textops.rolling_fingerprints,
+        "langid_heuristic": textops.langid_heuristic,
+        # --- similarity search ---
+        "similarity_topk": textops.similarity_topk,
+        "similarity_topk_lsh": textops.similarity_topk_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+                   COUNT(*)                                                         AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "lang_whitelist_filter": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE regexp_matches(lang, '^(?:en|de)')
+        """,
+        "groupby_lang_counts": """
+            SELECT lang, SUM(n_chars) AS sum_n_chars, COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "dedup_exact_text": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "top_longest_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 100
+        """,
+        "customers_per_nation": """
+            SELECT n_name, ROUND(SUM(c_acctbal), 2) AS sum_acctbal, COUNT(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "orders_priority_rollup": """
+            SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS sum_totalprice,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "nations_per_region": """
+            SELECT r_name, COUNT(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   length(text) AS text_len,
+                   length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE ROUND(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                                   / length(text), 4) END AS punct_ratio
+            FROM documents
+        """,
+        "md5_fingerprints": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "similarity_topk": """
+            SELECT vec_id,
+                   ROUND(CAST(list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                   ) AS DOUBLE), 3) AS cos
+            FROM embeddings
+            ORDER BY cos DESC NULLS LAST, vec_id
+            LIMIT 10
+        """,
+    }

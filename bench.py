@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship extraction pipeline (pages parquet → lang filter →
+groupby-url dedup → actor-pool extract incl. PNG rasters → parquet sink)
+over a deterministic synthetic pages table derived from
+``$GRAFT_SF_DIR/documents.parquet`` (default /root/testdata/sf0.1).
+Prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the headline twice in fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for N vs 4N
+nodes, BASELINE.md).
+
+Env: GRAFT_SF_DIR, RAY_GRAFT_CPUS, GRAFT_EXPAND (pages per document).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+import __ray_entry__ as _entry  # noqa: E402  (registers pickle-by-value for workers)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+EXPAND = int(os.environ.get("GRAFT_EXPAND", "8"))
+PAGES_CACHE = "/tmp/graft_pages"
+OUT_DIR = "/tmp/graft_bench_out"
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def _pages_path() -> str:
+    tag = os.path.basename(SF_DIR.rstrip("/")) + f"_x{EXPAND}"
+    return os.path.join(PAGES_CACHE, tag)
+
+
+def _ensure_pages() -> tuple[str, int]:
+    """Build (once) + warm-read the synthetic pages table. Untimed."""
+    from png_from_pdf_extracter_ray.corpus.synth import build_pages_parquet
+
+    path = _pages_path()
+    build_pages_parquet(SF_DIR, path, expand=EXPAND)
+    # Warm the OS page cache so the timed run measures compute + shuffle.
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    total += len(fh.read())
+    import pyarrow.dataset as pads
+
+    n_rows = pads.dataset(path, format="parquet").count_rows()
+    return path, n_rows
+
+
+def bench_extract() -> dict:
+    from png_from_pdf_extracter_ray.pipelines.extract_pipeline import extract_pipeline
+    from png_from_pdf_extracter_ray.sources.pages_source import read_pages
+
+    pages_path, n_rows = _ensure_pages()
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
+    in_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(pages_path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+    t0 = time.perf_counter()
+    ds = extract_pipeline(
+        read_pages(pages_path),
+        dedup=True,
+        num_buckets=max(32, NUM_CPUS * 2),
+        batch_size=16,
+        summary_only=False,
+    )
+    ds.write_parquet(OUT_DIR)
+    dt = time.perf_counter() - t0
+
+    import pyarrow.dataset as pads
+
+    n_out = pads.dataset(OUT_DIR, format="parquet").count_rows()
+    return {
+        "sec": round(dt, 3),
+        "input_rows": n_rows,
+        "output_docs": n_out,
+        "docs_per_sec": round(n_out / dt, 1),
+        "input_mb_per_sec": round(in_bytes / 1e6 / dt, 1),
+    }
+
+
+def bench_queries() -> dict[str, float]:
+    entrymod = _entry
+
+    import ray.data
+
+    timed = [
+        "q1_pricing_summary",
+        "dedup_exact_text",
+        "token_counts",
+        "events_hourly",
+        "similarity_topk",
+        "customers_per_nation",
+    ]
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in timed:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        if isinstance(res, ray.data.Dataset):
+            res.count()  # consume
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    _init_ray()
+    extract = bench_extract()
+    queries = bench_queries()
+    result = {
+        "metric": "flagship extract pipeline wall time (sf pages table, dedup+render+sink)",
+        "value": extract["sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "expand": EXPAND,
+        **{k: v for k, v in extract.items() if k != "sec"},
+    }
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = sub(lo), sub(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+        "expand": EXPAND,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -1,0 +1,1 @@
+"""Ray Data stages: batch transforms and actor-pool stages."""

@@ -1,0 +1,91 @@
+"""The extraction stage: an actor-pool ``map_batches`` over Arrow batches.
+
+``ExtractWorker`` is the Ray analog of the reference's warm converter
+service (/root/reference/src/services/pdf_converter.py:33-48: geometry/
+timeout resolved once per process) plus the per-email orchestration
+(/root/reference/src/services/job_processor.py:51-184): state is built
+once per actor in ``__init__``; each ``__call__`` handles one Arrow batch
+of documents, branching per row on the sniffed content type and emitting
+the full extracted/dead-letter row — errors are data, so a poison row can
+never kill (or be double-processed by) a Ray task retry.
+
+The per-row body is a Python loop by necessity — DOM/PDF parsing is
+per-document work, exactly like the reference's per-email kernel — but
+all column assembly is Arrow, input batches arrive zero-copy, and the
+heavy input column (``html``) is dropped from the output so it never
+travels further down the pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from ..kernel.extract import extract_one
+from ..kernel.schema import EXTRACTED_SCHEMA, PAGE_TYPE, SPAN_TYPE
+
+
+def results_to_table(
+    results: list[dict[str, Any]],
+    warc_ts: pa.ChunkedArray | pa.Array,
+    langs: pa.ChunkedArray | pa.Array,
+) -> pa.Table:
+    """Assemble kernel result dicts into an EXTRACTED_SCHEMA Arrow table."""
+    return pa.Table.from_arrays(
+        [
+            pa.array([r["url"] for r in results], pa.string()),
+            warc_ts.combine_chunks() if isinstance(warc_ts, pa.ChunkedArray) else warc_ts,
+            langs.combine_chunks() if isinstance(langs, pa.ChunkedArray) else langs,
+            pa.array([r["content_type"] for r in results], pa.string()),
+            pa.array([r["extracted_text"] for r in results], pa.large_string()),
+            pa.array([r["title"] for r in results], pa.string()),
+            pa.array([r["spans"] for r in results], pa.list_(SPAN_TYPE)),
+            pa.array([r["pages"] for r in results], pa.list_(PAGE_TYPE)),
+            pa.array([r["status"] for r in results], pa.string()),
+            pa.array([r["error_type"] for r in results], pa.string()),
+            pa.array([r["error_msg"] for r in results], pa.string()),
+            pa.array([r["n_pages"] for r in results], pa.int32()),
+            pa.array([r["n_spans"] for r in results], pa.int32()),
+            pa.array([r["text_chars"] for r in results], pa.int64()),
+            pa.array([r["duration_ms"] for r in results], pa.float64()),
+            pa.array([r["content_hash"] for r in results], pa.string()),
+        ],
+        schema=EXTRACTED_SCHEMA,
+    )
+
+
+def extract_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
+    """Extract every row of a pages batch (shared by worker and oracle)."""
+    urls = batch["url"].to_pylist()
+    payloads = batch["html"].to_pylist()
+    n = len(urls)
+    warc_ts = (
+        batch["warc_ts"]
+        if "warc_ts" in batch.schema.names
+        else pa.nulls(n, pa.timestamp("us"))
+    )
+    langs = batch["lang"] if "lang" in batch.schema.names else pa.nulls(n, pa.string())
+    results = [extract_one(u, p, cfg) for u, p in zip(urls, payloads)]
+    return results_to_table(results, warc_ts, langs)
+
+
+class ExtractWorker:
+    """Callable class for ``map_batches`` — one warm actor per pool slot."""
+
+    def __init__(self, cfg: ExtractConfig | None = None) -> None:
+        self.cfg = cfg or DEFAULT_CONFIG
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return extract_batch(batch, self.cfg)
+
+
+def oracle_extract_table(pages: pa.Table, cfg: ExtractConfig | None = None) -> pa.Table:
+    """Single-process oracle: the exact same kernel over one Arrow table.
+
+    Tests compare this byte-for-byte against the distributed output —
+    the re-expression of the reference's per-conversion assertions as
+    per-row golden comparisons (SURVEY.md §5).
+    """
+    return extract_batch(pages, cfg or DEFAULT_CONFIG)

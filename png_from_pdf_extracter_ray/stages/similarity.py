@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast via
+``ray.put`` once and every batch does one numpy matmul against it (no
+shuffle, no per-row Python).  Scale path: LSH-bucketed variant using
+signed-random-projection signatures, so only same-bucket candidates are
+scored (documented partitioning assumption: near neighbors share a
+bucket with high probability; recall traded for a ~B× cost cut).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _stack(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (n, d) float32 matrix (zero-ish copy)."""
+    pylist = col.to_pylist()
+    return np.asarray(pylist, dtype=np.float32)
+
+
+def cosine_topk(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Brute-force cosine top-k of ``query`` against every row.
+
+    Per batch: one matmul + per-batch top-k prune (only k candidate rows
+    leave each batch), then a tiny global sort — the partial-top-k
+    combiner keeps the shuffle negligible at any scale.
+    """
+    q = np.asarray(query, dtype=np.float32)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    qref = ray.put(qn)
+
+    class Scorer:
+        def __init__(self) -> None:
+            self.q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _stack(batch[vec_col])
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (mat @ self.q) / norms
+            order = np.argsort(-cos, kind="stable")[:k]  # batch-local prune
+            return pa.Table.from_pydict(
+                {
+                    id_col: pa.array(
+                        [batch[id_col][int(i)].as_py() for i in order]
+                    ),
+                    "cos": pa.array(np.round(cos[order], 3).astype(np.float64)),
+                }
+            )
+
+    scored = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4))
+    out = scored.sort(["cos", id_col], descending=[True, False]).limit(k).to_pandas()
+    return out
+
+
+def load_query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t["vec_id"].to_pylist().index(vec_id)
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+
+def srp_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def srp_signature(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Signed-random-projection bucket id per row (uint32)."""
+    bits = (mat @ planes.T) >= 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.uint64))
+    return (bits.astype(np.uint64) @ weights).astype(np.uint64)
+
+
+def ann_topk_lsh(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Approximate top-k: score only rows whose SRP bucket matches the query's.
+
+    With ``n_planes`` hyperplanes the candidate set shrinks ~2^n_planes×;
+    recall depends on the angular margin (documented tradeoff).
+    """
+    q = np.asarray(query, dtype=np.float32)
+    dim = q.shape[0]
+    planes = srp_planes(dim, n_planes, seed)
+    qsig = int(srp_signature(q[None, :], planes)[0])
+    pref = ray.put(planes)
+    qref = ray.put(q / (np.linalg.norm(q) or 1.0))
+
+    class BucketScorer:
+        def __init__(self) -> None:
+            self.planes = ray.get(pref)
+            self.q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _stack(batch[vec_col])
+            sig = srp_signature(mat, self.planes)
+            mask = sig == qsig
+            if not mask.any():
+                return pa.Table.from_pydict(
+                    {id_col: pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
+                )
+            sub = mat[mask]
+            ids = np.asarray(batch[id_col].to_pylist())[mask]
+            norms = np.linalg.norm(sub, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (sub @ self.q) / norms
+            order = np.argsort(-cos, kind="stable")[:k]
+            return pa.Table.from_pydict(
+                {
+                    id_col: pa.array(ids[order].tolist(), pa.int64()),
+                    "cos": pa.array(np.round(cos[order], 3).astype(np.float64)),
+                }
+            )
+
+    scored = ds.map_batches(BucketScorer, batch_format="pyarrow", concurrency=(1, 4))
+    return scored.sort(["cos", id_col], descending=[True, False]).limit(k).to_pandas()

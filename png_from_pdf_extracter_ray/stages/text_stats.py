@@ -1,0 +1,118 @@
+"""Text-analysis stages for a training-data pipeline: token counting,
+quality scoring, fingerprinting, language-ID.
+
+All stages are ``map_batches`` transforms. Regex state is compiled once
+per actor (callable classes), mirroring the reference's config-time regex
+compile (/root/reference/src/config.py:45-52); the per-batch bodies are
+vectorized (pandas .str / numpy), never per-row Python where avoidable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+_WS = re.compile(r"\s+")
+_PUNCT = re.compile(r"[^.!?,;:]")
+
+
+def token_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """n_tokens = number of whitespace-separated words (0 for blank)."""
+    s = df[text_col].fillna("").str.strip()
+    n = s.str.split(_WS).str.len().astype("int64")
+    n = n.where(s != "", 0)
+    return df.assign(n_tokens=n)
+
+
+def quality_score_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Cheap quality signals: length, punctuation ratio, mean word length.
+
+    The punctuation class and the arithmetic match the oracle SQL exactly
+    (round-to-4 on ratios) so results hash-compare.
+    """
+    s = df[text_col].fillna("")
+    length = s.str.len().astype("int64")
+    # _PUNCT strips every NON-punct char, so what remains is the punct count.
+    n_punct = s.str.replace(_PUNCT, "", regex=True).str.len()
+    ratio = (n_punct / length.replace(0, np.nan)).fillna(0.0).round(4)
+    return df.assign(text_len=length, n_punct=n_punct.astype("int64"), punct_ratio=ratio)
+
+
+def md5_fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Content fingerprint (md5 hex) — SQL-checkable against DuckDB md5()."""
+    fp = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in df[text_col]]
+    return df.assign(fp=fp)
+
+
+class RollingFingerprint:
+    """64-bit polynomial rolling-hash document fingerprint (non-SQL).
+
+    A Rabin-Karp style fingerprint over the token stream: stable under
+    partitioning, cheap to compute, usable as a shard-friendly dedup key.
+    """
+
+    BASE = 1_000_003
+    MASK = (1 << 64) - 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        out = []
+        for t in texts:
+            acc = 0
+            for tok in (t or "").split():
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+                acc = ((acc * self.BASE) + h) & self.MASK
+            out.append(f"{acc:016x}")
+        return batch.append_column("rolling_fp", pa.array(out, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Language identification (n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+# Tiny per-language marker sets (stopword heuristic): public knowledge.
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is you that it he was for on are as with".split()),
+    "de": frozenset("der die das und ist ich nicht sie mit ein auf für von zu den".split()),
+    "fr": frozenset("le la les et de des un une est que pour dans qui pas sur".split()),
+    "es": frozenset("el la los las y de que en un una es por con para del no".split()),
+    "nl": frozenset("de het een en van ik je niet dat die is op te zijn met".split()),
+    "it": frozenset("il la le e di che un una è per in non con sono del si".split()),
+}
+
+
+class LangId:
+    """Stopword-overlap language classifier (actor-pool stage).
+
+    Marker tables are built once per actor in ``__init__`` — the
+    "stateful setup once per worker" pattern.  Deterministic tie-break:
+    highest score wins, then lexicographic language code.
+    """
+
+    def __init__(self) -> None:
+        self.markers = _LANG_MARKERS
+
+    def classify(self, text: str) -> str:
+        toks = set((text or "").lower().split())
+        best_lang, best = "und", 0
+        for lang in sorted(self.markers):
+            score = len(toks & self.markers[lang])
+            if score > best:
+                best_lang, best = lang, score
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t) for t in batch["text"].to_pylist()]
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+def langid_dataset(ds: rd.Dataset, concurrency: int | tuple[int, int] = (1, 4)) -> rd.Dataset:
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=concurrency)

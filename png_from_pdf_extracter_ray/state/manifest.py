@@ -1,0 +1,120 @@
+"""Per-partition lineage manifests + commit-last resume protocol.
+
+The reference's exactly-once-ish story is "delete the email only after
+the reply was sent" (/root/reference/src/services/job_processor.py:148-153
+— STORE \\Deleted + EXPUNGE as the ack) with duplicate work on crash
+explicitly acceptable (NFR-008,
+/root/reference/specs/001-pdf-to-png-mailer/spec.md:139).  Here the same
+protocol is: a partition's output directory is written first, then its
+manifest is committed via atomic rename — the manifest IS the EXPUNGE.
+On resume, partitions with a committed manifest are skipped; a partition
+that crashed mid-write is simply re-run (its write is deterministic and
+overwrites in place, so duplication is safe exactly as NFR-008 allows).
+
+Each manifest records lineage + metrics (north rule: "per-partition
+lineage manifests … partition id, input file, row range, content hashes
+… per-stage metrics"): the shard's input spec, row counts by status, an
+order-insensitive content digest (XOR of per-row blake2b(url, hash)),
+and wall-clock timing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+from typing import Any, Callable
+
+import pyarrow.dataset as pads
+
+import ray.data as rd
+
+
+@dataclass
+class PartitionManifest:
+    partition_id: int
+    input_spec: dict[str, Any]
+    row_count: int
+    rows_by_status: dict[str, int]
+    content_digest: str
+    started_at: float
+    duration_s: float
+    engine_version: str = "0.1.0"
+
+
+def _digest_xor(urls: list[str], hashes: list[str]) -> str:
+    acc = 0
+    for u, h in zip(urls, hashes):
+        d = hashlib.blake2b(f"{u}:{h}".encode(), digest_size=16).digest()
+        acc ^= int.from_bytes(d, "big")
+    return f"{acc:032x}"
+
+
+def _part_dirs(out_dir: str, pid: int) -> tuple[str, str]:
+    return (
+        os.path.join(out_dir, "parts", f"part-{pid:05d}"),
+        os.path.join(out_dir, "manifests", f"part-{pid:05d}.json"),
+    )
+
+
+def is_committed(out_dir: str, pid: int) -> bool:
+    return os.path.exists(_part_dirs(out_dir, pid)[1])
+
+
+def summarize_partition(part_dir: str) -> tuple[int, dict[str, int], str]:
+    """Read back only (url, status, content_hash) columns to build metrics."""
+    dataset = pads.dataset(part_dir, format="parquet")
+    t = dataset.to_table(columns=["url", "status", "content_hash"])
+    statuses = t["status"].to_pylist()
+    counts: dict[str, int] = {}
+    for s in statuses:
+        counts[s] = counts.get(s, 0) + 1
+    digest = _digest_xor(t["url"].to_pylist(), t["content_hash"].to_pylist())
+    return t.num_rows, counts, digest
+
+
+def run_partitioned(
+    shards: list[dict[str, Any]],
+    out_dir: str,
+    pipeline_for_shard: Callable[[dict[str, Any]], rd.Dataset],
+    *,
+    resume: bool = True,
+) -> list[PartitionManifest]:
+    """Run ``pipeline_for_shard`` per shard with commit-last manifests.
+
+    Shards run sequentially; each shard's Dataset executes with full
+    cluster parallelism under the streaming executor (≈ the reference's
+    poll loop processing one batch of pending mail per iteration,
+    job_processor.py:223-262 — but each "email" here is a whole
+    partition processed in parallel).
+    """
+    os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
+    manifests: list[PartitionManifest] = []
+    for pid, shard in enumerate(shards):
+        part_dir, man_path = _part_dirs(out_dir, pid)
+        if resume and os.path.exists(man_path):
+            with open(man_path) as f:
+                manifests.append(PartitionManifest(**json.load(f)))
+            continue
+        t0 = time.time()
+        ds = pipeline_for_shard(shard)
+        ds.write_parquet(part_dir)
+        rows, by_status, digest = summarize_partition(part_dir)
+        manifest = PartitionManifest(
+            partition_id=pid,
+            input_spec=shard,
+            row_count=rows,
+            rows_by_status=by_status,
+            content_digest=digest,
+            started_at=t0,
+            duration_s=time.time() - t0,
+        )
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(manifest), f, indent=1)
+        os.replace(tmp, man_path)  # commit — the EXPUNGE
+        manifests.append(manifest)
+    return manifests

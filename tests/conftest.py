@@ -1,0 +1,29 @@
+"""Shared fixtures — ONE Ray session per pytest run."""
+
+from __future__ import annotations
+
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return "/root/testdata/sf0.001"
