@@ -78,6 +78,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_rollup": rel.orders_priority_rollup,
         "events_hourly": rel.events_hourly,
         "nations_per_region": rel.nations_per_region,
+        "orders_customer_join": rel.orders_customer_join,
+        "distinct_mktsegments": rel.distinct_mktsegments,
+        "events_sessionize": rel.events_sessionize,
+        "cumulative_order_value": rel.cumulative_order_value,
         # --- text analysis (SQL-checked) ---
         "token_counts": textops.token_counts,
         "quality_scores": textops.quality_scores,
@@ -88,6 +92,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "similarity_topk": textops.similarity_topk,
         "similarity_topk_lsh": textops.similarity_topk_lsh,
+        # --- near-duplicate detection ---
+        "embedding_near_dups": textops.embedding_near_dups,  # SQL-checked
+        "minhash_near_dups": textops.minhash_near_dups,  # rows-only
+        "simhash_near_dups": textops.simhash_near_dups,  # rows-only
+        # --- multimodal page operations (rows-only) ---
+        "pages_page_meta": textops.pages_page_meta,
+        "pages_resized_thumbs": textops.pages_resized_thumbs,
+        "pages_frame_sample": textops.pages_frame_sample,
     }
 
 
@@ -158,6 +170,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "md5_fingerprints": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "orders_customer_join": """
+            SELECT c_mktsegment, o_orderstatus,
+                   ROUND(SUM(o_totalprice), 2) AS sum_totalprice,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderstatus
+        """,
+        "distinct_mktsegments": """
+            SELECT DISTINCT c_mktsegment FROM customer
+        """,
+        "events_sessionize": """
+            WITH d AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM d
+            )
+            SELECT user_id, session_no, COUNT(*) AS n_events,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+            FROM s GROUP BY user_id, session_no
+        """,
+        "cumulative_order_value": """
+            SELECT o_orderkey, o_custkey,
+                   ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING), 2) AS cum_totalprice
+            FROM orders WHERE o_custkey <= 200
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
         "similarity_topk": """
             SELECT vec_id,

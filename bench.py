@@ -34,7 +34,7 @@ import __ray_entry__ as _entry  # noqa: E402  (registers pickle-by-value for wor
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-EXPAND = int(os.environ.get("GRAFT_EXPAND", "8"))
+EXPAND = int(os.environ.get("GRAFT_EXPAND", "64"))
 PAGES_CACHE = "/tmp/graft_pages"
 OUT_DIR = "/tmp/graft_bench_out"
 
@@ -57,7 +57,9 @@ def _init_ray() -> None:
 
 
 def _pages_path() -> str:
-    tag = os.path.basename(SF_DIR.rstrip("/")) + f"_x{EXPAND}"
+    from png_from_pdf_extracter_ray.corpus.synth import CORPUS_VERSION
+
+    tag = os.path.basename(SF_DIR.rstrip("/")) + f"_x{EXPAND}_v{CORPUS_VERSION}"
     return os.path.join(PAGES_CACHE, tag)
 
 
@@ -93,12 +95,14 @@ def bench_extract() -> dict:
         if f.endswith(".parquet")
     )
 
+    import ray.data as rd
+
     t0 = time.perf_counter()
     ds = extract_pipeline(
         read_pages(pages_path),
-        dedup=True,
-        num_buckets=max(32, NUM_CPUS * 2),
-        batch_size=16,
+        dedup="broadcast",  # winner-map dedup: no payload all-to-all (see stages/dedup.py)
+        slim_pages=rd.read_parquet(pages_path, columns=["url", "warc_ts"]),
+        batch_size=64,
         summary_only=False,
     )
     ds.write_parquet(OUT_DIR)

@@ -66,5 +66,52 @@ class ExtractConfig:
         if self.lang_allow is not None:
             re.compile(self.lang_allow)  # raises on invalid pattern
 
+    @classmethod
+    def from_env(cls, env: dict[str, str] | None = None) -> "ExtractConfig":
+        """Build a config from EXTRACT_* environment variables.
+
+        The analog of ``Configuration.from_env``
+        (/root/reference/src/config.py:119-166): env parsing with the
+        same validation the constructor enforces — invalid values raise
+        rather than silently defaulting.
+        """
+        import os
+
+        e = env if env is not None else dict(os.environ)
+
+        def geti(name: str, default: int) -> int:
+            raw = e.get(name)
+            if raw is None:
+                return default
+            try:
+                return int(raw)
+            except ValueError as exc:
+                raise ValueError(f"{name} must be an integer, got {raw!r}") from exc
+
+        def getf(name: str, default: float) -> float:
+            raw = e.get(name)
+            if raw is None:
+                return default
+            try:
+                return float(raw)
+            except ValueError as exc:
+                raise ValueError(f"{name} must be a number, got {raw!r}") from exc
+
+        d = cls()
+        return cls(
+            page_width=geti("EXTRACT_PAGE_WIDTH", d.page_width),
+            page_height=geti("EXTRACT_PAGE_HEIGHT", d.page_height),
+            dpi=geti("EXTRACT_DPI", d.dpi),
+            background=geti("EXTRACT_BACKGROUND", d.background),
+            timeout_s=getf("EXTRACT_TIMEOUT_S", d.timeout_s),
+            page_budget=geti("EXTRACT_PAGE_BUDGET", d.page_budget),
+            max_payload_bytes=geti("EXTRACT_MAX_PAYLOAD_BYTES", d.max_payload_bytes),
+            min_block_chars=geti("EXTRACT_MIN_BLOCK_CHARS", d.min_block_chars),
+            heading_min_chars=geti("EXTRACT_HEADING_MIN_CHARS", d.heading_min_chars),
+            max_link_density=getf("EXTRACT_MAX_LINK_DENSITY", d.max_link_density),
+            render_pages=e.get("EXTRACT_RENDER_PAGES", "1") not in ("0", "false", "no"),
+            lang_allow=e.get("EXTRACT_LANG_ALLOW") or None,
+        )
+
 
 DEFAULT_CONFIG = ExtractConfig()

@@ -27,6 +27,8 @@ from .pdfgen import lines_for_page, make_pdf
 
 _BASE_TS_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
+CORPUS_VERSION = 2  # bump when payload generation changes (invalidates caches)
+
 ADVERSARIAL_KINDS = ["empty", "truncated_pdf", "encrypted_pdf", "zero_page_pdf", "unknown_magic"]
 
 
@@ -56,8 +58,18 @@ def make_payload(doc_id: int, variant: int, text: str, lang: str) -> bytes:
     h = _h(f"kind:{doc_id}:{variant}")
     kind = h % 10
     words = text.split() or ["lorem"]
-    if kind < 7:  # HTML
+    if kind < 7:  # HTML (a slice of which are multipart containers)
         payload, _ = make_html(doc_id, variant, text, lang)
+        if h % 100 < 4:  # ~3-4%: multipart container (html part + pdf part)
+            from ..kernel.sniff import MULTIPART_BOUNDARY, MULTIPART_MAGIC
+
+            pdf_part = make_pdf([lines_for_page(doc_id, variant, 1, words)])
+            return (
+                MULTIPART_MAGIC
+                + payload
+                + MULTIPART_BOUNDARY
+                + pdf_part
+            )
         return payload
     if kind < 9:  # PDF
         n = _pdf_page_count(_h(f"npages:{doc_id}:{variant}"))

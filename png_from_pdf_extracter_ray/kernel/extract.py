@@ -9,6 +9,14 @@ logical document in, one output row out; every kernel error becomes data
 analog of "failed email stays in INBOX and an error notification is sent"
 (job_processor.py:155-179).
 
+Multipart containers model the reference's 0..n-attachments-per-email
+cardinality (1 email → 0..n PDFs → 1..n pages each, job_processor.py
+:94,:109-146): each part is extracted like a top-level payload, texts and
+pages are gathered into the single output row (≈ "all pages of all PDFs
+of one email in a single reply"), ``n_payloads`` counts the processed
+parts, and any part failure dead-letters the whole document (the
+reference marks the whole job failed, :155-179).
+
 Status values (≈ JobStatus, /root/reference/src/models/processing_job.py:12-18
 plus the no-PDF short-circuit at job_processor.py:96-101):
 - ``completed`` — text (and pages, for PDFs) extracted;
@@ -28,30 +36,18 @@ from . import pdf as pdfmod
 from .errors import EmptyPayloadError, ExtractionError, PayloadTooLargeError
 from .html_extract import extract_html
 from .sanitize import sanitize_filename
-from .sniff import CT_EMPTY, CT_HTML, CT_PDF, CT_UNKNOWN, sniff_content_type
+from .sniff import (
+    CT_EMPTY,
+    CT_HTML,
+    CT_MULTIPART,
+    CT_PDF,
+    sniff_content_type,
+    split_multipart,
+)
 
 STATUS_COMPLETED = "completed"
 STATUS_SKIPPED = "skipped"
 STATUS_FAILED = "failed"
-
-
-def _empty_result(url: str, content_type: str) -> dict[str, Any]:
-    return {
-        "url": url,
-        "content_type": content_type,
-        "extracted_text": "",
-        "spans": [],
-        "pages": [],
-        "title": "",
-        "status": STATUS_COMPLETED,
-        "error_type": "",
-        "error_msg": "",
-        "n_pages": 0,
-        "n_spans": 0,
-        "text_chars": 0,
-        "duration_ms": 0.0,
-        "content_hash": "",
-    }
 
 
 def content_hash(text: str) -> str:
@@ -59,12 +55,106 @@ def content_hash(text: str) -> str:
     return hashlib.blake2b(text.encode("utf-8"), digest_size=16).hexdigest()
 
 
+def _extract_payload(
+    url: str,
+    payload: bytes,
+    ct: str,
+    cfg: ExtractConfig,
+    deadline: float,
+    part_idx: int | None = None,
+) -> dict[str, Any] | None:
+    """Extract one (sub-)payload.  Returns None for unsupported types
+    (≈ non-PDF attachment skipped during the MIME walk)."""
+    if ct == CT_HTML:
+        doc = extract_html(payload, cfg)
+        prefix = "" if part_idx is None else f"part{part_idx}:"
+        return {
+            "text": doc.text,
+            "title": doc.title,
+            "spans": [
+                {"start": s.start, "end": s.end, "path": prefix + s.path, "kind": s.kind}
+                for s in doc.spans
+            ],
+            "pages": [],
+            "n_pages": 0,
+        }
+    if ct == CT_PDF:
+        pages = pdfmod.parse_pdf(payload, cfg)
+        text = pdfmod.document_text(pages)
+        path_prefix = "" if part_idx is None else f"part{part_idx}:"
+        offset = 0
+        spans = []
+        for p in pages:
+            ptext = pdfmod.page_text(p)
+            start = offset + (1 if spans else 0)  # "\f" joiner
+            end = start + len(ptext)
+            spans.append(
+                {
+                    "start": start,
+                    "end": end,
+                    "path": f"{path_prefix}page:{p.page_number}",
+                    "kind": "pdf_page",
+                }
+            )
+            offset = end
+        page_rows: list[dict[str, Any]] = []
+        if cfg.render_pages:
+            # {sanitized}_pdf-%03d.png naming + 1-indexed sequential pages
+            # (pdf_converter.py:72,141-158); page numbering restarts per
+            # payload exactly like per-attachment numbering in the
+            # reference (PNGImage.page_number is per-PDF).
+            base = sanitize_filename(url.rstrip("/").rsplit("/", 1)[-1] or "unnamed")
+            if part_idx is not None:
+                base = f"{base}_part{part_idx}"
+            for p in pages:
+                if time.perf_counter() > deadline:
+                    raise pdfmod.PDFConversionError(
+                        f"PDF conversion timed out after {cfg.timeout_s} seconds"
+                    )
+                png = pdfmod.render_page(p.lines, cfg)
+                page_rows.append(
+                    {
+                        "page_number": p.page_number,
+                        "png": png,
+                        "width": cfg.page_width,
+                        "height": cfg.page_height,
+                        "dpi": cfg.dpi,
+                        "filename": f"{base}_pdf-{p.page_number - 1:03d}.png",
+                    }
+                )
+        return {
+            "text": text,
+            "title": "",
+            "spans": spans,
+            "pages": page_rows,
+            "n_pages": len(pages),
+        }
+    return None  # unsupported part type — skipped, like non-PDF attachments
+
+
 def extract_one(url: str, payload: bytes | None, cfg: ExtractConfig) -> dict[str, Any]:
     """Extract one document.  Pure, deterministic in everything except
     ``duration_ms`` (a metric, not part of the byte-identity invariant)."""
     t0 = time.perf_counter()
+    deadline = t0 + cfg.timeout_s
     ct = sniff_content_type(payload)
-    out = _empty_result(url, ct)
+    out: dict[str, Any] = {
+        "url": url,
+        "content_type": ct,
+        "extracted_text": "",
+        "spans": [],
+        "pages": [],
+        "title": "",
+        "status": STATUS_COMPLETED,
+        "error_type": "",
+        "error_msg": "",
+        "n_payloads": 0,
+        "n_pages": 0,
+        "n_spans": 0,
+        "text_chars": 0,
+        "duration_ms": 0.0,
+        "content_hash": "",
+    }
     try:
         if ct == CT_EMPTY:
             raise EmptyPayloadError("payload is empty")
@@ -73,56 +163,43 @@ def extract_one(url: str, payload: bytes | None, cfg: ExtractConfig) -> dict[str
             raise PayloadTooLargeError(
                 f"payload is {len(payload)} bytes, cap is {cfg.max_payload_bytes}"
             )
-        if ct == CT_HTML:
-            doc = extract_html(payload, cfg)
-            out["extracted_text"] = doc.text
-            out["title"] = doc.title
-            out["spans"] = [
-                {"start": s.start, "end": s.end, "path": s.path, "kind": s.kind}
-                for s in doc.spans
-            ]
-        elif ct == CT_PDF:
-            pages = pdfmod.parse_pdf(payload, cfg)
-            out["extracted_text"] = pdfmod.document_text(pages)
-            # Span per page: path "page:N", offsets into the joined text.
-            offset = 0
-            spans = []
-            for p in pages:
-                ptext = pdfmod.page_text(p)
-                start = offset + (1 if spans else 0)  # "\f" joiner
-                end = start + len(ptext)
-                spans.append(
-                    {"start": start, "end": end, "path": f"page:{p.page_number}", "kind": "pdf_page"}
-                )
-                offset = end
-            out["spans"] = spans
-            if cfg.render_pages:
-                # {sanitized}_pdf-%03d.png naming + 1-indexed sequential
-                # pages (pdf_converter.py:72,141-158).  %03d counts from
-                # 000 for page 1, exactly like the ImageMagick pattern.
-                prefix = sanitize_filename(url.rstrip("/").rsplit("/", 1)[-1] or "unnamed")
-                deadline = t0 + cfg.timeout_s
-                page_rows = []
-                for p in pages:
-                    if time.perf_counter() > deadline:
-                        raise pdfmod.PDFConversionError(
-                            f"PDF conversion timed out after {cfg.timeout_s} seconds"
-                        )
-                    png = pdfmod.render_page(p.lines, cfg)
-                    page_rows.append(
-                        {
-                            "page_number": p.page_number,
-                            "png": png,
-                            "width": cfg.page_width,
-                            "height": cfg.page_height,
-                            "dpi": cfg.dpi,
-                            "filename": f"{prefix}_pdf-{p.page_number - 1:03d}.png",
-                        }
-                    )
-                out["pages"] = page_rows
-            out["n_pages"] = len(pages)
-        else:  # CT_UNKNOWN — ≈ no-PDF short-circuit (job_processor.py:96-101)
-            out["status"] = STATUS_SKIPPED
+        if ct == CT_MULTIPART:
+            parts = split_multipart(payload)
+            results = []
+            for i, part in enumerate(parts, start=1):
+                pct = sniff_content_type(part)
+                r = _extract_payload(url, part, pct, cfg, deadline, part_idx=i)
+                if r is not None:
+                    results.append(r)
+            if not results:
+                # ≈ email with no PDF attachments: acknowledged, no reply
+                out["status"] = STATUS_SKIPPED
+            else:
+                texts, offset = [], 0
+                for r in results:
+                    start = offset + (2 if texts else 0)  # "\n\n" joiner
+                    for s in r["spans"]:
+                        s["start"] += start
+                        s["end"] += start
+                    out["spans"].extend(r["spans"])
+                    out["pages"].extend(r["pages"])
+                    out["n_pages"] += r["n_pages"]
+                    texts.append(r["text"])
+                    offset = start + len(r["text"])
+                out["extracted_text"] = "\n\n".join(texts)
+                out["title"] = next((r["title"] for r in results if r["title"]), "")
+                out["n_payloads"] = len(results)
+        else:
+            r = _extract_payload(url, payload, ct, cfg, deadline)
+            if r is None:
+                out["status"] = STATUS_SKIPPED
+            else:
+                out["extracted_text"] = r["text"]
+                out["title"] = r["title"]
+                out["spans"] = r["spans"]
+                out["pages"] = r["pages"]
+                out["n_pages"] = r["n_pages"]
+                out["n_payloads"] = 1
     except ExtractionError as exc:
         out["status"] = STATUS_FAILED
         out["error_type"] = type(exc).__name__
@@ -131,6 +208,7 @@ def extract_one(url: str, payload: bytes | None, cfg: ExtractConfig) -> dict[str
         out["spans"] = []
         out["pages"] = []
         out["n_pages"] = 0
+        out["n_payloads"] = 0
 
     out["n_spans"] = len(out["spans"])
     out["text_chars"] = len(out["extracted_text"])

@@ -32,12 +32,13 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
 from ..config import ExtractConfig
 from .errors import PDFConversionError, PDFCorruptedError, PDFPasswordProtectedError
-from .png import write_png_gray
+from .png import PageTemplate
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
@@ -186,27 +187,48 @@ _GLYPH_H = 16
 _GLYPH_W = 8
 
 
+@lru_cache(maxsize=8)
+def _template(width: int, height: int, background: int, dpi: int) -> PageTemplate:
+    # One template per geometry per process — warm actor state.
+    return PageTemplate(width, height, background, dpi)
+
+
 def render_page(lines: list[str], cfg: ExtractConfig) -> bytes:
     """Render a page's text lines into a W x H grayscale PNG.
 
-    A deterministic, vectorized stand-in for the ImageMagick raster: white
-    background (``-background white``), fixed extent
-    (``-resize/-extent WxH!``), content drawn as per-character shade
-    blocks derived purely from the text bytes.  Exact geometry and DPI
-    metadata are the asserted invariants (test_imagemagick.py:77-85).
+    A deterministic stand-in for the ImageMagick raster: white background
+    (``-background white``), fixed extent (``-resize/-extent WxH!``),
+    content drawn as per-character shade blocks derived purely from the
+    text bytes.  Exact geometry and DPI metadata are the asserted
+    invariants (test_imagemagick.py:77-85).
+
+    Uses the segment-cached PNG path (kernel/png.py): background row runs
+    are pre-deflated once per worker and reused; only text-band scanlines
+    are compressed per page, keeping the stage compute-bound instead of
+    memory-bandwidth-bound at high parallelism.
     """
     h, w = cfg.page_height, cfg.page_width
-    arr = np.full((h, w), cfg.background, dtype=np.uint8)
+    tpl = _template(w, h, cfg.background, cfg.dpi)
     max_chars = (w - 2 * _MARGIN) // _GLYPH_W
+    bg = bytes([cfg.background])
+
+    segs = []
+    prev_end = 0
     y = _MARGIN
     for line in lines:
         if y + _GLYPH_H > h - _MARGIN:
             break
         data = line.encode("utf-8", "replace")[:max_chars]
         if data:
+            if y > prev_end:
+                segs.append(tpl.bg_rows(y - prev_end))
             codes = np.frombuffer(data, dtype=np.uint8)
             shades = (codes % 160).astype(np.uint8)  # dark-ish, text-derived
-            block = np.repeat(shades, _GLYPH_W)
-            arr[y : y + _GLYPH_H, _MARGIN : _MARGIN + block.shape[0]] = block
+            block = np.repeat(shades, _GLYPH_W).tobytes()
+            row = b"\x00" + bg * _MARGIN + block + bg * (w - _MARGIN - len(block))
+            segs.append(tpl.band(row, _GLYPH_H))
+            prev_end = y + _GLYPH_H
         y += _LINE_H
-    return write_png_gray(arr, dpi=cfg.dpi)
+    if prev_end < h:
+        segs.append(tpl.bg_rows(h - prev_end))
+    return tpl.assemble(segs)

@@ -53,6 +53,7 @@ EXTRACTED_SCHEMA = pa.schema(
         ("status", pa.string()),
         ("error_type", pa.string()),
         ("error_msg", pa.string()),
+        ("n_payloads", pa.int32()),
         ("n_pages", pa.int32()),
         ("n_spans", pa.int32()),
         ("text_chars", pa.int64()),

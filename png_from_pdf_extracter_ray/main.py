@@ -1,0 +1,91 @@
+"""CLI entry point — the distributed analog of ``python -m src.main``
+(/root/reference/src/main.py:17-106).
+
+One invocation = one bounded run over a sharded pages corpus with
+per-partition lineage manifests; ``--resume`` re-runs only uncommitted
+partitions (the manifest-as-EXPUNGE protocol, state/manifest.py).  The
+reference's daemon loop becomes "re-submit with --resume".
+
+Usage:
+    python -m png_from_pdf_extracter_ray.main \\
+        --sf-dir /root/testdata/sf0.001 --out /tmp/extract_run \\
+        --shards 4 --expand 2 [--resume] [--dedup broadcast|shuffle|none]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", required=True, help="testdata dir holding documents.parquet")
+    ap.add_argument("--out", required=True, help="output dir (parts/ + manifests/)")
+    ap.add_argument("--shards", type=int, default=4)
+    ap.add_argument("--expand", type=int, default=2)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--dedup", choices=["broadcast", "shuffle", "none"], default="shuffle")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from .config import ExtractConfig
+    from .pipelines.extract_pipeline import extract_pipeline
+    from .sources.pages_source import synthesize_pages
+    from .state.manifest import run_partitioned
+
+    cfg = ExtractConfig.from_env()
+    n_docs = pq.read_metadata(f"{args.sf_dir}/documents.parquet").num_rows
+    per = max(1, -(-n_docs // args.shards))
+    shards = [
+        {"doc_lo": i * per, "doc_hi": min((i + 1) * per, n_docs)}
+        for i in range(args.shards)
+        if i * per < n_docs
+    ]
+
+    dedup: bool | str = False if args.dedup == "none" else args.dedup
+
+    def pipeline_for(shard):  # noqa: ANN001, ANN202
+        pages = synthesize_pages(
+            args.sf_dir, expand=args.expand, doc_range=(shard["doc_lo"], shard["doc_hi"])
+        )
+        return extract_pipeline(pages, cfg, dedup=dedup, summary_only=False)
+
+    manifests = run_partitioned(shards, args.out, pipeline_for, resume=args.resume)
+    total = sum(m.row_count for m in manifests)
+    by_status: dict[str, int] = {}
+    for m in manifests:
+        for k, v in m.rows_by_status.items():
+            by_status[k] = by_status.get(k, 0) + v
+    print(
+        json.dumps(
+            {
+                "partitions": len(manifests),
+                "rows": total,
+                "rows_by_status": by_status,
+                "out": args.out,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,6 +40,7 @@ SUMMARY_COLUMNS = [
     "content_type",
     "status",
     "error_type",
+    "n_payloads",
     "n_pages",
     "n_spans",
     "text_chars",
@@ -47,12 +48,18 @@ SUMMARY_COLUMNS = [
 ]
 
 
-def _auto_concurrency() -> tuple[int, int]:
+def _auto_concurrency() -> int:
+    """Fixed pool of (cpus - 2): an autoscaling (min, max) pool ramps up
+    too slowly for bounded batch runs — by the time it reaches max the
+    wave is half done.  Two CPUs are left for the read and write stages
+    so the pool doesn't starve them (pipeline would serialize)."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return (2, max(2, cpus - 2))
+    # Never reserve every CPU: a pool that fills the cluster starves the
+    # read/write stages and the pipeline deadlocks (observed at cpus=2).
+    return max(1, cpus - 2)
 
 
 def extract_stage(
@@ -78,21 +85,107 @@ def extract_pipeline(
     pages: rd.Dataset,
     cfg: ExtractConfig | None = None,
     *,
-    dedup: bool = True,
+    dedup: bool | str = True,
     num_buckets: int = 64,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 16,
     summary_only: bool = False,
+    slim_pages: rd.Dataset | None = None,
 ) -> rd.Dataset:
-    """Full pipeline over an existing pages dataset."""
+    """Full pipeline over an existing pages dataset.
+
+    ``dedup``: ``"shuffle"``/True — hash-bucket payload shuffle (exact at
+    any scale); ``"broadcast"`` — winner map computed on a slim
+    (url, warc_ts) projection and broadcast, payloads never shuffled
+    (right when distinct urls fit a worker's memory; ``slim_pages`` lets
+    the caller supply a column-pruned read so the winner pass doesn't
+    decode payloads); falsy — no dedup.
+    """
     cfg = cfg or DEFAULT_CONFIG
     ds = filter_lang(pages, cfg.lang_allow)
-    if dedup:
+    if dedup == "broadcast":
+        from ..stages.dedup import compute_winners, dedup_keep_first_broadcast
+
+        slim = slim_pages if slim_pages is not None else ds.select_columns(["url", "warc_ts"])
+        winners = compute_winners(slim, key="url", order_col="warc_ts")
+        ds = dedup_keep_first_broadcast(ds, winners, key="url", order_col="warc_ts")
+    elif dedup:
         ds = dedup_keep_first(ds, key="url", order_col="warc_ts", num_buckets=num_buckets)
     ds = extract_stage(ds, cfg, concurrency=concurrency, batch_size=batch_size)
     if summary_only:
         ds = ds.select_columns(SUMMARY_COLUMNS)
     return ds
+
+
+def extract_pipeline_size_bucketed(
+    pages_factory,  # Callable[[], rd.Dataset] — called once per bucket
+    cfg: ExtractConfig | None = None,
+    *,
+    threshold_bytes: int = 64 * 1024,
+    concurrency: int | tuple[int, int] | None = None,
+) -> rd.Dataset:
+    """Size-bucketed skew routing (north rule; SURVEY §4.3.2).
+
+    The reference's per-document skew is ~30× (a 50-page PDF vs a
+    1-pager, README.md:138-140); at cluster scale that skew becomes
+    straggler tasks.  The stream is split by payload size: the small
+    bucket runs with large batches, the large bucket with ``batch_size=1``
+    and its own pool slice so one mega-document never holds up a wave —
+    the distributed analog of "the 120 s timeout protects the loop".
+
+    ``pages_factory`` is called once per bucket because a Ray Dataset
+    re-executes its upstream per consumer; with a parquet-backed factory
+    each branch is an independent column-pruned scan (cheap); with an
+    expensive synthetic source prefer materializing the pages to parquet
+    first.
+    """
+    import pyarrow.compute as pc
+
+    cfg = cfg or DEFAULT_CONFIG
+
+    def size_filter(keep_large: bool):  # noqa: ANN202
+        def _f(batch):  # noqa: ANN001, ANN202
+            sizes = pc.binary_length(pc.fill_null(batch["html"], b""))
+            mask = (
+                pc.greater_equal(sizes, threshold_bytes)
+                if keep_large
+                else pc.less(sizes, threshold_bytes)
+            )
+            return batch.filter(mask)
+
+        return _f
+
+    conc = concurrency or _auto_concurrency()
+    if isinstance(conc, int):
+        small_conc, large_conc = max(1, conc * 3 // 4), max(1, conc // 4)
+    else:
+        small_conc, large_conc = conc, conc
+
+    small = (
+        pages_factory()
+        .map_batches(size_filter(False), batch_format="pyarrow")
+        .map_batches(
+            ExtractWorker,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=small_conc,
+            num_cpus=1,
+        )
+    )
+    large = (
+        pages_factory()
+        .map_batches(size_filter(True), batch_format="pyarrow")
+        .map_batches(
+            ExtractWorker,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=1,  # one mega-doc per task: stragglers stay short
+            concurrency=large_conc,
+            num_cpus=1,
+        )
+    )
+    return small.union(large)
 
 
 def flagship(

@@ -196,6 +196,123 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def bucketed_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Explicit partitioned hash join — the portable large⋈large pattern.
+
+    Both sides get a stable ``hash(key) % B`` bucket column and a side
+    tag; the union shuffles ONCE on the bucket, and each bucket group is
+    joined with a vectorized pandas merge.  Skewed keys salt naturally
+    across B (document: B should be ≥ 2-4× cluster cores; hot single
+    keys would need an extra salt column on the build side).
+    """
+    import numpy as np
+
+    from ..stages.dedup import stable_bucket_ids
+
+    def tag(side: int):  # noqa: ANN202
+        def _t(batch: pa.Table) -> pa.Table:
+            b = stable_bucket_ids(batch[on], num_buckets)
+            return batch.append_column("__bucket", pa.array(b, pa.int32())).append_column(
+                "__side", pa.array(np.full(len(b), side), pa.int8())
+            )
+
+        return _t
+
+    lcols = left.schema().names
+    rcols = right.schema().names
+    shared = (set(lcols) & set(rcols)) - {on}
+    if shared:
+        raise ValueError(f"join sides share non-key columns: {shared}")
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0][[c for c in lcols]]
+        r = group[group["__side"] == 1][[c for c in rcols]]
+        return l.merge(r, on=on, how="inner")
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def orders_customer_join(sf_dir: str) -> pd.DataFrame:
+    """Large⋈large: orders ⋈ customer via the explicit bucketed hash join,
+    rolled up per market segment and order status."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey", "o_orderstatus", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = bucketed_hash_join(orders, cust, on="c_custkey", num_buckets=16)
+    out = grouped_sum(
+        joined,
+        ["c_mktsegment", "o_orderstatus"],
+        lambda df: df.assign(sum_totalprice=df["o_totalprice"]),
+        ["sum_totalprice"],
+        count_col="n_orders",
+    ).to_pandas()
+    out["sum_totalprice"] = out["sum_totalprice"].round(2)
+    return out
+
+
+def distinct_mktsegments(sf_dir: str) -> pd.DataFrame:
+    """DISTINCT via Dataset.unique (shuffle de-dup of one column)."""
+    vals = _read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment")
+    return pd.DataFrame({"c_mktsegment": sorted(vals)})
+
+
+def events_sessionize(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
+    """Sessionization: per-user sessions split on ts gaps > ``gap_s``.
+
+    The streaming-shaped op of the guide: partition by key, sort by ts
+    within the group, window in pandas.  Deterministic ordering tie-break
+    on event_id.  Output: one row per session.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        brk = (g["ts"].diff().dt.total_seconds() > gap_s) | g["ts"].diff().isna()
+        g = g.assign(session_no=brk.cumsum().astype("int64"))
+        out = g.groupby("session_no", as_index=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+        )
+        out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_no", "n_events", "session_start"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+
+
+def cumulative_order_value(sf_dir: str, custkey_max: int = 200) -> pd.DataFrame:
+    """Running per-customer order-value cumsum (window function shape).
+
+    Restricted to a custkey prefix so the SQL-checked result stays small.
+    """
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t["o_custkey"], custkey_max)),
+        batch_format="pyarrow",
+    )
+
+    def windowed(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        g = g.assign(cum_totalprice=g["o_totalprice"].cumsum().round(2))
+        return g[["o_orderkey", "o_custkey", "cum_totalprice"]]
+
+    return ds.groupby("o_custkey").map_groups(windowed, batch_format="pandas").to_pandas()
+
+
 def nations_per_region(sf_dir: str) -> pd.DataFrame:
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
     region = _read(sf_dir, "region").to_pandas()

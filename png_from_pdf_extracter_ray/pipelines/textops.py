@@ -68,3 +68,112 @@ def similarity_topk_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """LSH-bucketed ANN (approximate — rows-only oracle)."""
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return ann_topk_lsh(ds, load_query_vector(sf_dir, 0), k=k, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def minhash_near_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """MinHash+LSH near-dup pairs over the synthesized pages corpus
+    (which contains exact text repeats across url variants and ~5%
+    recrawl-drift near-dups).  Non-SQL → rows-only oracle."""
+    from ..sources.pages_source import synthesize_pages
+    from ..stages.neardup import minhash_near_dup_pairs
+
+    pages = synthesize_pages(sf_dir, expand=2).drop_columns(["html"])
+    slim = synthesize_pages(sf_dir, expand=2).select_columns(["url", "text"]).to_pandas()
+    lookup = dict(zip(slim["url"], slim["text"]))
+    return minhash_near_dup_pairs(
+        pages, lookup, threshold=threshold, id_col="url", text_col="text"
+    )
+
+
+def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash near-dup pairs over synthesized pages (rows-only)."""
+    from ..sources.pages_source import synthesize_pages
+    from ..stages.neardup import simhash_near_dup_pairs
+
+    pages = synthesize_pages(sf_dir, expand=2).drop_columns(["html"])
+    return simhash_near_dup_pairs(pages, max_hamming=max_hamming, id_col="url", text_col="text")
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """Exact embedding-cosine near-dup pairs (SQL-checked)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.neardup import embedding_near_dup_pairs
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    import numpy as np
+
+    return embedding_near_dup_pairs(
+        ds,
+        np.asarray(t["vec_id"].to_pylist()),
+        np.asarray(t["embedding"].to_pylist(), dtype=np.float32),
+        threshold=threshold,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal page operations (rows-only oracles)
+# ---------------------------------------------------------------------------
+
+
+def _extracted_pages(sf_dir: str) -> rd.Dataset:
+    from .extract_pipeline import flagship
+
+    return flagship(sf_dir, expand=2, summary_only=False)
+
+
+def pages_page_meta(sf_dir: str) -> rd.Dataset:
+    """Explode page rasters and parse true geometry/DPI from the PNG bytes."""
+    from ..stages.multimodal import explode_pages, page_meta
+
+    return (
+        _extracted_pages(sf_dir)
+        .map_batches(explode_pages, batch_format="pyarrow", batch_size=16)
+        .map_batches(page_meta, batch_format="pyarrow", batch_size=32)
+    )
+
+
+def pages_resized_thumbs(sf_dir: str) -> rd.Dataset:
+    """Decode → 480x270 block-mean resize → re-encode (actor pool)."""
+    from ..stages.multimodal import PngResizer, explode_pages, page_meta
+
+    return (
+        _extracted_pages(sf_dir)
+        .map_batches(explode_pages, batch_format="pyarrow", batch_size=16)
+        .map_batches(
+            PngResizer,
+            fn_constructor_kwargs={"target_w": 480, "target_h": 270},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=(1, 4),
+        )
+        .map_batches(page_meta, batch_format="pyarrow", batch_size=32)
+    )
+
+
+def pages_frame_sample(sf_dir: str, stride: int = 2) -> rd.Dataset:
+    """Frame-sampling: every Nth page per document; summary counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.multimodal import sample_pages
+
+    sampled = sample_pages(_extracted_pages(sf_dir), stride=stride)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(batch["pages"])
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "n_pages": batch["n_pages"],
+                "n_pages_sampled": pc.cast(pc.fill_null(n, 0), pa.int32()),
+            }
+        )
+
+    return sampled.map_batches(summarize, batch_format="pyarrow")

@@ -33,6 +33,9 @@ import ray.data
 
 BUCKET_COL = "__bucket"
 
+# Per-worker-process cache of broadcast winner maps (keyed by ObjectRef hex).
+_WINNER_CACHE: dict = {}
+
 
 def _keep_first_sorted(t: pa.Table, key: str, order: list[tuple[str, str]]) -> pa.Table:
     """Sort by (key, *order) and keep the first row of each key run."""
@@ -76,3 +79,77 @@ def dedup_keep_first(
         .groupby(BUCKET_COL)
         .map_groups(bucket_dedup, batch_format="pyarrow")
     )
+
+
+def compute_winners(
+    slim_ds: ray.data.Dataset, key: str = "url", order_col: str = "warc_ts"
+) -> pd.DataFrame:
+    """(key, min(order_col)) winner table from a slim two-column dataset.
+
+    The shuffle here moves only the key+order columns (a few % of payload
+    bytes) — the pre-aggregation pattern: within-batch min first, then a
+    small groupby over partials.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _keep_first_sorted(
+            batch.select([key, order_col]), key, [(order_col, "ascending")]
+        )
+        return t
+
+    from ray.data.aggregate import Min
+
+    out = (
+        slim_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Min(order_col, alias_name="__min_order"))
+    )
+    return out.to_pandas()
+
+
+def dedup_keep_first_broadcast(
+    ds: ray.data.Dataset,
+    winners: pd.DataFrame,
+    key: str = "url",
+    order_col: str = "warc_ts",
+) -> ray.data.Dataset:
+    """Winner-filter dedup: broadcast (key → min order) once, filter the
+    payload stream in-flight — NO payload all-to-all.
+
+    Scale tradeoff (documented): the winner map is one small row per
+    distinct key.  When it fits in worker memory (up to ~10^8 keys), this
+    beats shuffling payloads by a wide margin; past that, use
+    ``dedup_keep_first`` (hash-bucket payload shuffle).  Assumes
+    (key, order_col) is unique per key-tie (corpus guarantees distinct
+    warc_ts per url); exact (key, order) duplicates within one batch are
+    dropped by the batch-local pre-dedup, cross-batch ones require the
+    shuffle path.
+    """
+    ref = ray.put(
+        {
+            "keys": winners[key].to_numpy(),
+            "orders": winners["__min_order"].to_numpy(),
+        }
+    )
+
+    # Stateless TASKS, not an actor pool: a second pool alongside the
+    # extraction pool would oversubscribe the cluster's CPUs and Ray
+    # Data's executor degrades badly once combined pool reservations
+    # exceed available CPUs (observed: 30+8 pools on 32 CPUs → ~1×
+    # effective parallelism).  Tasks scale elastically into whatever the
+    # extract pool leaves free; the winner map is fetched from the
+    # object store (shared memory) and cached per worker process.
+    def winner_filter(batch: pa.Table) -> pa.Table:
+        lookup = _WINNER_CACHE.get(ref.hex())
+        if lookup is None:
+            w = ray.get(ref)
+            lookup = pd.Series(w["orders"], index=w["keys"])
+            _WINNER_CACHE[ref.hex()] = lookup
+        batch = _keep_first_sorted(batch, key, [(order_col, "ascending")])
+        keys = batch[key].to_pandas()
+        orders = batch[order_col].to_pandas()
+        win = lookup.reindex(keys).to_numpy()
+        mask = pa.array(orders.to_numpy() == win)
+        return batch.filter(mask)
+
+    return ds.map_batches(winner_filter, batch_format="pyarrow")

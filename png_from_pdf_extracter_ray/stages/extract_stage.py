@@ -46,6 +46,7 @@ def results_to_table(
             pa.array([r["status"] for r in results], pa.string()),
             pa.array([r["error_type"] for r in results], pa.string()),
             pa.array([r["error_msg"] for r in results], pa.string()),
+            pa.array([r["n_payloads"] for r in results], pa.int32()),
             pa.array([r["n_pages"] for r in results], pa.int32()),
             pa.array([r["n_spans"] for r in results], pa.int32()),
             pa.array([r["text_chars"] for r in results], pa.int64()),

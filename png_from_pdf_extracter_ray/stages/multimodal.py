@@ -1,0 +1,161 @@
+"""Multimodal column operations over the extracted page rasters.
+
+The ``pages`` column (list<struct{page_number, png:binary, width,
+height, dpi, filename}>) is this engine's opaque-binary-with-typed-
+metadata multimodal surface.  Stages:
+
+- ``explode_pages``   — 1 doc row → N page rows (url, page_number, png,
+  meta);
+- ``page_meta``       — parse real geometry/DPI out of the PNG bytes
+  (validates the binary against its typed metadata);
+- ``PngResizer``      — actor-pool decode → block-mean downscale →
+  re-encode.  REAL for this engine's own rasters (8-bit gray, filter 0,
+  via kernel.png.decode_png_gray); general image decode (JPEG etc.)
+  has no library in this container and is stubbed behind
+  ``GeneralImageDecodeStub`` with the Ray-side plumbing (schema, actor
+  signature, batch size) real and tested;
+- ``sample_pages``    — frame-sampling: keep every Nth page of each doc
+  (the video-frame-sample analog).
+
+Heavy-binary guidance: small ``batch_size`` (pages are ~13 KB-1 MB
+each), ``batch_format="pyarrow"`` throughout so binaries never round-
+trip through pandas object dtype.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..kernel.png import decode_png_gray, read_png_dpi, read_png_size, write_png_gray
+
+PAGE_ROW_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("page_number", pa.int32()),
+        ("png", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("dpi", pa.int32()),
+        ("filename", pa.string()),
+    ]
+)
+
+
+def explode_pages(batch: pa.Table) -> pa.Table:
+    """Un-nest the pages list<struct> column into one row per page."""
+    urls = batch["url"].to_pylist()
+    pages = batch["pages"].to_pylist()
+    cols: dict[str, list] = {k: [] for k in PAGE_ROW_SCHEMA.names}
+    for url, plist in zip(urls, pages):
+        for p in plist or []:
+            cols["url"].append(url)
+            for k in ("page_number", "png", "width", "height", "dpi", "filename"):
+                cols[k].append(p[k])
+    return pa.Table.from_pydict(cols, schema=PAGE_ROW_SCHEMA)
+
+
+def page_meta(batch: pa.Table) -> pa.Table:
+    """Parse geometry/DPI from the PNG bytes (ground truth vs metadata)."""
+    pngs = batch["png"].to_pylist()
+    widths, heights, dpis, sizes = [], [], [], []
+    for b in pngs:
+        w, h = read_png_size(b)
+        widths.append(w)
+        heights.append(h)
+        dpis.append(read_png_dpi(b))
+        sizes.append(len(b))
+    return (
+        batch.drop_columns(["png"])
+        .append_column("png_width", pa.array(widths, pa.int32()))
+        .append_column("png_height", pa.array(heights, pa.int32()))
+        .append_column("png_dpi", pa.array(dpis, pa.int32()))
+        .append_column("png_bytes", pa.array(sizes, pa.int64()))
+    )
+
+
+class PngResizer:
+    """Actor-pool stage: real decode → block-mean resize → re-encode.
+
+    Works on this engine's own rasters; target dims must divide evenly
+    into the source (block mean), otherwise falls back to stride
+    sampling.  State (target geometry) is per-actor, set once.
+    """
+
+    def __init__(self, target_w: int = 480, target_h: int = 270) -> None:
+        self.tw, self.th = target_w, target_h
+
+    def _resize(self, arr: np.ndarray) -> np.ndarray:
+        h, w = arr.shape
+        if h % self.th == 0 and w % self.tw == 0:
+            fh, fw = h // self.th, w // self.tw
+            return (
+                arr.reshape(self.th, fh, self.tw, fw).mean(axis=(1, 3)).astype(np.uint8)
+            )
+        ys = (np.arange(self.th) * h) // self.th
+        xs = (np.arange(self.tw) * w) // self.tw
+        return arr[np.ix_(ys, xs)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pngs = batch["png"].to_pylist()
+        dpis = batch["dpi"].to_pylist()
+        out = [
+            write_png_gray(self._resize(decode_png_gray(b)), dpi=d)
+            for b, d in zip(pngs, dpis)
+        ]
+        t = batch.drop_columns(["png", "width", "height"])
+        return (
+            t.append_column("png", pa.array(out, pa.binary()))
+            .append_column("width", pa.array([self.tw] * len(out), pa.int32()))
+            .append_column("height", pa.array([self.th] * len(out), pa.int32()))
+        )
+
+
+class GeneralImageDecodeStub:
+    """STUB: general image decode (JPEG/WebP/…).
+
+    No imaging library exists in this container; this stage keeps the
+    real actor-pool plumbing (schema in/out, per-actor init, batch
+    processing) and raises ``NotImplementedError`` unless
+    ``deterministic_fake=True``, in which case it emits a fixed-size
+    feature vector derived from the bytes (stable stand-in for tests).
+    """
+
+    def __init__(self, deterministic_fake: bool = False, feat_dim: int = 8) -> None:
+        self.fake = deterministic_fake
+        self.dim = feat_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "general image decoding requires an imaging library not present "
+                "in this environment; pass deterministic_fake=True for plumbing tests"
+            )
+        import hashlib
+
+        feats = []
+        for b in batch["png"].to_pylist():
+            d = hashlib.blake2b(b or b"", digest_size=self.dim).digest()
+            feats.append([x / 255.0 for x in d])
+        return batch.append_column(
+            "image_feat", pa.array(feats, pa.list_(pa.float64()))
+        )
+
+
+def sample_pages(ds: rd.Dataset, stride: int = 2) -> rd.Dataset:
+    """Frame sampling: keep pages where (page_number-1) % stride == 0."""
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        pages = batch["pages"].to_pylist()
+        sampled = [
+            [p for p in (plist or []) if (p["page_number"] - 1) % stride == 0]
+            for plist in pages
+        ]
+        idx = batch.schema.get_field_index("pages")
+        return batch.set_column(
+            idx, "pages", pa.array(sampled, batch.schema.field("pages").type)
+        )
+
+    return ds.map_batches(_sample, batch_format="pyarrow", batch_size=16)

@@ -1,0 +1,369 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine — the dedup toolbox of a training-data pipeline.
+
+Scale shapes (per the Ray Data guide's dedup patterns):
+
+- **MinHash+LSH**: per-batch vectorized signatures (numpy outer-hash,
+  no per-shingle Python), exploded to ``(band_id, band_hash, id)`` rows,
+  one ``groupby(band_id, band_hash)`` shuffle of tiny rows, candidate
+  pairs verified by exact shingle-Jaccard.  Verification fetches texts
+  from a broadcast lookup here (small corpora); at 10^12-doc scale the
+  documented swap-in is a bucket-join of texts against the candidate
+  pair list — the candidate set, not the corpus, bounds that join.
+- **SimHash**: 64-bit signatures; candidates = equal 16-bit block
+  (standard multi-block probing for hamming ≤ 3), verified by exact
+  hamming distance.
+- **Embedding near-dup**: the full (small-side) matrix is broadcast
+  once via ``ray.put``; each batch does one matmul and emits only pairs
+  above the cosine threshold.  At scale the SRP-LSH bucketing in
+  stages/similarity.py bounds the candidate quadratic.
+
+All signatures are pure functions of the text + fixed seed —
+deterministic across partitionings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _to_pandas_safe(ds: "rd.Dataset", columns: list[str]) -> pd.DataFrame:
+    """to_pandas that keeps column names when the dataset is empty."""
+    df = ds.to_pandas()
+    if df.empty and list(df.columns) != columns:
+        return pd.DataFrame({c: [] for c in columns})
+    return df
+
+
+def _token_hashes(text: str, k_shingle: int) -> np.ndarray:
+    """Distinct k-shingle hashes of a document (uint64)."""
+    toks = (text or "").lower().split()
+    if len(toks) < k_shingle:
+        shingle_strs = [" ".join(toks)] if toks else []
+    else:
+        shingle_strs = [" ".join(toks[i : i + k_shingle]) for i in range(len(toks) - k_shingle + 1)]
+    out = {
+        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+        for s in shingle_strs
+    }
+    return np.fromiter(out, dtype=np.uint64, count=len(out))
+
+
+def shingle_jaccard(a: str, b: str, k_shingle: int = 3) -> float:
+    ha = set(_token_hashes(a, k_shingle).tolist())
+    hb = set(_token_hashes(b, k_shingle).tolist())
+    if not ha and not hb:
+        return 1.0
+    if not ha or not hb:
+        return 0.0
+    return len(ha & hb) / len(ha | hb)
+
+
+class MinHasher:
+    """Actor-pool stage: text → LSH band rows ``(id, band_id, band_hash)``.
+
+    Hash-function params are built once per actor (seeded), the analog of
+    the reference's config-time regex compile (config.py:45-52).
+    """
+
+    def __init__(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_hashes: int = 64,
+        n_bands: int = 16,
+        k_shingle: int = 3,
+        seed: int = 42,
+    ) -> None:
+        assert n_hashes % n_bands == 0
+        self.id_col, self.text_col = id_col, text_col
+        self.n_hashes, self.n_bands, self.k = n_hashes, n_bands, k_shingle
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _token_hashes(text, self.k)
+        if h.size == 0:
+            return np.full(self.n_hashes, _MERSENNE, dtype=np.uint64)
+        # (n_hashes, n_shingles) universal hash, min per row — all numpy.
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        r = self.n_hashes // self.n_bands
+        out_id, out_band, out_hash = [], [], []
+        for i, t in zip(ids, texts):
+            sig = self.signature(t)
+            for band in range(self.n_bands):
+                digest = hashlib.blake2b(
+                    sig[band * r : (band + 1) * r].tobytes(), digest_size=8
+                ).hexdigest()
+                out_id.append(i)
+                out_band.append(band)
+                out_hash.append(digest)
+        return pa.Table.from_pydict(
+            {
+                self.id_col: pa.array(out_id),
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.string()),
+            }
+        )
+
+
+def minhash_candidate_pairs(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **mh_kwargs,
+) -> rd.Dataset:
+    """text rows → distinct candidate pairs (id_a < id_b) via LSH banding."""
+    bands = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col, **mh_kwargs},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group[id_col].to_pylist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.Table.from_pydict({"id_a": pa.array(a), "id_b": pa.array(b)})
+
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )
+    # distinct pairs (the same pair can surface from several bands)
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def minhash_near_dup_pairs(
+    ds: rd.Dataset,
+    texts_lookup: dict,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    **mh_kwargs,
+) -> pd.DataFrame:
+    """Candidate pairs verified by exact shingle-Jaccard ≥ threshold.
+
+    ``texts_lookup`` (id → text) is broadcast via ``ray.put``; at corpus
+    scale replace with a bucket-join against the candidate list.
+    """
+    ref = ray.put(texts_lookup)
+    cands = minhash_candidate_pairs(
+        ds, id_col=id_col, text_col=text_col, k_shingle=k_shingle, **mh_kwargs
+    )
+
+    class Verify:
+        def __init__(self) -> None:
+            self.texts = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ja, ia, ib = [], [], []
+            for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+                j = shingle_jaccard(self.texts.get(a, ""), self.texts.get(b, ""), k_shingle)
+                if j >= threshold:
+                    ia.append(a)
+                    ib.append(b)
+                    ja.append(round(j, 4))
+            return pa.Table.from_pydict(
+                {
+                    "id_a": pa.array(ia, batch["id_a"].type),
+                    "id_b": pa.array(ib, batch["id_b"].type),
+                    "jaccard": pa.array(ja, pa.float64()),
+                }
+            )
+
+    out = _to_pandas_safe(
+        cands.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4)),
+        ["id_a", "id_b", "jaccard"],
+    )
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (deterministic)."""
+    toks = (text or "").lower().split()
+    if not toks:
+        return 0
+    hashes = np.array(
+        [
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            for t in toks
+        ],
+        dtype=np.uint64,
+    )
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int(((acc >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+class SimHasher:
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text") -> None:
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [simhash64(t) for t in batch[self.text_col].to_pylist()]
+        out = batch.select([self.id_col])
+        # store as int64 bit pattern (Arrow has no uint64-friendly SQL path)
+        return out.append_column(
+            "simhash", pa.array([s - (1 << 64) if s >= 1 << 63 else s for s in sigs], pa.int64())
+        )
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def simhash_near_dup_pairs(
+    ds: rd.Dataset,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """SimHash near-dups via 16-bit block probing + exact hamming verify."""
+    sigs = ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        sh = batch["simhash"].to_pylist()
+        rid, rblk, rkey, rsig = [], [], [], []
+        for i, s in zip(ids, sh):
+            u = s & ((1 << 64) - 1)
+            for blk in range(4):
+                rid.append(i)
+                rblk.append(blk)
+                rkey.append((u >> (16 * blk)) & 0xFFFF)
+                rsig.append(s)
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(rid),
+                "block": pa.array(rblk, pa.int32()),
+                "block_key": pa.array(rkey, pa.int32()),
+                "simhash": pa.array(rsig, pa.int64()),
+            }
+        )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group[id_col].to_pylist(), group["simhash"].to_pylist())
+        )
+        ia, ib, hd = [], [], []
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                if rows[x][0] == rows[y][0]:
+                    continue
+                d = hamming64(rows[x][1], rows[y][1])
+                if d <= max_hamming:
+                    ia.append(rows[x][0])
+                    ib.append(rows[y][0])
+                    hd.append(d)
+        return pa.Table.from_pydict(
+            {
+                "id_a": pa.array(ia),
+                "id_b": pa.array(ib),
+                "hamming": pa.array(hd, pa.int32()),
+            }
+        )
+
+    pairs = (
+        sigs.map_batches(explode_blocks, batch_format="pyarrow")
+        .groupby(["block", "block_key"])
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
+    if pairs.count() == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    out = pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact, broadcast matrix)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    ds: rd.Dataset,
+    all_ids: np.ndarray,
+    all_vecs: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact pairs (id_a < id_b) with cosine ≥ threshold.
+
+    The full normalized matrix is broadcast once; each batch multiplies
+    its rows against it (one matmul, no shuffle).  Exact → SQL-checkable.
+    At 10^12-doc scale swap the broadcast for SRP-LSH bucketing
+    (similarity.ann_topk_lsh's signature machinery).
+    """
+    vecs = np.asarray(all_vecs, dtype=np.float32)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat_ref = ray.put(vecs / norms)
+    ids_ref = ray.put(np.asarray(all_ids))
+
+    class PairScorer:
+        def __init__(self) -> None:
+            self.mat = ray.get(mat_ref)
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
+            rnorm = np.linalg.norm(rows, axis=1, keepdims=True)
+            rnorm[rnorm == 0] = 1.0
+            rows = rows / rnorm
+            rids = np.asarray(batch[id_col].to_pylist())
+            cos = rows @ self.mat.T  # (batch, all)
+            ia, ib, cs = [], [], []
+            cand = np.argwhere(cos >= threshold)
+            for r, c in cand:
+                a, b = rids[r], self.ids[c]
+                if a < b:
+                    ia.append(int(a))
+                    ib.append(int(b))
+                    cs.append(round(float(cos[r, c]), 3))
+            return pa.Table.from_pydict(
+                {
+                    "id_a": pa.array(ia, pa.int64()),
+                    "id_b": pa.array(ib, pa.int64()),
+                    "cos": pa.array(cs, pa.float64()),
+                }
+            )
+
+    out = _to_pandas_safe(
+        ds.map_batches(PairScorer, batch_format="pyarrow", concurrency=(1, 4)),
+        ["id_a", "id_b", "cos"],
+    )
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)

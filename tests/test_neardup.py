@@ -1,0 +1,99 @@
+"""Near-dup detection: MinHash-LSH, SimHash, embedding-cosine."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from png_from_pdf_extracter_ray.stages.neardup import (
+    MinHasher,
+    embedding_near_dup_pairs,
+    hamming64,
+    minhash_near_dup_pairs,
+    shingle_jaccard,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays on and "
+    "the crowd cheers loudly for the final act of the evening show tonight"
+)
+NEAR = BASE + " encore"
+FAR = "completely different content about databases indexes and query planners everywhere"
+
+
+def _docs_ds() -> rd.Dataset:
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [BASE, NEAR, FAR, BASE],
+    }
+    return rd.from_arrow(pa.Table.from_pydict(rows))
+
+
+def test_shingle_jaccard_bounds() -> None:
+    assert shingle_jaccard(BASE, BASE) == 1.0
+    assert shingle_jaccard(BASE, FAR) < 0.1
+    assert 0.8 < shingle_jaccard(BASE, NEAR) < 1.0
+    assert shingle_jaccard("", "") == 1.0
+    assert shingle_jaccard(BASE, "") == 0.0
+
+
+def test_minhash_signature_similarity_tracks_jaccard() -> None:
+    mh = MinHasher()
+    sa, sb, sf = mh.signature(BASE), mh.signature(NEAR), mh.signature(FAR)
+    sim_near = (sa == sb).mean()
+    sim_far = (sa == sf).mean()
+    assert sim_near > 0.7 > sim_far
+
+
+def test_minhash_near_dup_pairs(ray_session) -> None:  # noqa: ANN001
+    lookup = {1: BASE, 2: NEAR, 3: FAR, 4: BASE}
+    out = minhash_near_dup_pairs(_docs_ds(), lookup, threshold=0.8)
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (1, 4) in pairs  # exact dup
+    assert (1, 2) in pairs and (2, 4) in pairs  # near dup
+    assert not any(3 in p for p in pairs)  # FAR never pairs
+    exact = out[(out["id_a"] == 1) & (out["id_b"] == 4)]["jaccard"].iloc[0]
+    assert exact == 1.0
+
+
+def test_simhash_properties() -> None:
+    assert simhash64(BASE) == simhash64(BASE)
+    assert hamming64(simhash64(BASE), simhash64(NEAR)) <= 6
+    assert hamming64(simhash64(BASE), simhash64(FAR)) > 10
+    assert simhash64("") == 0
+
+
+def test_simhash_near_dup_pairs(ray_session) -> None:  # noqa: ANN001
+    out = simhash_near_dup_pairs(_docs_ds(), max_hamming=6)
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (1, 4) in pairs
+    assert not any(3 in p for p in pairs)
+    exact = out[(out["id_a"] == 1) & (out["id_b"] == 4)]["hamming"].iloc[0]
+    assert exact == 0
+
+
+def test_embedding_near_dup_pairs(ray_session) -> None:  # noqa: ANN001
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16).astype(np.float32)
+    vecs = np.stack(
+        [
+            base,
+            base + 0.01 * rng.standard_normal(16).astype(np.float32),  # near-dup of 0
+            rng.standard_normal(16).astype(np.float32),  # unrelated
+            -base,  # anti-correlated
+        ]
+    )
+    ids = np.array([10, 20, 30, 40])
+    ds = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"vec_id": ids.tolist(), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    out = embedding_near_dup_pairs(ds, ids, vecs, threshold=0.95)
+    assert list(zip(out["id_a"], out["id_b"])) == [(10, 20)]
+    assert out["cos"].iloc[0] > 0.99

@@ -91,6 +91,31 @@ def test_dedup_keeps_earliest_warc_ts(ray_session, sf_dir) -> None:  # noqa: ANN
     assert (got.sort_index() == expected.sort_index()).all()
 
 
+def test_broadcast_dedup_equals_shuffle_dedup(ray_session, sf_dir) -> None:  # noqa: ANN001
+    def run(mode):  # noqa: ANN001, ANN202
+        out = _collect(
+            extract_pipeline(
+                synthesize_pages(sf_dir, expand=3, num_docs=50),
+                dedup=mode,
+                num_buckets=8,
+                batch_size=8,
+                concurrency=(1, 2),
+                summary_only=True,
+            )
+        )
+        return {
+            u: (h, s)
+            for u, h, s in zip(
+                out["url"].to_pylist(),
+                out["content_hash"].to_pylist(),
+                out["status"].to_pylist(),
+            )
+        }
+
+    shuffle, broadcast = run("shuffle"), run("broadcast")
+    assert shuffle == broadcast
+
+
 def test_lang_whitelist_filter(ray_session, sf_dir) -> None:  # noqa: ANN001
     pages = synthesize_pages(sf_dir, expand=2, num_docs=50)
     raw = _collect(pages)
