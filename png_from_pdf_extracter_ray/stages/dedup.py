@@ -92,19 +92,23 @@ def compute_winners(
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = _keep_first_sorted(
+        return _keep_first_sorted(
             batch.select([key, order_col]), key, [(order_col, "ascending")]
         )
-        return t
 
-    from ray.data.aggregate import Min
-
-    out = (
-        slim_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key)
-        .aggregate(Min(order_col, alias_name="__min_order"))
-    )
-    return out.to_pandas()
+    # Batch-local partial mins stream back to the driver and a pandas
+    # groupby finishes the merge — no distributed sort at all.  This is
+    # within the broadcast mode's stated envelope (the winner map must
+    # fit in memory anyway); the shuffle path (dedup_keep_first) is the
+    # beyond-memory alternative.
+    partials = slim_ds.map_batches(partial, batch_format="pyarrow")
+    frames = [
+        b.to_pandas()
+        for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    merged = pd.concat(frames, ignore_index=True)
+    out = merged.groupby(key, as_index=False, sort=False)[order_col].min()
+    return out.rename(columns={order_col: "__min_order"})
 
 
 def dedup_keep_first_broadcast(
