@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_per_region": rel.nations_per_region,
         "orders_customer_join": rel.orders_customer_join,
         "distinct_mktsegments": rel.distinct_mktsegments,
+        "supplier_topk_acctbal": rel.supplier_topk_acctbal,
+        "parts_by_brand": rel.parts_by_brand,
+        "union_account_holders": rel.union_account_holders,
         "events_sessionize": rel.events_sessionize,
         "cumulative_order_value": rel.cumulative_order_value,
         # --- text analysis (SQL-checked) ---
@@ -180,6 +183,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_mktsegments": """
             SELECT DISTINCT c_mktsegment FROM customer
+        """,
+        "supplier_topk_acctbal": """
+            SELECT s_suppkey, s_name, s_acctbal FROM supplier
+            ORDER BY s_acctbal DESC, s_suppkey LIMIT 50
+        """,
+        "parts_by_brand": """
+            SELECT p_brand, ROUND(SUM(p_retailprice), 2) AS sum_retail,
+                   SUM(p_size) AS sum_size, COUNT(*) AS n_parts
+            FROM part GROUP BY p_brand
+        """,
+        "union_account_holders": """
+            SELECT c_name AS name, c_acctbal AS acctbal FROM customer
+            UNION ALL
+            SELECT s_name AS name, s_acctbal AS acctbal FROM supplier
         """,
         "events_sessionize": """
             WITH d AS (

@@ -22,6 +22,7 @@ import os
 import pyarrow as pa
 
 from ..kernel.schema import PAGES_SCHEMA
+from ..kernel.sniff import MULTIPART_BOUNDARY, MULTIPART_MAGIC
 from .htmlgen import make_html
 from .pdfgen import lines_for_page, make_pdf
 
@@ -61,8 +62,6 @@ def make_payload(doc_id: int, variant: int, text: str, lang: str) -> bytes:
     if kind < 7:  # HTML (a slice of which are multipart containers)
         payload, _ = make_html(doc_id, variant, text, lang)
         if h % 100 < 4:  # ~3-4%: multipart container (html part + pdf part)
-            from ..kernel.sniff import MULTIPART_BOUNDARY, MULTIPART_MAGIC
-
             pdf_part = make_pdf([lines_for_page(doc_id, variant, 1, words)])
             return (
                 MULTIPART_MAGIC

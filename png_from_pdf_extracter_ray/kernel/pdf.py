@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
-from functools import lru_cache
 
 import numpy as np
 
@@ -187,10 +186,20 @@ _GLYPH_H = 16
 _GLYPH_W = 8
 
 
-@lru_cache(maxsize=8)
+# One template per geometry per process — warm actor state.  A plain
+# dict, NOT functools.lru_cache: an lru_cache wrapper object in module
+# globals pickles by reference (it is neither a function nor a class),
+# which breaks cloudpickle by-value shipping of this module to Ray
+# workers that don't have the repo on sys.path.
+_TEMPLATES: dict[tuple[int, int, int, int], PageTemplate] = {}
+
+
 def _template(width: int, height: int, background: int, dpi: int) -> PageTemplate:
-    # One template per geometry per process — warm actor state.
-    return PageTemplate(width, height, background, dpi)
+    key = (width, height, background, dpi)
+    tpl = _TEMPLATES.get(key)
+    if tpl is None:
+        tpl = _TEMPLATES[key] = PageTemplate(width, height, background, dpi)
+    return tpl
 
 
 def render_page(lines: list[str], cfg: ExtractConfig) -> bytes:

@@ -320,3 +320,33 @@ def nations_per_region(sf_dir: str) -> pd.DataFrame:
         nation, region.rename(columns={"r_regionkey": "n_regionkey"}), on="n_regionkey"
     )
     return grouped_sum(joined, ["r_name"], None, [], count_col="n_nations").to_pandas()
+
+
+def supplier_topk_acctbal(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Distributed sort + limit over supplier."""
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"])
+    return ds.sort(["s_acctbal", "s_suppkey"], descending=[True, False]).limit(k).to_pandas()
+
+
+def parts_by_brand(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+    out = grouped_sum(
+        ds,
+        ["p_brand"],
+        lambda df: df.assign(sum_retail=df["p_retailprice"], sum_size=df["p_size"]),
+        ["sum_retail", "sum_size"],
+        count_col="n_parts",
+    ).to_pandas()
+    out["sum_retail"] = out["sum_retail"].round(2)
+    return out
+
+
+def union_account_holders(sf_dir: str) -> pd.DataFrame:
+    """Set operator: customer ∪ supplier account balances (Dataset.union)."""
+    cust = _read(sf_dir, "customer", ["c_name", "c_acctbal"]).map_batches(
+        lambda t: t.rename_columns(["name", "acctbal"]), batch_format="pyarrow"
+    )
+    supp = _read(sf_dir, "supplier", ["s_name", "s_acctbal"]).map_batches(
+        lambda t: t.rename_columns(["name", "acctbal"]), batch_format="pyarrow"
+    )
+    return cust.union(supp).to_pandas()

@@ -115,6 +115,33 @@ def test_size_bucketed_equals_plain(ray_session, sf_dir) -> None:  # noqa: ANN00
     assert a.equals(b)
 
 
+def test_driver_contract_from_foreign_cwd(sf_dir, tmp_path) -> None:  # noqa: ANN001
+    """The graft driver may import __ray_entry__ from any cwd; Ray workers
+    then have no repo on sys.path.  UDF code must ship by value — this
+    has regressed twice (module-level lru_cache pickling by reference;
+    a function-local relative import executing on the worker)."""
+    script = (
+        "import ray, sys\n"
+        "ray.init(address='local', num_cpus=2, include_dashboard=False, logging_level='ERROR')\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "import __ray_entry__ as e\n"
+        "from png_from_pdf_extracter_ray.pipelines.extract_pipeline import flagship\n"
+        f"n = flagship('{sf_dir}', expand=1, dedup='shuffle', summary_only=True).count()\n"
+        "assert n > 0, n\n"
+        "print('FOREIGN_CWD_OK', n)\n"
+        "ray.shutdown()\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # NOT the repo
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "FOREIGN_CWD_OK" in r.stdout
+
+
 def test_cli_run_and_resume(ray_session, sf_dir, tmp_path) -> None:  # noqa: ANN001
     out = str(tmp_path / "cli_run")
     cmd = [
