@@ -83,6 +83,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_topk_acctbal": rel.supplier_topk_acctbal,
         "parts_by_brand": rel.parts_by_brand,
         "union_account_holders": rel.union_account_holders,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "events_asof_last_purchase": rel.events_asof_last_purchase,
+        "quantity_quantiles_by_returnflag": rel.quantity_quantiles_by_returnflag,
+        "distinct_users_per_event_type": rel.distinct_users_per_event_type,
         "events_sessionize": rel.events_sessionize,
         "cumulative_order_value": rel.cumulative_order_value,
         # --- text analysis (SQL-checked) ---
@@ -197,6 +201,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_name AS name, c_acctbal AS acctbal FROM customer
             UNION ALL
             SELECT s_name AS name, s_acctbal AS acctbal FROM supplier
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate  > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "events_asof_last_purchase": """
+            SELECT e.event_id,
+                   coalesce(strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f'), '') AS prev_purchase
+            FROM events e
+            ASOF LEFT JOIN (
+                SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+            ) p ON e.user_id = p.user_id AND e.ts > p.ts
+        """,
+        "quantity_quantiles_by_returnflag": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+                   ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "distinct_users_per_event_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "events_sessionize": """
             WITH d AS (

@@ -341,6 +341,137 @@ def parts_by_brand(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q3_shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+) -> pd.DataFrame:
+    """TPC-H Q3 shape: semi-join (broadcast key set) + large⋈large
+    bucketed hash join + pre-aggregated groupby + top-k.
+
+    customer is filtered to one segment and its key set broadcast (a
+    Bloom-filter stand-in); orders filters by date and semi-joins against
+    that set inside ``map_batches``; the orders slim side then bucket-
+    joins lineitem on orderkey; revenue partials combine per batch before
+    the final small groupby.
+    """
+    import pyarrow.compute as pc
+
+    cut = pd.Timestamp(cutoff)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], segment)),
+        batch_format="pyarrow",
+    )
+    cust_df = cust.to_pandas()
+    # empty Datasets drop column names through to_pandas — guard the edge
+    cust_keys = set(cust_df["c_custkey"]) if len(cust_df) else set()
+    if not cust_keys:
+        return pd.DataFrame({"l_orderkey": [], "o_orderdate": [], "revenue": []})
+    keys_ref = ray.put(cust_keys)
+
+    def orders_filter(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        df = df[(df["o_orderdate"] < cut) & df["o_custkey"].isin(keys)]
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["o_orderkey"],
+                "o_orderdate": df["o_orderdate"].dt.strftime("%Y-%m-%d"),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_filter, batch_format="pandas"
+    )
+
+    items = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut.to_pydatetime()))).drop_columns(
+            ["l_shipdate"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = bucketed_hash_join(items, orders, on="l_orderkey", num_buckets=16)
+    agg = grouped_sum(
+        joined,
+        ["l_orderkey", "o_orderdate"],
+        lambda df: df.assign(revenue=df["l_extendedprice"] * (1 - df["l_discount"])),
+        ["revenue"],
+    ).to_pandas()
+    agg["revenue"] = agg["revenue"].round(2)
+    return (
+        agg.sort_values(["revenue", "o_orderdate", "l_orderkey"], ascending=[False, True, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def events_asof_last_purchase(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for each event, the user's most recent STRICTLY PRIOR
+    'purchase' event — ``pd.merge_asof`` per user-hash bucket over
+    ts-sorted groups (the guide's as-of pattern; DuckDB ASOF JOIN is the
+    oracle).  Partitioning assumption: both sides bucketed on user_id."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        right = g[g["event_type"] == "purchase"][["ts"]].assign(prev_purchase=lambda d: d["ts"])
+        out = pd.merge_asof(
+            g[["event_id", "ts"]],
+            right,
+            on="ts",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        prev = out["prev_purchase"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return pd.DataFrame({"event_id": out["event_id"], "prev_purchase": prev.fillna("")})
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+
+
+def quantity_quantiles_by_returnflag(sf_dir: str) -> pd.DataFrame:
+    """Grouped quantiles (p50/p90, linear interpolation) per returnflag."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "p50_qty": [round(g["l_quantity"].quantile(0.5), 4)],
+                "p90_qty": [round(g["l_quantity"].quantile(0.9), 4)],
+            }
+        )
+
+    return ds.groupby("l_returnflag").map_groups(q, batch_format="pandas").to_pandas()
+
+
+def distinct_users_per_event_type(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT): per-batch pair dedup (combiner), then a
+    per-group exact unique count — the pre-aggregation keeps the shuffle
+    to distinct (event_type, user_id) pairs rather than raw events."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pair_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def count_unique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users": [int(g["user_id"].nunique())],
+            }
+        )
+
+    return (
+        ds.map_batches(pair_dedup, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(count_unique, batch_format="pandas")
+        .to_pandas()
+    )
+
+
 def union_account_holders(sf_dir: str) -> pd.DataFrame:
     """Set operator: customer ∪ supplier account balances (Dataset.union)."""
     cust = _read(sf_dir, "customer", ["c_name", "c_acctbal"]).map_batches(
