@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_quantiles_by_returnflag": rel.quantity_quantiles_by_returnflag,
         "distinct_users_per_event_type": rel.distinct_users_per_event_type,
         "events_sessionize": rel.events_sessionize,
+        "events_sliding_window": rel.events_sliding_window,
         "cumulative_order_value": rel.cumulative_order_value,
         # --- text analysis (SQL-checked) ---
         "token_counts": textops.token_counts,
@@ -102,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- near-duplicate detection ---
         "embedding_near_dups": textops.embedding_near_dups,  # SQL-checked
         "minhash_near_dups": textops.minhash_near_dups,  # rows-only
+        "minhash_dedup_groups": textops.minhash_dedup_groups,  # rows-only
         "simhash_near_dups": textops.simhash_near_dups,  # rows-only
         # --- multimodal page operations (rows-only) ---
         "pages_page_meta": textops.pages_page_meta,
@@ -223,6 +225,20 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (
                 SELECT user_id, ts FROM events WHERE event_type = 'purchase'
             ) p ON e.user_id = p.user_id AND e.ts > p.ts
+        """,
+        "events_sliding_window": """
+            WITH w AS (
+                SELECT event_type, value,
+                       CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS window_start
+                FROM events
+                UNION ALL
+                SELECT event_type, value,
+                       CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800 AS window_start
+                FROM events
+            )
+            SELECT event_type, window_start,
+                   ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n_events
+            FROM w GROUP BY event_type, window_start
         """,
         "quantity_quantiles_by_returnflag": """
             SELECT l_returnflag,

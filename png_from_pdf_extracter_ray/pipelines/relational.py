@@ -472,6 +472,52 @@ def distinct_users_per_event_type(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def events_sliding_window(sf_dir: str, size_s: int = 3600, slide_s: int = 1800) -> pd.DataFrame:
+    """Sliding-window aggregate: 1-hour windows every 30 minutes.
+
+    Each event explodes into its ``size/slide`` covering windows inside
+    ``map_batches`` (no shuffle for the explode), then the standard
+    pre-aggregated groupby.  Window starts are emitted as epoch seconds
+    (int64) — representation-stable across engines.
+    """
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    k = size_s // slide_s
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = df["ts"].astype("int64") // 1_000_000
+        base = (epoch // slide_s) * slide_s
+        frames = [
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "window_start": base - i * slide_s,
+                    "sum_value": df["value"],
+                }
+            )
+            for i in range(k)
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = explode(df)
+        df["n_events"] = 1
+        return df.groupby(["event_type", "window_start"], as_index=False, sort=False)[
+            ["sum_value", "n_events"]
+        ].sum()
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n_events", alias_name="n_events"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
 def union_account_holders(sf_dir: str) -> pd.DataFrame:
     """Set operator: customer ∪ supplier account balances (Dataset.union)."""
     cust = _read(sf_dir, "customer", ["c_name", "c_acctbal"]).map_batches(

@@ -99,6 +99,38 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     return simhash_near_dup_pairs(pages, max_hamming=max_hamming, id_col="url", text_col="text")
 
 
+def minhash_dedup_groups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """Near-dup GROUPS: connected components over the verified MinHash
+    pair graph.  Candidate generation + Jaccard verification are fully
+    distributed (minhash_near_dups); the component labeling runs on the
+    pair list, which is output-sized (≪ corpus).  At 10^12-doc scale the
+    same labeling is a few rounds of min-label propagation via groupby —
+    documented swap, same result.  Rows-only oracle (non-SQL).
+
+    Output: one row per document that belongs to a near-dup group,
+    ``(url, group_id)`` where group_id is the lexicographic min url of
+    the component.
+    """
+    pairs = minhash_near_dups(sf_dir, threshold=threshold)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    members = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
+    return pd.DataFrame(
+        {"url": members, "group_id": [find(u) for u in members]}
+    )
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     """Exact embedding-cosine near-dup pairs (SQL-checked)."""
     import pyarrow.parquet as pq
