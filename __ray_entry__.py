@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "similarity_topk": textops.similarity_topk,
         "similarity_topk_lsh": textops.similarity_topk_lsh,
+        "similarity_topk_ivf": textops.similarity_topk_ivf,
         # --- near-duplicate detection ---
         "embedding_near_dups": textops.embedding_near_dups,  # SQL-checked
         "minhash_near_dups": textops.minhash_near_dups,  # rows-only

@@ -70,6 +70,21 @@ def similarity_topk_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return ann_topk_lsh(ds, load_query_vector(sf_dir, 0), k=k, n_planes=6)
 
 
+def similarity_topk_ivf(sf_dir: str, k: int = 10, n_cells: int = 16, nprobe: int = 4) -> pd.DataFrame:
+    """IVF ANN: k-means coarse quantizer + nprobe cell search
+    (approximate — rows-only oracle)."""
+    import numpy as np
+
+    from ..stages.similarity import ivf_topk, kmeans_centroids
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sample = np.asarray(
+        [r["embedding"] for r in ds.take(2048)], dtype=np.float32
+    )
+    cent = kmeans_centroids(sample, n_cells=n_cells)
+    return ivf_topk(ds, load_query_vector(sf_dir, 0), cent, k=k, nprobe=nprobe)
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate detection
 # ---------------------------------------------------------------------------

@@ -74,6 +74,91 @@ def load_query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN (coarse k-means quantizer + nprobe cell search)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    sample: np.ndarray, n_cells: int = 16, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a (normalized) sample — the coarse
+    quantizer.  Runs on the driver over a bounded sample; at 10^12-doc
+    scale the sample is a `random_sample` of the dataset, the assignment
+    pass stays fully distributed."""
+    rng = np.random.default_rng(seed)
+    x = sample.astype(np.float32)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF search: score only rows assigned to the ``nprobe`` cells
+    nearest the query.  Each batch does two matmuls (cell assignment +
+    scoring of the surviving rows); candidate cost drops ~n_cells/nprobe×
+    versus brute force, recall bounded by quantizer quality."""
+    q = np.asarray(query, dtype=np.float32)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe_cells = set(np.argsort(-(centroids @ qn))[:nprobe].tolist())
+    cref = ray.put(centroids)
+    qref = ray.put(qn)
+    pset = ray.put(probe_cells)
+
+    class CellScorer:
+        def __init__(self) -> None:
+            self.cent = ray.get(cref)
+            self.q = ray.get(qref)
+            self.probe = ray.get(pset)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _stack(batch[vec_col])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = mat / norms
+            cells = np.argmax(unit @ self.cent.T, axis=1)
+            mask = np.isin(cells, list(self.probe))
+            if not mask.any():
+                return pa.Table.from_pydict(
+                    {id_col: pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
+                )
+            sub = unit[mask]
+            ids = np.asarray(batch[id_col].to_pylist())[mask]
+            cos = sub @ self.q
+            order = np.argsort(-cos, kind="stable")[:k]
+            return pa.Table.from_pydict(
+                {
+                    id_col: pa.array(ids[order].tolist(), pa.int64()),
+                    "cos": pa.array(np.round(cos[order], 3).astype(np.float64)),
+                }
+            )
+
+    scored = ds.map_batches(CellScorer, batch_format="pyarrow", concurrency=(1, 4))
+    out = scored.sort(["cos", id_col], descending=[True, False]).limit(k).to_pandas()
+    if out.empty and list(out.columns) != [id_col, "cos"]:
+        out = pd.DataFrame({id_col: [], "cos": []})
+    return out
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed ANN (scale path)
 # ---------------------------------------------------------------------------
 
