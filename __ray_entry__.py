@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_order_value": rel.cumulative_order_value,
         # --- text analysis (SQL-checked) ---
         "token_counts": textops.token_counts,
+        "bpe_token_counts": textops.bpe_token_counts,
         "quality_scores": textops.quality_scores,
         "md5_fingerprints": textops.md5_fingerprints,
         # --- text analysis (non-SQL: rows-only) ---
@@ -167,6 +168,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                       AS n_bpe_tokens
             FROM documents
         """,
         "quality_scores": """

@@ -17,6 +17,7 @@ from ..stages.similarity import ann_topk_lsh, cosine_topk, load_query_vector
 from ..stages.text_stats import (
     LangId,
     RollingFingerprint,
+    bpe_token_count_batch,
     md5_fingerprint_batch,
     quality_score_batch,
     token_count_batch,
@@ -31,6 +32,12 @@ def token_counts(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         token_count_batch, batch_format="pandas"
     ).select_columns(["doc_id", "n_tokens"])
+
+
+def bpe_token_counts(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bpe_token_count_batch, batch_format="pandas"
+    ).select_columns(["doc_id", "n_bpe_tokens"])
 
 
 def quality_scores(sf_dir: str) -> rd.Dataset:

@@ -30,6 +30,19 @@ def token_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return df.assign(n_tokens=n)
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, punct runs, each with
+# optional leading space (GPT-2-style shape, ASCII-only so Python re and
+# DuckDB RE2 agree exactly).
+_BPE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+")
+BPE_PATTERN_SQL = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+
+def bpe_token_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Token count under the BPE-ish pre-tokenizer regex."""
+    n = df[text_col].fillna("").str.findall(_BPE).str.len().astype("int64")
+    return df.assign(n_bpe_tokens=n)
+
+
 def quality_score_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Cheap quality signals: length, punctuation ratio, mean word length.
 
