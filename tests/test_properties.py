@@ -1,0 +1,87 @@
+"""Property-based hardening (hypothesis) + null/nesting edges."""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from png_from_pdf_extracter_ray.config import DEFAULT_CONFIG as CFG
+from png_from_pdf_extracter_ray.kernel.extract import extract_one
+from png_from_pdf_extracter_ray.kernel.sanitize import sanitize_filename
+from png_from_pdf_extracter_ray.kernel.sniff import (
+    MULTIPART_BOUNDARY,
+    MULTIPART_MAGIC,
+    sniff_content_type,
+)
+from png_from_pdf_extracter_ray.stages.extract_stage import extract_batch
+
+_VALID = re.compile(r"^[A-Za-z0-9_-]+$")
+
+
+class TestSanitizerProperties:
+    @given(st.text(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_output_always_valid(self, s: str) -> None:
+        out = sanitize_filename(s)
+        assert 1 <= len(out) <= 50
+        assert _VALID.match(out), out
+        assert not out.startswith("_") and not out.endswith("_")
+        assert "__" not in out
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=100, deadline=None)
+    def test_idempotent_on_own_output(self, s: str) -> None:
+        once = sanitize_filename(s)
+        assert sanitize_filename(once) == once
+
+
+class TestKernelNeverRaises:
+    @given(st.binary(max_size=2048))
+    @settings(max_examples=200, deadline=None)
+    def test_arbitrary_bytes_become_rows_not_exceptions(self, payload: bytes) -> None:
+        r = extract_one("https://x/fuzz", payload, CFG)
+        assert r["status"] in ("completed", "skipped", "failed")
+        assert isinstance(r["extracted_text"], str)
+        assert len(r["content_hash"]) == 32
+
+    @given(st.binary(max_size=512))
+    @settings(max_examples=100, deadline=None)
+    def test_pdf_prefixed_garbage_dead_letters(self, tail: bytes) -> None:
+        r = extract_one("u", b"%PDF-" + tail, CFG)
+        if r["status"] == "failed":
+            assert r["error_type"].startswith("PDF") or r["error_type"] in (
+                "PayloadTooLargeError",
+            )
+
+    @given(st.binary(max_size=256))
+    @settings(max_examples=100, deadline=None)
+    def test_sniff_total_function(self, payload: bytes) -> None:
+        assert sniff_content_type(payload) in ("pdf", "html", "multipart", "unknown", "empty")
+
+
+def test_null_payloads_through_batch() -> None:
+    batch = pa.Table.from_pydict(
+        {
+            "url": ["a", "b"],
+            "warc_ts": pa.array([0, 1], pa.timestamp("us")),
+            "html": pa.array([None, b"<p>some real paragraph content here</p>"], pa.binary()),
+            "text": ["", ""],
+            "lang": ["en", "en"],
+        }
+    )
+    out = extract_batch(batch, CFG)
+    assert out["status"].to_pylist() == ["failed", "completed"]
+    assert out["error_type"].to_pylist()[0] == "EmptyPayloadError"
+
+
+def test_nested_multipart_part_is_skipped_not_recursed() -> None:
+    inner = MULTIPART_MAGIC + b"<p>inner paragraph long enough to pass gates</p>"
+    outer = MULTIPART_MAGIC + inner + MULTIPART_BOUNDARY + b"<p>outer paragraph long enough to pass</p>"
+    r = extract_one("u", outer, CFG)
+    assert r["status"] == "completed"
+    assert r["n_payloads"] == 1  # only the plain html part; nested container skipped
+    assert "outer paragraph" in r["extracted_text"]
+    assert "inner paragraph" not in r["extracted_text"]
