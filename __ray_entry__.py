@@ -132,7 +132,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(lang, '^(?:en|de)')
         """,
         "groupby_lang_counts": """
-            SELECT lang, SUM(n_chars) AS sum_n_chars, COUNT(*) AS n_docs
+            SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, COUNT(*) AS n_docs
             FROM documents GROUP BY lang
         """,
         "dedup_exact_text": """
@@ -204,7 +204,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parts_by_brand": """
             SELECT p_brand, ROUND(SUM(p_retailprice), 2) AS sum_retail,
-                   SUM(p_size) AS sum_size, COUNT(*) AS n_parts
+                   CAST(SUM(p_size) AS BIGINT) AS sum_size, COUNT(*) AS n_parts
             FROM part GROUP BY p_brand
         """,
         "union_account_holders": """
@@ -269,8 +269,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
                 SELECT user_id, ts,
-                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_no
+                       CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
                 FROM d
             )
             SELECT user_id, session_no, COUNT(*) AS n_events,
