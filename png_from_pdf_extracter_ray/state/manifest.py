@@ -8,8 +8,10 @@ explicitly acceptable (NFR-008,
 protocol is: a partition's output directory is written first, then its
 manifest is committed via atomic rename — the manifest IS the EXPUNGE.
 On resume, partitions with a committed manifest are skipped; a partition
-that crashed mid-write is simply re-run (its write is deterministic and
-overwrites in place, so duplication is safe exactly as NFR-008 allows).
+that crashed mid-write is re-run from scratch — its output directory is
+cleared first, because ``write_parquet`` uses unique per-run filenames
+and would otherwise APPEND beside the crashed attempt's partial files,
+silently duplicating rows.
 
 Each manifest records lineage + metrics (north rule: "per-partition
 lineage manifests … partition id, input file, row range, content hashes
@@ -23,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 from dataclasses import asdict, dataclass
 from typing import Any, Callable
@@ -100,6 +103,11 @@ def run_partitioned(
                 manifests.append(PartitionManifest(**json.load(f)))
             continue
         t0 = time.time()
+        # No committed manifest for this partition: any files in part_dir
+        # are leftovers from a crashed attempt.  write_parquet names files
+        # uniquely per run (append semantics), so clear them or the re-run
+        # would double-count every row the crashed attempt got out.
+        shutil.rmtree(part_dir, ignore_errors=True)
         ds = pipeline_for_shard(shard)
         ds.write_parquet(part_dir)
         rows, by_status, digest = summarize_partition(part_dir)

@@ -60,6 +60,28 @@ def test_resume_skips_committed_partitions(ray_session, sf_dir, tmp_path) -> Non
     assert resumed.equals(full), "resumed output must equal uninterrupted output"
 
 
+def test_resume_after_midwrite_crash_leaves_no_duplicates(ray_session, sf_dir, tmp_path) -> None:  # noqa: ANN001
+    """A crash AFTER some parquet files landed but BEFORE the manifest
+    commit must not duplicate rows on resume: write_parquet appends
+    (unique per-run filenames), so the re-run has to clear the partial
+    part dir first."""
+    out_dir = str(tmp_path / "run_crash")
+    manifests = run_partitioned(SHARDS, out_dir, _pipeline_for(sf_dir))
+    full = _read_all(out_dir)
+
+    # simulate a crash mid-write of partition 1: manifest gone, but the
+    # output files of the crashed attempt REMAIN in part_dir
+    os.remove(os.path.join(out_dir, "manifests", "part-00001.json"))
+    part1 = os.path.join(out_dir, "parts", "part-00001")
+    assert len(os.listdir(part1)) > 0  # partial files present
+
+    manifests2 = run_partitioned(SHARDS, out_dir, _pipeline_for(sf_dir))
+    resumed = _read_all(out_dir)
+    assert resumed.num_rows == full.num_rows, "resume duplicated rows"
+    assert resumed.equals(full)
+    assert manifests2[1].row_count == manifests[1].row_count
+
+
 def test_manifest_records_lineage_and_metrics(ray_session, sf_dir, tmp_path) -> None:  # noqa: ANN001
     out_dir = str(tmp_path / "run2")
     run_partitioned(SHARDS[:1], out_dir, _pipeline_for(sf_dir))
