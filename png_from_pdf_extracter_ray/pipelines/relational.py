@@ -29,6 +29,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from ..stages.joins import bucketed_hash_join  # re-exported: queries compose it here
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
@@ -194,51 +196,6 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     out = grouped_sum(ds, ["event_type", "hour"], compute, ["sum_value"], count_col="n_events").to_pandas()
     out["sum_value"] = out["sum_value"].round(2)
     return out
-
-
-def bucketed_hash_join(
-    left: rd.Dataset,
-    right: rd.Dataset,
-    on: str,
-    num_buckets: int = 32,
-) -> rd.Dataset:
-    """Explicit partitioned hash join — the portable large⋈large pattern.
-
-    Both sides get a stable ``hash(key) % B`` bucket column and a side
-    tag; the union shuffles ONCE on the bucket, and each bucket group is
-    joined with a vectorized pandas merge.  Skewed keys salt naturally
-    across B (document: B should be ≥ 2-4× cluster cores; hot single
-    keys would need an extra salt column on the build side).
-    """
-    import numpy as np
-
-    from ..stages.dedup import stable_bucket_ids
-
-    def tag(side: int):  # noqa: ANN202
-        def _t(batch: pa.Table) -> pa.Table:
-            b = stable_bucket_ids(batch[on], num_buckets)
-            return batch.append_column("__bucket", pa.array(b, pa.int32())).append_column(
-                "__side", pa.array(np.full(len(b), side), pa.int8())
-            )
-
-        return _t
-
-    lcols = left.schema().names
-    rcols = right.schema().names
-    shared = (set(lcols) & set(rcols)) - {on}
-    if shared:
-        raise ValueError(f"join sides share non-key columns: {shared}")
-
-    both = left.map_batches(tag(0), batch_format="pyarrow").union(
-        right.map_batches(tag(1), batch_format="pyarrow")
-    )
-
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == 0][[c for c in lcols]]
-        r = group[group["__side"] == 1][[c for c in rcols]]
-        return l.merge(r, on=on, how="inner")
-
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
 def orders_customer_join(sf_dir: str) -> pd.DataFrame:

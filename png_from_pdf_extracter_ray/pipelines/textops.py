@@ -97,60 +97,58 @@ def similarity_topk_ivf(sf_dir: str, k: int = 10, n_cells: int = 16, nprobe: int
 # ---------------------------------------------------------------------------
 
 
+def _unique_pages(sf_dir: str) -> rd.Dataset:
+    """Synthesized pages exact-deduped to one row per url (earliest
+    warc_ts wins — the engine's canonical dedup semantics), so near-dup
+    ids are unique and "the text of url X" is unambiguous."""
+    from ..sources.pages_source import synthesize_pages
+    from ..stages.dedup import dedup_keep_first
+
+    pages = synthesize_pages(sf_dir, expand=2).select_columns(["url", "warc_ts", "text"])
+    return dedup_keep_first(pages, key="url", order_col="warc_ts").drop_columns(["warc_ts"])
+
+
 def minhash_near_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs over the synthesized pages corpus
     (which contains exact text repeats across url variants and ~5%
-    recrawl-drift near-dups).  Non-SQL → rows-only oracle."""
-    from ..sources.pages_source import synthesize_pages
+    recrawl-drift near-dups).  Exact-dedup runs first (unique ids); the
+    verification is fully distributed (semi-join filter + bucket-joins
+    in stages/neardup.py) — the corpus never lands on the driver.
+    Non-SQL → rows-only oracle."""
     from ..stages.neardup import minhash_near_dup_pairs
 
-    pages = synthesize_pages(sf_dir, expand=2).drop_columns(["html"])
-    slim = synthesize_pages(sf_dir, expand=2).select_columns(["url", "text"]).to_pandas()
-    lookup = dict(zip(slim["url"], slim["text"]))
     return minhash_near_dup_pairs(
-        pages, lookup, threshold=threshold, id_col="url", text_col="text"
+        _unique_pages(sf_dir), threshold=threshold, id_col="url", text_col="text"
     )
 
 
 def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """SimHash near-dup pairs over synthesized pages (rows-only)."""
-    from ..sources.pages_source import synthesize_pages
     from ..stages.neardup import simhash_near_dup_pairs
 
-    pages = synthesize_pages(sf_dir, expand=2).drop_columns(["html"])
-    return simhash_near_dup_pairs(pages, max_hamming=max_hamming, id_col="url", text_col="text")
+    return simhash_near_dup_pairs(
+        _unique_pages(sf_dir), max_hamming=max_hamming, id_col="url", text_col="text"
+    )
 
 
 def minhash_dedup_groups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     """Near-dup GROUPS: connected components over the verified MinHash
-    pair graph.  Candidate generation + Jaccard verification are fully
-    distributed (minhash_near_dups); the component labeling runs on the
-    pair list, which is output-sized (≪ corpus).  At 10^12-doc scale the
-    same labeling is a few rounds of min-label propagation via groupby —
-    documented swap, same result.  Rows-only oracle (non-SQL).
+    pair graph by iterated min-label propagation — every labeling step
+    is a Dataset op (stages/neardup.min_label_components), no driver
+    union-find.  Rows-only oracle (non-SQL).
 
     Output: one row per document that belongs to a near-dup group,
     ``(url, group_id)`` where group_id is the lexicographic min url of
     the component.
     """
+    from ..stages.neardup import min_label_components
+
     pairs = minhash_near_dups(sf_dir, threshold=threshold)
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    members = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
-    return pd.DataFrame(
-        {"url": members, "group_id": [find(u) for u in members]}
-    )
+    if pairs.empty:
+        return pd.DataFrame({"url": [], "group_id": []})
+    labels = min_label_components(rd.from_pandas(pairs[["id_a", "id_b"]]))
+    out = labels.to_pandas().rename(columns={"id": "url", "label": "group_id"})
+    return out.sort_values("url", ignore_index=True)[["url", "group_id"]]
 
 
 def embedding_near_dups(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:

@@ -6,10 +6,20 @@ Scale shapes (per the Ray Data guide's dedup patterns):
 - **MinHash+LSH**: per-batch vectorized signatures (numpy outer-hash,
   no per-shingle Python), exploded to ``(band_id, band_hash, id)`` rows,
   one ``groupby(band_id, band_hash)`` shuffle of tiny rows, candidate
-  pairs verified by exact shingle-Jaccard.  Verification fetches texts
-  from a broadcast lookup here (small corpora); at 10^12-doc scale the
-  documented swap-in is a bucket-join of texts against the candidate
-  pair list — the candidate set, not the corpus, bounds that join.
+  pairs verified by exact shingle-Jaccard.  Verification is fully
+  distributed: the corpus is semi-join-filtered against the (broadcast,
+  output-sized) candidate id set — a streaming ``map_batches`` filter,
+  no shuffle of the corpus — and the surviving ``(id, text)`` rows are
+  bucket-joined onto the pair list twice (text_a, text_b).  The
+  candidate set, not the corpus, bounds everything past the filter.
+  Ids must be UNIQUE (dedup first): a duplicate id would make "the text
+  of id X" ambiguous during verification.
+- **Connected components** (``min_label_components``): near-dup GROUPS
+  from the verified pair list by iterated min-label propagation — per
+  round, each vertex takes the min label among itself and its
+  neighbors (two bucket-joins + one vectorized bucket groupby per
+  round); converges in O(component diameter) rounds with every step a
+  Dataset op, no driver-side union-find.
 - **SimHash**: 64-bit signatures; candidates = equal 16-bit block
   (standard multi-block probing for hamming ≤ 3), verified by exact
   hamming distance.
@@ -33,7 +43,11 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-_MERSENNE = (1 << 61) - 1
+from .dedup import stable_bucket_ids
+from .joins import bucketed_hash_join
+
+# Sentinel signature value for empty documents: the max 32-bit hash output.
+_EMPTY_SIG = (1 << 32) - 1
 
 
 def _to_pandas_safe(ds: "rd.Dataset", columns: list[str]) -> pd.DataFrame:
@@ -73,6 +87,14 @@ class MinHasher:
 
     Hash-function params are built once per actor (seeded), the analog of
     the reference's config-time regex compile (config.py:45-52).
+
+    The per-hash family is multiply-add-shift (Dietzfelbinger et al.):
+    ``((a*x + b) mod 2^64) >> 32`` with odd ``a`` — 2-universal on the
+    high 32 bits, and the mod-2^64 wrap is exactly what numpy uint64
+    arithmetic computes, so the whole (n_hashes × n_shingles) grid stays
+    one vectorized expression.  (A naive ``(a*x + b) % mersenne61``
+    silently wraps mod 2^64 BEFORE the Mersenne modulus in uint64 and
+    loses the universality guarantee.)
     """
 
     def __init__(
@@ -88,15 +110,16 @@ class MinHasher:
         self.id_col, self.text_col = id_col, text_col
         self.n_hashes, self.n_bands, self.k = n_hashes, n_bands, k_shingle
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.uint64)
+        self.a = rng.integers(0, 1 << 63, size=n_hashes, dtype=np.uint64) * 2 + 1
+        self.b = rng.integers(0, 1 << 63, size=n_hashes, dtype=np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
         h = _token_hashes(text, self.k)
         if h.size == 0:
-            return np.full(self.n_hashes, _MERSENNE, dtype=np.uint64)
-        # (n_hashes, n_shingles) universal hash, min per row — all numpy.
-        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+            return np.full(self.n_hashes, _EMPTY_SIG, dtype=np.uint64)
+        # (n_hashes, n_shingles) multiply-add-shift, min per row — all
+        # numpy; uint64 products/sums wrap mod 2^64 by design.
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) >> np.uint64(32)
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -156,48 +179,190 @@ def minhash_candidate_pairs(
 
 def minhash_near_dup_pairs(
     ds: rd.Dataset,
-    texts_lookup: dict,
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
     k_shingle: int = 3,
+    num_buckets: int = 16,
     **mh_kwargs,
 ) -> pd.DataFrame:
     """Candidate pairs verified by exact shingle-Jaccard ≥ threshold.
 
-    ``texts_lookup`` (id → text) is broadcast via ``ray.put``; at corpus
-    scale replace with a bucket-join against the candidate list.
+    Fully distributed verification — the corpus is never materialized on
+    the driver:
+
+    1. LSH banding → distinct candidate pairs (output-sized; materialized
+       once so the pair list is not recomputed per use);
+    2. the candidate ID SET (bounded by the pair list, not the corpus) is
+       broadcast via ``ray.put`` and used as a streaming semi-join filter
+       over ``ds`` — only texts that appear in some candidate pair
+       survive, no shuffle;
+    3. two bucketed hash joins attach ``text_a``/``text_b`` to each pair;
+    4. a stateless ``map_batches`` computes exact shingle-Jaccard and
+       keeps pairs ≥ threshold.
+
+    ``ds`` must have UNIQUE ids (exact-dedup first): with duplicate ids
+    "the text of id X" is ambiguous and verification would silently pick
+    an arbitrary variant.
     """
-    ref = ray.put(texts_lookup)
     cands = minhash_candidate_pairs(
         ds, id_col=id_col, text_col=text_col, k_shingle=k_shingle, **mh_kwargs
-    )
+    ).materialize()
 
-    class Verify:
-        def __init__(self) -> None:
-            self.texts = ray.get(ref)
+    # Candidate id set: output-sized (≤ 2 × #pairs), safe to broadcast.
+    cand_ids: set = set()
+    for b in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        cand_ids.update(b["id_a"].to_pylist())
+        cand_ids.update(b["id_b"].to_pylist())
+    if not cand_ids:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    ids_ref = ray.put(cand_ids)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ja, ia, ib = [], [], []
-            for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-                j = shingle_jaccard(self.texts.get(a, ""), self.texts.get(b, ""), k_shingle)
-                if j >= threshold:
-                    ia.append(a)
-                    ib.append(b)
-                    ja.append(round(j, 4))
-            return pa.Table.from_pydict(
-                {
-                    "id_a": pa.array(ia, batch["id_a"].type),
-                    "id_b": pa.array(ib, batch["id_b"].type),
-                    "jaccard": pa.array(ja, pa.float64()),
-                }
-            )
+    def semi_filter(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        mask = pa.array([i in wanted for i in batch[id_col].to_pylist()])
+        return batch.select([id_col, text_col]).filter(mask)
+
+    texts = ds.map_batches(semi_filter, batch_format="pyarrow")
+
+    def _renamed(suffix: str) -> rd.Dataset:
+        return texts.map_batches(
+            lambda t, s=suffix: t.rename_columns([f"id_{s}", f"text_{s}"]),
+            batch_format="pyarrow",
+        )
+
+    with_a = bucketed_hash_join(cands, _renamed("a"), on="id_a", num_buckets=num_buckets)
+    with_ab = bucketed_hash_join(with_a, _renamed("b"), on="id_b", num_buckets=num_buckets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ia, ib, ja = [], [], []
+        for a, b, ta, tb in zip(
+            batch["id_a"].to_pylist(),
+            batch["id_b"].to_pylist(),
+            batch["text_a"].to_pylist(),
+            batch["text_b"].to_pylist(),
+        ):
+            j = shingle_jaccard(ta or "", tb or "", k_shingle)
+            if j >= threshold:
+                ia.append(a)
+                ib.append(b)
+                ja.append(round(j, 4))
+        return pa.Table.from_pydict(
+            {
+                "id_a": pa.array(ia, batch["id_a"].type),
+                "id_b": pa.array(ib, batch["id_b"].type),
+                "jaccard": pa.array(ja, pa.float64()),
+            }
+        )
 
     out = _to_pandas_safe(
-        cands.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4)),
+        with_ab.map_batches(verify, batch_format="pyarrow"),
         ["id_a", "id_b", "jaccard"],
     )
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Connected components: iterated min-label propagation (all Dataset ops)
+# ---------------------------------------------------------------------------
+
+
+def min_label_components(
+    pairs: rd.Dataset,
+    num_buckets: int = 16,
+    max_iters: int = 50,
+) -> rd.Dataset:
+    """Connected components of the ``(id_a, id_b)`` pair graph.
+
+    Iterated min-label propagation: every vertex starts labeled with its
+    own id; each round a vertex takes the min label among itself and its
+    neighbors.  Converges in O(component diameter) rounds — near-dup
+    clusters are shallow, so a handful of rounds in practice.  Per round:
+    two bucketed hash joins push labels across edges both ways, and one
+    hash-bucket groupby (B vectorized pandas groups, NOT one group per
+    vertex) takes the min + detects convergence.  Labels are vertex-set-
+    sized (bounded by the pair list); every step is a Dataset op — no
+    driver-side union-find.
+
+    Returns a Dataset ``(id, label)`` with ``label`` = min id of the
+    component.
+    """
+    pairs = pairs.materialize()  # reused 2× per round — never recompute
+
+    def _ids(col: str) -> rd.Dataset:
+        return pairs.select_columns([col]).map_batches(
+            lambda t: t.rename_columns(["id"]), batch_format="pyarrow"
+        )
+
+    def first_per_bucket_key(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id"])[["id"]]
+
+    def bucketed(ds: rd.Dataset, col: str) -> rd.Dataset:
+        def add_bucket(t: pa.Table) -> pa.Table:
+            b = stable_bucket_ids(t[col], num_buckets)
+            return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+        return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    vertices = (
+        bucketed(_ids("id_a").union(_ids("id_b")), "id")
+        .groupby("__bucket")
+        .map_groups(first_per_bucket_key, batch_format="pandas")
+    )
+    labels = vertices.map_batches(
+        lambda t: t.append_column("label", t["id"]), batch_format="pyarrow"
+    ).materialize()
+
+    for _ in range(max_iters):
+        def _lab(col: str) -> rd.Dataset:
+            return labels.map_batches(
+                lambda t, c=col: t.rename_columns([c, "label"]), batch_format="pyarrow"
+            )
+
+        # label of a → message to b, label of b → message to a
+        msg_to_b = bucketed_hash_join(pairs, _lab("id_a"), on="id_a", num_buckets=num_buckets).map_batches(
+            lambda t: t.select(["id_b", "label"]).rename_columns(["id", "label"]),
+            batch_format="pyarrow",
+        )
+        msg_to_a = bucketed_hash_join(pairs, _lab("id_b"), on="id_b", num_buckets=num_buckets).map_batches(
+            lambda t: t.select(["id_a", "label"]).rename_columns(["id", "label"]),
+            batch_format="pyarrow",
+        )
+        # self-message carries the current label in ``old`` for the
+        # convergence check; neighbor messages carry old = null.
+        self_msg = labels.map_batches(
+            lambda t: t.append_column("old", t["label"]), batch_format="pyarrow"
+        )
+        neigh = msg_to_b.union(msg_to_a).map_batches(
+            lambda t: t.append_column("old", pa.nulls(t.num_rows, t["label"].type)),
+            batch_format="pyarrow",
+        )
+
+        def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            new = g.groupby("id", as_index=False, sort=False)["label"].min()
+            # exactly one self-message (old non-null) exists per id
+            old = (
+                g.dropna(subset=["old"])
+                .groupby("id", as_index=False, sort=False)["old"]
+                .first()
+            )
+            agg = new.merge(old, on="id", how="left")
+            agg["__changed"] = agg["label"] != agg["old"]
+            return agg[["id", "label", "__changed"]]
+
+        out = (
+            bucketed(self_msg.union(neigh), "id")
+            .groupby("__bucket")
+            .map_groups(resolve_bucket, batch_format="pandas")
+            .materialize()
+        )
+        n_changed = out.map_batches(
+            lambda t: t.filter(t["__changed"]), batch_format="pyarrow"
+        ).count()
+        labels = out.drop_columns(["__changed"]).materialize()
+        if n_changed == 0:
+            break
+    return labels
 
 
 # ---------------------------------------------------------------------------
@@ -300,11 +465,14 @@ def simhash_near_dup_pairs(
         .groupby(["block", "block_key"])
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
     )
-    if pairs.count() == 0:
-        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    out = pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    ).to_pandas()
+    # Single execution: _to_pandas_safe keeps the column names when the
+    # pair set is empty (a count() pre-check would run the DAG twice).
+    out = _to_pandas_safe(
+        pairs.groupby(["id_a", "id_b"]).map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow"
+        ),
+        ["id_a", "id_b", "hamming"],
+    )
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 

@@ -12,6 +12,7 @@ from png_from_pdf_extracter_ray.stages.neardup import (
     MinHasher,
     embedding_near_dup_pairs,
     hamming64,
+    min_label_components,
     minhash_near_dup_pairs,
     shingle_jaccard,
     simhash64,
@@ -51,14 +52,42 @@ def test_minhash_signature_similarity_tracks_jaccard() -> None:
 
 
 def test_minhash_near_dup_pairs(ray_session) -> None:  # noqa: ANN001
-    lookup = {1: BASE, 2: NEAR, 3: FAR, 4: BASE}
-    out = minhash_near_dup_pairs(_docs_ds(), lookup, threshold=0.8)
+    out = minhash_near_dup_pairs(_docs_ds(), threshold=0.8)
     pairs = set(zip(out["id_a"], out["id_b"]))
     assert (1, 4) in pairs  # exact dup
     assert (1, 2) in pairs and (2, 4) in pairs  # near dup
     assert not any(3 in p for p in pairs)  # FAR never pairs
     exact = out[(out["id_a"] == 1) & (out["id_b"] == 4)]["jaccard"].iloc[0]
     assert exact == 1.0
+
+
+def test_minhash_near_dup_pairs_empty(ray_session) -> None:  # noqa: ANN001
+    ds = rd.from_arrow(
+        pa.Table.from_pydict({"doc_id": [1, 2], "text": [BASE, FAR]})
+    )
+    out = minhash_near_dup_pairs(ds, threshold=0.8)
+    assert list(out.columns) == ["id_a", "id_b", "jaccard"]
+    assert len(out) == 0
+
+
+def test_min_label_components(ray_session) -> None:  # noqa: ANN001
+    # two components: {a,b,c,d} (a chain — exercises multi-round
+    # propagation) and {x,y}; z is isolated and never appears in pairs.
+    pairs = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "id_a": ["a", "b", "c", "x"],
+                "id_b": ["b", "c", "d", "y"],
+            }
+        )
+    )
+    out = (
+        min_label_components(pairs)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    got = dict(zip(out["id"], out["label"]))
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
 
 
 def test_simhash_properties() -> None:
