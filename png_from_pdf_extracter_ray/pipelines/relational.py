@@ -88,6 +88,25 @@ def broadcast_join(
 # ---------------------------------------------------------------------------
 
 
+def topk(
+    ds: rd.Dataset,
+    by: list[str],
+    ascending: list[bool],
+    k: int,
+) -> pd.DataFrame:
+    """Distributed top-k WITHOUT a global sort: each batch is pruned to
+    its local k best rows (vectorized sort+head), so only k rows per
+    block reach the driver, where a final small sort picks the global k.
+    The same pattern as similarity.cosine_topk — an all-to-all sort of
+    the full table to keep k rows is the anti-pattern it replaces."""
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=ascending).head(k)
+
+    out = ds.map_batches(prune, batch_format="pandas").to_pandas()
+    return out.sort_values(by, ascending=ascending, ignore_index=True).head(k)
+
+
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape over lineitem (columns pruned at the read)."""
     ds = _read(
@@ -150,8 +169,7 @@ def dedup_exact_text(sf_dir: str) -> rd.Dataset:
 
 def top_longest_docs(sf_dir: str, k: int = 100) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k).to_pandas()
-    return out
+    return topk(ds, ["n_chars", "doc_id"], [False, True], k)
 
 
 def customers_per_nation(sf_dir: str) -> pd.DataFrame:
@@ -280,9 +298,9 @@ def nations_per_region(sf_dir: str) -> pd.DataFrame:
 
 
 def supplier_topk_acctbal(sf_dir: str, k: int = 50) -> pd.DataFrame:
-    """Distributed sort + limit over supplier."""
+    """Top-k by account balance — batch-local prune, no all-to-all sort."""
     ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"])
-    return ds.sort(["s_acctbal", "s_suppkey"], descending=[True, False]).limit(k).to_pandas()
+    return topk(ds, ["s_acctbal", "s_suppkey"], [False, True], k)
 
 
 def parts_by_brand(sf_dir: str) -> pd.DataFrame:

@@ -174,10 +174,29 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_EXTRACT_CACHE_ROOT = "/tmp/graft_extracted_pages"
+
+
 def _extracted_pages(sf_dir: str) -> rd.Dataset:
+    """Flagship extraction output, run ONCE per (sf_dir, expand, corpus
+    version) and cached as parquet — the three multimodal queries each
+    read the cache instead of re-running the whole extraction.  The
+    ``.done`` marker commits the cache (same commit-last protocol as the
+    partition manifests); a partial write is cleared and re-run."""
+    import shutil
+
+    from ..corpus.synth import CORPUS_VERSION
     from .extract_pipeline import flagship
 
-    return flagship(sf_dir, expand=2, summary_only=False)
+    tag = os.path.basename(sf_dir.rstrip("/")) + f"_x2_v{CORPUS_VERSION}"
+    path = os.path.join(_EXTRACT_CACHE_ROOT, tag)
+    marker = path + ".done"
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        flagship(sf_dir, expand=2, summary_only=False).write_parquet(path)
+        with open(marker, "w") as f:
+            f.write(tag)
+    return rd.read_parquet(path)
 
 
 def pages_page_meta(sf_dir: str) -> rd.Dataset:

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -45,34 +46,43 @@ PAGE_ROW_SCHEMA = pa.schema(
 
 
 def explode_pages(batch: pa.Table) -> pa.Table:
-    """Un-nest the pages list<struct> column into one row per page."""
-    urls = batch["url"].to_pylist()
-    pages = batch["pages"].to_pylist()
-    cols: dict[str, list] = {k: [] for k in PAGE_ROW_SCHEMA.names}
-    for url, plist in zip(urls, pages):
-        for p in plist or []:
-            cols["url"].append(url)
-            for k in ("page_number", "png", "width", "height", "dpi", "filename"):
-                cols[k].append(p[k])
-    return pa.Table.from_pydict(cols, schema=PAGE_ROW_SCHEMA)
+    """Un-nest the pages list<struct> column into one row per page.
+
+    Pure Arrow: ``list_flatten`` + ``list_parent_indices`` + struct-field
+    selection — the raster binaries are never copied through Python
+    objects (null pages lists — failed docs — flatten to zero rows).
+    """
+    pages = batch["pages"].combine_chunks()
+    flat = pc.list_flatten(pages)
+    parent = pc.list_parent_indices(pages)
+    cols: dict[str, pa.Array] = {"url": pc.take(batch["url"].combine_chunks(), parent)}
+    for k in ("page_number", "png", "width", "height", "dpi", "filename"):
+        cols[k] = pc.struct_field(flat, k)
+    return pa.Table.from_pydict(cols).cast(PAGE_ROW_SCHEMA)
 
 
 def page_meta(batch: pa.Table) -> pa.Table:
-    """Parse geometry/DPI from the PNG bytes (ground truth vs metadata)."""
-    pngs = batch["png"].to_pylist()
-    widths, heights, dpis, sizes = [], [], [], []
-    for b in pngs:
-        w, h = read_png_size(b)
+    """Parse geometry/DPI from the PNG bytes (ground truth vs metadata).
+
+    The per-row chunk walk is byte-level by nature, but it only ever
+    needs the header: slice a 96-byte prefix in Arrow first (IHDR +
+    pHYs are always the first two chunks of this engine's rasters) so
+    the full rasters are never copied out of the Arrow buffers.
+    """
+    sizes = pc.binary_length(batch["png"])
+    heads = pc.binary_slice(batch["png"].combine_chunks(), 0, 96)
+    widths, heights, dpis = [], [], []
+    for h in heads.to_pylist():
+        w, ht = read_png_size(h)
         widths.append(w)
-        heights.append(h)
-        dpis.append(read_png_dpi(b))
-        sizes.append(len(b))
+        heights.append(ht)
+        dpis.append(read_png_dpi(h))
     return (
         batch.drop_columns(["png"])
         .append_column("png_width", pa.array(widths, pa.int32()))
         .append_column("png_height", pa.array(heights, pa.int32()))
         .append_column("png_dpi", pa.array(dpis, pa.int32()))
-        .append_column("png_bytes", pa.array(sizes, pa.int64()))
+        .append_column("png_bytes", pc.cast(sizes, pa.int64()))
     )
 
 
