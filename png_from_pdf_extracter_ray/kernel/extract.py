@@ -55,6 +55,29 @@ def content_hash(text: str) -> str:
     return hashlib.blake2b(text.encode("utf-8"), digest_size=16).hexdigest()
 
 
+def timeout_row(url: str, payload: bytes | None, cfg: ExtractConfig) -> dict[str, Any]:
+    """Dead-letter row for a document whose extraction exceeded the
+    wall-clock budget — the reference's subprocess-timeout outcome
+    (/root/reference/src/services/pdf_converter.py:96) as data."""
+    return {
+        "url": url,
+        "content_type": sniff_content_type(payload),
+        "extracted_text": "",
+        "spans": [],
+        "pages": [],
+        "title": "",
+        "status": STATUS_FAILED,
+        "error_type": "Timeout",
+        "error_msg": f"extraction exceeded the wall-clock budget of {cfg.timeout_s} seconds",
+        "n_payloads": 0,
+        "n_pages": 0,
+        "n_spans": 0,
+        "text_chars": 0,
+        "duration_ms": cfg.timeout_s * 1000.0,
+        "content_hash": content_hash(""),
+    }
+
+
 def _extract_payload(
     url: str,
     payload: bytes,

@@ -18,12 +18,13 @@ travels further down the pipeline.
 
 from __future__ import annotations
 
-from typing import Any
+import threading
+from typing import Any, Callable
 
 import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
-from ..kernel.extract import extract_one
+from ..kernel.extract import extract_one, timeout_row
 from ..kernel.schema import EXTRACTED_SCHEMA, PAGE_TYPE, SPAN_TYPE
 
 
@@ -72,14 +73,86 @@ def extract_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
     return results_to_table(results, warc_ts, langs)
 
 
-class ExtractWorker:
-    """Callable class for ``map_batches`` — one warm actor per pool slot."""
+_TIMED_OUT = object()
 
-    def __init__(self, cfg: ExtractConfig | None = None) -> None:
+
+def _run_with_timeout(fn: Callable[[], Any], timeout_s: float) -> Any:
+    """Run ``fn`` in a daemon thread; return its result or ``_TIMED_OUT``.
+
+    On timeout the thread is ABANDONED (it keeps the CPU until it
+    finishes or the worker process dies — daemon, so it never blocks
+    actor exit); the caller continues, which is the "dead-letter without
+    killing the actor" semantics.  Caveat vs the reference's subprocess
+    kill: a wedged pure-Python loop yields the GIL every switch interval
+    so the timeout fires on schedule, but a single non-yielding C call
+    (e.g. one catastrophic regex match) would also starve this watchdog
+    — the kernel's own parsers are bounded-iteration Python loops with
+    cooperative deadlines, so that mode is out of contract.
+    """
+    box: dict[str, Any] = {}
+
+    def target() -> None:
+        box["v"] = fn()
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return _TIMED_OUT
+    return box["v"]
+
+
+class ExtractWorker:
+    """Callable class for ``map_batches`` — one warm actor per pool slot.
+
+    ``wall_clock_guard`` (default on) re-creates the reference's
+    per-document wall-clock timeout (pdf_converter.py:96) without the
+    per-row thread overhead in the common path: the whole batch runs
+    under one budget of ``timeout_s + per_doc_grace_s × n_rows``; only
+    if that trips does the batch re-run document-by-document, each under
+    its own ``timeout_s``, and the wedged document becomes a
+    ``status="failed", error_type="Timeout"`` dead-letter row.  The
+    kernel is deterministic, so the re-run reproduces the non-poison
+    rows byte-identically.  The actor survives (poison rows are data).
+    """
+
+    def __init__(
+        self,
+        cfg: ExtractConfig | None = None,
+        wall_clock_guard: bool = True,
+        per_doc_grace_s: float = 1.0,
+    ) -> None:
         self.cfg = cfg or DEFAULT_CONFIG
+        self.guard = wall_clock_guard
+        self.grace = per_doc_grace_s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return extract_batch(batch, self.cfg)
+        if not self.guard:
+            return extract_batch(batch, self.cfg)
+        budget = self.cfg.timeout_s + self.grace * batch.num_rows
+        out = _run_with_timeout(lambda: extract_batch(batch, self.cfg), budget)
+        if out is not _TIMED_OUT:
+            return out
+        return self._per_document(batch)
+
+    def _per_document(self, batch: pa.Table) -> pa.Table:
+        """Poison path: isolate the wedged document(s) one by one."""
+        urls = batch["url"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        n = len(urls)
+        warc_ts = (
+            batch["warc_ts"]
+            if "warc_ts" in batch.schema.names
+            else pa.nulls(n, pa.timestamp("us"))
+        )
+        langs = batch["lang"] if "lang" in batch.schema.names else pa.nulls(n, pa.string())
+        results = []
+        for u, p in zip(urls, payloads):
+            r = _run_with_timeout(
+                lambda u=u, p=p: extract_one(u, p, self.cfg), self.cfg.timeout_s
+            )
+            results.append(timeout_row(u, p, self.cfg) if r is _TIMED_OUT else r)
+        return results_to_table(results, warc_ts, langs)
 
 
 def oracle_extract_table(pages: pa.Table, cfg: ExtractConfig | None = None) -> pa.Table:

@@ -1,0 +1,62 @@
+"""Wall-clock watchdog: a wedged document dead-letters as
+``error_type="Timeout"`` without killing the worker (the reference's
+subprocess-timeout semantics, pdf_converter.py:96 — SURVEY §4.3.2)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from png_from_pdf_extracter_ray.config import ExtractConfig
+from png_from_pdf_extracter_ray.stages.extract_stage import ExtractWorker
+
+FAST_HTML = b"<html><head><title>ok</title></head><body><p>hello world</p></body></html>"
+# big enough that parsing takes well over the 50 ms test budget
+SLOW_HTML = (
+    b"<html><body>"
+    + b"".join(
+        b"<div><p>the quick brown fox %d jumps over the lazy dog</p></div>" % i
+        for i in range(60_000)
+    )
+    + b"</body></html>"
+)
+
+
+def _batch(rows: dict) -> pa.Table:
+    return pa.Table.from_pydict(rows)
+
+
+def test_wedged_document_dead_letters_as_timeout() -> None:
+    cfg = ExtractConfig(timeout_s=0.05, render_pages=False)
+    worker = ExtractWorker(cfg, wall_clock_guard=True, per_doc_grace_s=0.0)
+    out = worker(
+        _batch({"url": ["https://a/fast", "https://a/slow"], "html": [FAST_HTML, SLOW_HTML]})
+    )
+    rows = {r["url"]: r for r in out.to_pylist()}
+    slow = rows["https://a/slow"]
+    assert slow["status"] == "failed"
+    assert slow["error_type"] == "Timeout"
+    assert "wall-clock" in slow["error_msg"]
+    # the innocent document in the same batch still extracts
+    fast = rows["https://a/fast"]
+    assert fast["status"] == "completed"
+    assert "hello world" in fast["extracted_text"]
+
+
+def test_worker_survives_poison_batch() -> None:
+    cfg = ExtractConfig(timeout_s=0.05, render_pages=False)
+    worker = ExtractWorker(cfg, wall_clock_guard=True, per_doc_grace_s=0.0)
+    poisoned = worker(_batch({"url": ["https://a/slow"], "html": [SLOW_HTML]}))
+    assert poisoned.to_pylist()[0]["error_type"] == "Timeout"
+    # same worker instance processes the next batch normally
+    ok = worker(_batch({"url": ["https://a/next"], "html": [FAST_HTML]}))
+    assert ok.to_pylist()[0]["status"] == "completed"
+
+
+def test_guard_off_matches_guarded_output_for_wellformed_docs() -> None:
+    cfg = ExtractConfig(render_pages=False)
+    guarded = ExtractWorker(cfg, wall_clock_guard=True)
+    plain = ExtractWorker(cfg, wall_clock_guard=False)
+    batch = _batch({"url": ["https://a/x"], "html": [FAST_HTML]})
+    a = guarded(batch).drop_columns(["duration_ms"])
+    b = plain(batch).drop_columns(["duration_ms"])
+    assert a.equals(b)
