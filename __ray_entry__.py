@@ -65,9 +65,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from png_from_pdf_extracter_ray.pipelines import textops
     from png_from_pdf_extracter_ray.pipelines.extract_pipeline import flagship
 
+    from png_from_pdf_extracter_ray.pipelines.summary import flagship_summary
+
     return {
         # --- flagship extraction (non-SQL: rows-only check) ---
         "extract_flagship": lambda sf: flagship(sf, expand=2, summary_only=True),
+        # --- flagship summary (SQL-checked against the single-process
+        # oracle's parquet: counts + XOR content digest per status/type) ---
+        "extract_flagship_summary": lambda sf: flagship_summary(sf, expand=2),
         # --- relational operators (SQL-checked) ---
         "q1_pricing_summary": rel.q1_pricing_summary,
         "lang_whitelist_filter": rel.lang_whitelist_filter,
@@ -115,7 +120,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from png_from_pdf_extracter_ray.pipelines.summary import oracle_summary_path
+
+    # The flagship oracle is a parquet written by a SINGLE-PROCESS (no
+    # Ray) run of the same deterministic kernel — synthesize → dedup →
+    # extract → summarize, see pipelines/summary.py.  The queries()
+    # callable (re)writes it; the driver compares at sf0.01 (tests
+    # override via GRAFT_ORACLE_SF_DIR to match their sf fixture).
+    _flagship_oracle = oracle_summary_path(
+        os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"), expand=2
+    )
+
     return {
+        "extract_flagship_summary": f"""
+            SELECT status, content_type, n_docs, xor_digest
+            FROM read_parquet('{_flagship_oracle}')
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2)                                        AS sum_qty,

@@ -1,0 +1,157 @@
+"""SQL-checkable summary of the flagship extraction.
+
+The flagship pipeline itself is non-SQL (the kernel is the computation),
+so the driver's DuckDB oracle can't re-derive it from the input tables.
+This module closes that gap with a deterministic summary projection —
+rows grouped by (status, content_type) with a count and an
+ORDER-INSENSITIVE content digest (XOR of per-row
+``blake2b(url:content_hash)``, the same digest family the partition
+manifests record, state/manifest.py) — computed two independent ways:
+
+- ``flagship_summary``  — the Ray pipeline: flagship extraction →
+  per-batch partial (count + XOR) → tiny groupby;
+- ``write_oracle_summary`` — a single-process oracle: pages synthesized
+  in plain pyarrow, deduped/extracted sequentially via the kernel's
+  ``oracle_extract_table`` (no Ray), written to parquet for DuckDB's
+  ``read_parquet`` to SELECT.
+
+Any distribution bug (dedup semantics, shuffle corruption, actor state
+leakage, lost/duplicated rows) flips the count or the digest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+ORACLE_SUMMARY_ROOT = "/tmp/graft_flagship_oracle"
+SUMMARY_COLS = ["status", "content_type", "n_docs", "xor_digest"]
+
+
+def _row_digests(urls: list[str], hashes: list[str]) -> np.ndarray:
+    """Per-row 64-bit digest of (url, content_hash) — XOR-combinable."""
+    out = np.empty(len(urls), dtype=np.uint64)
+    for i, (u, h) in enumerate(zip(urls, hashes)):
+        d = hashlib.blake2b(f"{u}:{h}".encode(), digest_size=8).digest()
+        out[i] = int.from_bytes(d, "big")
+    return out
+
+
+def _partial(batch: pa.Table) -> pd.DataFrame:
+    d = _row_digests(batch["url"].to_pylist(), batch["content_hash"].to_pylist())
+    df = pd.DataFrame(
+        {
+            "status": batch["status"].to_pylist(),
+            "content_type": batch["content_type"].to_pylist(),
+            "n_docs": 1,
+            "xor_digest": d,
+        }
+    )
+    agg = df.groupby(["status", "content_type"], as_index=False, sort=False).agg(
+        n_docs=("n_docs", "sum"),
+        xor_digest=("xor_digest", lambda s: np.bitwise_xor.reduce(s.to_numpy(dtype=np.uint64))),
+    )
+    return agg
+
+
+def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "status": [g["status"].iloc[0]],
+            "content_type": [g["content_type"].iloc[0]],
+            "n_docs": [int(g["n_docs"].sum())],
+            "xor_digest": [
+                int(np.bitwise_xor.reduce(g["xor_digest"].to_numpy(dtype=np.uint64)).astype(np.int64))
+            ],
+        }
+    )
+
+
+def summarize_extracted(ds: rd.Dataset) -> pd.DataFrame:
+    """(status, content_type) → n_docs + order-insensitive XOR digest."""
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["status", "content_type"])
+        .map_groups(_merge_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["xor_digest"] = out["xor_digest"].astype("int64")
+    return out.sort_values(["status", "content_type"], ignore_index=True)[SUMMARY_COLS]
+
+
+def flagship_summary(sf_dir: str, expand: int = 2) -> pd.DataFrame:
+    """Ray side: flagship extraction reduced to the summary projection.
+
+    Also (re)writes the single-process oracle parquet for this sf_dir so
+    the driver's ``oracle_sql`` entry can read it — the pair IS the
+    correctness check for the headline pipeline.
+    """
+    from .extract_pipeline import flagship
+
+    write_oracle_summary(sf_dir, expand=expand)
+    return summarize_extracted(flagship(sf_dir, expand=expand, summary_only=True))
+
+
+def oracle_summary_path(sf_dir: str, expand: int = 2) -> str:
+    from ..corpus.synth import CORPUS_VERSION
+
+    tag = os.path.basename(sf_dir.rstrip("/")) + f"_x{expand}_v{CORPUS_VERSION}"
+    return os.path.join(ORACLE_SUMMARY_ROOT, f"{tag}.parquet")
+
+
+def write_oracle_summary(sf_dir: str, expand: int = 2) -> str:
+    """Single-process oracle: synthesize → dedup → extract → summarize,
+    all sequentially in this process (no Ray), committed via atomic
+    rename.  Skipped when already present (deterministic content)."""
+    import pyarrow.parquet as pq
+
+    from ..corpus.synth import pages_from_documents_batch
+    from ..stages.extract_stage import oracle_extract_table
+
+    path = oracle_summary_path(sf_dir, expand)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_SUMMARY_ROOT, exist_ok=True)
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    pages = pages_from_documents_batch(docs, expand=expand)
+    # keep-first dedup: min warc_ts per url (the flagship's semantics)
+    df = pages.select(["url", "warc_ts"]).to_pandas()
+    keep = df.sort_values(["url", "warc_ts"]).groupby("url", sort=False).head(1).index
+    mask = np.zeros(len(df), dtype=bool)
+    mask[keep.to_numpy()] = True
+    deduped = pages.filter(pa.array(mask))
+
+    extracted = oracle_extract_table(deduped)
+    summary = summarize_extracted_table(extracted)
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(summary, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def summarize_extracted_table(t: pa.Table) -> pd.DataFrame:
+    """Single-process equivalent of ``summarize_extracted`` over one table."""
+    merged = _partial(t)
+    out = (
+        merged.groupby(["status", "content_type"], as_index=False, sort=False)
+        .agg(
+            n_docs=("n_docs", "sum"),
+            xor_digest=(
+                "xor_digest",
+                lambda s: np.bitwise_xor.reduce(s.to_numpy(dtype=np.uint64)),
+            ),
+        )
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["xor_digest"] = out["xor_digest"].astype(np.uint64).astype(np.int64)
+    return out.sort_values(["status", "content_type"], ignore_index=True)[SUMMARY_COLS]

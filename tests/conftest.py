@@ -2,8 +2,14 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 import ray
+
+# The flagship-summary oracle SQL reads a parquet keyed by sf dir;
+# point it at the tests' sf fixture BEFORE __ray_entry__ is imported.
+os.environ.setdefault("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
