@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (non-SQL: rows-only) ---
         "rolling_fingerprints": textops.rolling_fingerprints,
         "langid_heuristic": textops.langid_heuristic,
+        # --- embedding computation (actor-pool model stage; rows-only) ---
+        "text_embeddings": textops.text_embeddings,
+        "text_embedding_near_dups": textops.text_embedding_near_dups,
         # --- similarity search ---
         "similarity_topk": textops.similarity_topk,
         "similarity_topk_lsh": textops.similarity_topk_lsh,

@@ -64,6 +64,37 @@ def grouped_sum(
     return partials.groupby(keys).aggregate(*aggs)
 
 
+def grouped_sum_arrow(
+    ds: rd.Dataset,
+    keys: list[str],
+    compute: Callable[[pa.Table], pa.Table] | None,
+    sum_cols: list[str],
+    count_col: str | None = None,
+) -> rd.Dataset:
+    """Arrow-native ``grouped_sum``: the per-batch partial aggregation is
+    a ``pyarrow.TableGroupBy`` — batches stay zero-copy Arrow end to end,
+    no pandas conversion anywhere in the rollup.  ``compute`` maps the
+    raw Arrow batch to a table containing ``keys + sum_cols``.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        if compute is not None:
+            t = compute(t)
+        aggs = [(c, "sum") for c in sum_cols]
+        if count_col:
+            aggs.append(([], "count_all"))
+        g = t.select(keys + sum_cols).group_by(keys).aggregate(aggs)
+        names = keys + sum_cols + ([count_col] if count_col else [])
+        produced = [f"{c}_sum" for c in sum_cols] + (["count_all"] if count_col else [])
+        return g.select(keys + produced).rename_columns(names)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    if count_col:
+        aggs.append(Sum(count_col, alias_name=count_col))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
 def broadcast_join(
     ds: rd.Dataset,
     small: pd.DataFrame,
@@ -108,24 +139,33 @@ def topk(
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q1 shape over lineitem (columns pruned at the read)."""
+    """TPC-H Q1 shape over lineitem (columns pruned at the read; Arrow
+    kernels end to end — no pandas until the tiny final result)."""
+    import pyarrow.compute as pc
+
     ds = _read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
     )
+    cut = pd.Timestamp("1998-09-02").to_pydatetime()
 
-    def compute(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-02")]
-        disc_price = df["l_extendedprice"] * (1 - df["l_discount"])
-        return df.assign(
-            sum_qty=df["l_quantity"],
-            sum_base_price=df["l_extendedprice"],
-            sum_disc_price=disc_price,
-            sum_charge=disc_price * (1 + df["l_tax"]),
+    def compute(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cut)))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["l_quantity"],
+                "sum_base_price": t["l_extendedprice"],
+                "sum_disc_price": disc,
+                "sum_charge": charge,
+            }
         )
 
-    out = grouped_sum(
+    out = grouped_sum_arrow(
         ds,
         ["l_returnflag", "l_linestatus"],
         compute,
@@ -147,10 +187,10 @@ def lang_whitelist_filter(sf_dir: str, pattern: str = "en|de") -> rd.Dataset:
 
 def groupby_lang_counts(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    out = grouped_sum(
+    out = grouped_sum_arrow(
         ds,
         ["lang"],
-        lambda df: df.assign(sum_n_chars=df["n_chars"]),
+        lambda t: pa.table({"lang": t["lang"], "sum_n_chars": t["n_chars"]}),
         ["sum_n_chars"],
         count_col="n_docs",
     ).to_pandas()
@@ -190,10 +230,12 @@ def customers_per_nation(sf_dir: str) -> pd.DataFrame:
 
 def orders_priority_rollup(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
-    out = grouped_sum(
+    out = grouped_sum_arrow(
         ds,
         ["o_orderpriority"],
-        lambda df: df.assign(sum_totalprice=df["o_totalprice"]),
+        lambda t: pa.table(
+            {"o_orderpriority": t["o_orderpriority"], "sum_totalprice": t["o_totalprice"]}
+        ),
         ["sum_totalprice"],
         count_col="n_orders",
     ).to_pandas()
@@ -203,15 +245,21 @@ def orders_priority_rollup(sf_dir: str) -> pd.DataFrame:
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour window per event_type (streaming-shaped aggregate)."""
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def compute(df: pd.DataFrame) -> pd.DataFrame:
+    def compute(t: pa.Table) -> pa.Table:
         # hour emitted as a string so the value-hash is representation-stable
         # across pandas ns / Arrow us / DuckDB timestamps.
-        hour = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
-        return df.assign(hour=hour, sum_value=df["value"])
+        # cast to second precision first: Arrow's %S emits fractions
+        floored = pc.floor_temporal(t["ts"], unit="hour").cast(pa.timestamp("s"))
+        hour = pc.strftime(floored, format="%Y-%m-%d %H:%M:%S")
+        return pa.table(
+            {"event_type": t["event_type"], "hour": hour, "sum_value": t["value"]}
+        )
 
-    out = grouped_sum(ds, ["event_type", "hour"], compute, ["sum_value"], count_col="n_events").to_pandas()
+    out = grouped_sum_arrow(ds, ["event_type", "hour"], compute, ["sum_value"], count_col="n_events").to_pandas()
     out["sum_value"] = out["sum_value"].round(2)
     return out
 
@@ -305,10 +353,16 @@ def supplier_topk_acctbal(sf_dir: str, k: int = 50) -> pd.DataFrame:
 
 def parts_by_brand(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
-    out = grouped_sum(
+    out = grouped_sum_arrow(
         ds,
         ["p_brand"],
-        lambda df: df.assign(sum_retail=df["p_retailprice"], sum_size=df["p_size"]),
+        lambda t: pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "sum_retail": t["p_retailprice"],
+                "sum_size": t["p_size"],
+            }
+        ),
         ["sum_retail", "sum_size"],
         count_col="n_parts",
     ).to_pandas()

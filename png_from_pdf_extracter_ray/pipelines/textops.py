@@ -151,6 +151,38 @@ def minhash_dedup_groups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     return out.sort_values("url", ignore_index=True)[["url", "group_id"]]
 
 
+def text_embeddings(sf_dir: str, dim: int = 64) -> rd.Dataset:
+    """documents.text → hashing-trick embeddings (actor pool; the model-
+    inference stage shape — rows-only oracle, non-SQL)."""
+    from ..stages.embed import embed_texts
+
+    return embed_texts(_docs(sf_dir, ["doc_id", "text"]), dim=dim)
+
+
+def text_embedding_near_dups(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+    """End-to-end: embed documents with the engine's own embedder, then
+    exact cosine near-dup pairs over those vectors — the composition a
+    training-data pipeline runs (embed → dedup).  Rows-only oracle."""
+    import numpy as np
+
+    from ..stages.neardup import embedding_near_dup_pairs
+
+    emb = text_embeddings(sf_dir).materialize()
+    ids, vecs = [], []
+    for b in emb.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids.extend(b["doc_id"].to_pylist())
+        vecs.extend(b["embedding"].to_pylist())
+    out = embedding_near_dup_pairs(
+        emb,
+        np.asarray(ids),
+        np.asarray(vecs, dtype=np.float32),
+        threshold=threshold,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+    return out
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     """Exact embedding-cosine near-dup pairs (SQL-checked)."""
     import pyarrow.parquet as pq
