@@ -137,7 +137,11 @@ class _ArenaParser(HTMLParser):
         self.arena: list[_Node] = [_Node("#root", -1, 0, 1)]
         self.stack: list[int] = [0]
         self.block_stack: list[int] = [0]  # nearest enclosing block-level node
-        self.drop_depth = 0
+        # Open-tag stack INSIDE a dropped subtree ([0] is the DROP_TAG
+        # itself).  A plain depth counter would let any stray end tag
+        # (e.g. a "</p>" that was never opened inside <nav>) un-drop the
+        # subtree early and leak boilerplate on misnested HTML.
+        self.drop_stack: list[str] = []
         self.anchor_depth = 0
         self.title_mode = False
         self.title_parts: list[str] = []
@@ -145,15 +149,15 @@ class _ArenaParser(HTMLParser):
 
     # -- element open/close ------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
-        if self.drop_depth:
+        if self.drop_stack:
             if tag not in VOID_TAGS:
-                self.drop_depth += 1
+                self.drop_stack.append(tag)
             return
         if tag == "title":
             self.title_mode = True
             return
         if tag in DROP_TAGS:
-            self.drop_depth = 1
+            self.drop_stack.append(tag)
             return
         if tag in VOID_TAGS:
             return
@@ -170,9 +174,14 @@ class _ArenaParser(HTMLParser):
             self.block_stack.append(node.index)
 
     def handle_endtag(self, tag: str) -> None:
-        if self.drop_depth:
-            if tag not in VOID_TAGS:
-                self.drop_depth -= 1
+        if self.drop_stack:
+            # Pop to the nearest matching open tag inside the region; a
+            # stray end tag that matches nothing is ignored (it cannot
+            # close a subtree it never opened).
+            for i in range(len(self.drop_stack) - 1, -1, -1):
+                if self.drop_stack[i] == tag:
+                    del self.drop_stack[i:]
+                    break
             return
         if tag == "title":
             self.title_mode = False
@@ -196,7 +205,7 @@ class _ArenaParser(HTMLParser):
 
     # -- text --------------------------------------------------------------
     def handle_data(self, data: str) -> None:
-        if self.drop_depth:
+        if self.drop_stack:
             return
         if self.title_mode:
             self.title_parts.append(data)

@@ -71,3 +71,33 @@ def test_deterministic() -> None:
     b = extract_one("u", payload, CFG)
     assert a["extracted_text"] == b["extracted_text"]
     assert a["content_hash"] == b["content_hash"]
+
+
+def test_stray_end_tag_does_not_undrop_boilerplate() -> None:
+    # a </p> that was never opened inside <nav> must NOT close the
+    # dropped region early and leak the nav text into the extraction
+    html = (
+        b"<html><body>"
+        b"<nav></p><a href='/'>LEAKED NAV LINK</a></nav>"
+        b"<p>real article content that is long enough to pass the length "
+        b"gate of the extractor today</p>"
+        b"</body></html>"
+    )
+    doc = extract_html(html, CFG)
+    assert "LEAKED" not in doc.text
+    assert "real article content" in doc.text
+
+
+def test_misnested_drop_region_still_closes() -> None:
+    # an unclosed <div> inside <nav> must not swallow the document after
+    # </nav> (the region root closes the whole dropped subtree)
+    html = (
+        b"<html><body>"
+        b"<nav><div>menu stuff</nav>"
+        b"<p>visible body text long enough to pass the extractor length "
+        b"gate right here</p>"
+        b"</body></html>"
+    )
+    doc = extract_html(html, CFG)
+    assert "menu stuff" not in doc.text
+    assert "visible body text" in doc.text
