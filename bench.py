@@ -87,7 +87,14 @@ def _ensure_pages() -> tuple[str, int]:
     return path, n_rows
 
 
-def bench_extract() -> dict:
+def bench_extract(dedup_mode: str = "broadcast") -> dict:
+    """Time the flagship with either dedup mode.
+
+    ``broadcast`` (winner-map, no payload all-to-all) is the headline;
+    ``shuffle`` (hash-bucket payload exchange) is the beyond-memory
+    10^12-key path — benched too so the 100 TB route has a measured
+    cost, not just a documented one.
+    """
     from png_from_pdf_extracter_ray.pipelines.extract_pipeline import extract_pipeline
     from png_from_pdf_extracter_ray.sources.pages_source import read_pages
 
@@ -105,22 +112,31 @@ def bench_extract() -> dict:
     t0 = time.perf_counter()
     ds = extract_pipeline(
         read_pages(pages_path),
-        dedup="broadcast",  # winner-map dedup: no payload all-to-all (see stages/dedup.py)
-        slim_pages=rd.read_parquet(pages_path, columns=["url", "warc_ts"]),
+        dedup=dedup_mode,
+        slim_pages=(
+            rd.read_parquet(pages_path, columns=["url", "warc_ts"])
+            if dedup_mode == "broadcast"
+            else None
+        ),
         batch_size=64,
         summary_only=False,
     )
     ds.write_parquet(OUT_DIR)
     dt = time.perf_counter() - t0
 
+    import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
-    n_out = pads.dataset(OUT_DIR, format="parquet").count_rows()
+    out_ds = pads.dataset(OUT_DIR, format="parquet")
+    n_out = out_ds.count_rows()
+    n_pages = pc.sum(out_ds.to_table(columns=["n_pages"])["n_pages"]).as_py() or 0
     return {
         "sec": round(dt, 3),
         "input_rows": n_rows,
         "output_docs": n_out,
+        "output_pages": int(n_pages),
         "docs_per_sec": round(n_out / dt, 1),
+        "pages_per_sec": round(n_pages / dt, 1),
         "input_mb_per_sec": round(in_bytes / 1e6 / dt, 1),
     }
 
@@ -149,9 +165,10 @@ def bench_queries() -> dict[str, float]:
     return out
 
 
-def run_once() -> dict:
+def run_once(shuffle_bench: bool = True) -> dict:
     _init_ray()
-    extract = bench_extract()
+    extract = bench_extract("broadcast")
+    shuffle = bench_extract("shuffle") if shuffle_bench else None
     queries = bench_queries()
     result = {
         "metric": "flagship extract pipeline wall time (sf pages table, dedup+render+sink)",
@@ -163,6 +180,8 @@ def run_once() -> dict:
         "expand": EXPAND,
         **{k: v for k, v in extract.items() if k != "sec"},
     }
+    if shuffle is not None:
+        result["shuffle_dedup"] = shuffle
     import ray
 
     ray.shutdown()
@@ -171,6 +190,8 @@ def run_once() -> dict:
 
 def run_scaling() -> dict:
     def sub(ncpu: int, extra: list[str] | None = None) -> dict:
+        # scaling reps time the headline (broadcast) flagship only
+        extra = ["--no-shuffle-bench"] + (extra or [])
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), *(extra or [])],
@@ -214,4 +235,4 @@ if __name__ == "__main__":
         ray.shutdown()
         print(json.dumps({"prepared": path, "rows": n}))
     else:
-        print(json.dumps(run_once()))
+        print(json.dumps(run_once(shuffle_bench="--no-shuffle-bench" not in sys.argv)))

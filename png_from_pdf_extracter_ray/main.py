@@ -28,6 +28,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--dedup", choices=["broadcast", "shuffle", "none"], default="shuffle")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--watch",
+        action="store_true",
+        help="continuous-ingest mode: poll the input for new full shards "
+        "(reference's 60 s INBOX poll); committed shards are never re-run",
+    )
+    ap.add_argument("--poll-interval", type=float, default=60.0)
+    ap.add_argument("--max-polls", type=int, default=None)
+    ap.add_argument(
+        "--shard-size",
+        type=int,
+        default=None,
+        help="docs per shard in --watch mode (stable append-only shard ids)",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -48,17 +62,9 @@ def main(argv: list[str] | None = None) -> int:
     from .config import ExtractConfig
     from .pipelines.extract_pipeline import extract_pipeline
     from .sources.pages_source import synthesize_pages
-    from .state.manifest import run_partitioned
+    from .state.manifest import run_partitioned, watch_partitioned
 
     cfg = ExtractConfig.from_env()
-    n_docs = pq.read_metadata(f"{args.sf_dir}/documents.parquet").num_rows
-    per = max(1, -(-n_docs // args.shards))
-    shards = [
-        {"doc_lo": i * per, "doc_hi": min((i + 1) * per, n_docs)}
-        for i in range(args.shards)
-        if i * per < n_docs
-    ]
-
     dedup: bool | str = False if args.dedup == "none" else args.dedup
 
     def pipeline_for(shard):  # noqa: ANN001, ANN202
@@ -67,7 +73,37 @@ def main(argv: list[str] | None = None) -> int:
         )
         return extract_pipeline(pages, cfg, dedup=dedup, summary_only=False)
 
-    manifests = run_partitioned(shards, args.out, pipeline_for, resume=args.resume)
+    def _n_docs() -> int:
+        return pq.read_metadata(f"{args.sf_dir}/documents.parquet").num_rows
+
+    if args.watch:
+        size = args.shard_size or max(1, -(-_n_docs() // args.shards))
+
+        def list_full_shards() -> list[dict]:
+            # only FULL fixed-size ranges: the growing tail shard must
+            # not be committed early (its id would be reused once full)
+            n = _n_docs()
+            return [
+                {"doc_lo": i * size, "doc_hi": (i + 1) * size}
+                for i in range(n // size)
+            ]
+
+        manifests = watch_partitioned(
+            list_full_shards,
+            args.out,
+            pipeline_for,
+            poll_interval_s=args.poll_interval,
+            max_polls=args.max_polls,
+        )
+    else:
+        n_docs = _n_docs()
+        per = max(1, -(-n_docs // args.shards))
+        shards = [
+            {"doc_lo": i * per, "doc_hi": min((i + 1) * per, n_docs)}
+            for i in range(args.shards)
+            if i * per < n_docs
+        ]
+        manifests = run_partitioned(shards, args.out, pipeline_for, resume=args.resume)
     total = sum(m.row_count for m in manifests)
     by_status: dict[str, int] = {}
     for m in manifests:

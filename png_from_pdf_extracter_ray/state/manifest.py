@@ -78,6 +78,40 @@ def summarize_partition(part_dir: str) -> tuple[int, dict[str, int], str]:
     return t.num_rows, counts, digest
 
 
+def watch_partitioned(
+    list_shards: Callable[[], list[dict[str, Any]]],
+    out_dir: str,
+    pipeline_for_shard: Callable[[dict[str, Any]], rd.Dataset],
+    *,
+    poll_interval_s: float = 60.0,
+    max_polls: int | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[PartitionManifest]:
+    """Continuous-ingest analog of the reference's poll loop
+    (/root/reference/src/services/job_processor.py:223-262: check the
+    INBOX every 60 s, process what's new).
+
+    Each poll re-lists the shards (``list_shards`` reads the CURRENT
+    input — new data ⇒ new shards appended at the end) and re-runs
+    ``run_partitioned`` with resume: committed partitions are skipped by
+    their manifest, so only newly arrived shards pay anything.  Shard
+    ids must be stable across polls (append-only fixed doc-id ranges —
+    the CLI's ``--watch`` only submits FULL ranges so a growing tail
+    shard is never committed early).  ``max_polls`` bounds the run (the
+    reference loops forever; a bounded loop is the testable analog).
+    """
+    manifests: list[PartitionManifest] = []
+    polls = 0
+    while True:
+        manifests = run_partitioned(
+            list_shards(), out_dir, pipeline_for_shard, resume=True
+        )
+        polls += 1
+        if max_polls is not None and polls >= max_polls:
+            return manifests
+        sleep(poll_interval_s)
+
+
 def run_partitioned(
     shards: list[dict[str, Any]],
     out_dir: str,

@@ -93,3 +93,52 @@ def test_manifest_records_lineage_and_metrics(ray_session, sf_dir, tmp_path) -> 
     assert sum(m["rows_by_status"].values()) == m["row_count"]
     assert len(m["content_digest"]) == 32
     assert m["duration_s"] > 0
+
+
+def test_watch_mode_processes_newly_arrived_shards(ray_session, sf_dir, tmp_path) -> None:  # noqa: ANN001
+    """Continuous-ingest analog: new data between polls becomes new
+    shards; committed shards are skipped (manifest durations unchanged)."""
+    import pyarrow.parquet as pq
+
+    from png_from_pdf_extracter_ray.state.manifest import watch_partitioned
+
+    # growing input: start with 40 docs, "arrive" 20 more before poll 2
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    grow_dir = tmp_path / "growing"
+    grow_dir.mkdir()
+    docs_path = str(grow_dir / "documents.parquet")
+    pq.write_table(src.slice(0, 40), docs_path)
+
+    out_dir = str(tmp_path / "watch_run")
+    size = 20
+    polls = {"n": 0}
+
+    def list_full_shards():  # noqa: ANN202
+        n = pq.read_metadata(docs_path).num_rows
+        return [{"doc_lo": i * size, "doc_hi": (i + 1) * size} for i in range(n // size)]
+
+    poll1_manifests: dict[str, str] = {}
+
+    def on_sleep(_s: float) -> None:
+        polls["n"] += 1
+        if polls["n"] == 1:  # data arrives between poll 1 and poll 2
+            for pid in (0, 1):
+                p = os.path.join(out_dir, "manifests", f"part-{pid:05d}.json")
+                with open(p) as f:
+                    poll1_manifests[p] = f.read()
+            pq.write_table(src.slice(0, 60), docs_path)
+
+    manifests = watch_partitioned(
+        list_full_shards,
+        out_dir,
+        _pipeline_for(str(grow_dir)),
+        poll_interval_s=0.0,
+        max_polls=2,
+        sleep=on_sleep,
+    )
+    assert [m.partition_id for m in manifests] == [0, 1, 2]
+    assert manifests[2].row_count > 0  # the newly arrived shard ran
+    # committed shards were NOT re-run: their manifests are byte-identical
+    for p, before in poll1_manifests.items():
+        with open(p) as f:
+            assert f.read() == before
