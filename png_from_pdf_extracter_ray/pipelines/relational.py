@@ -49,13 +49,16 @@ def grouped_sum(
     reduced to one partial row per key, and only those partials shuffle.
     """
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         if compute is not None:
             df = compute(df)
         if count_col:
             df = df.assign(**{count_col: 1})
         cols = sum_cols + ([count_col] if count_col else [])
-        return df.groupby(keys, as_index=False, sort=False)[cols].sum()
+        out = df.groupby(keys, as_index=False, sort=False)[cols].sum()
+        # emit Arrow so empty partials keep a real schema (empty pandas
+        # blocks degrade to PandasBlockSchema(names=[]) downstream)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pandas")
     aggs = [Sum(c, alias_name=c) for c in sum_cols]
@@ -108,8 +111,9 @@ def broadcast_join(
         def __init__(self) -> None:
             self.small = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            # Arrow out: an empty merge result keeps its schema
+            return pa.Table.from_pandas(batch.merge(self.small, on=on, how=how), preserve_index=False)
 
     return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 4))
 
