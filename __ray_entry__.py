@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_ivf": textops.similarity_topk_ivf,
         # --- near-duplicate detection ---
         "embedding_near_dups": textops.embedding_near_dups,  # SQL-checked
+        "ngram_jaccard_near_dups": textops.ngram_jaccard_near_dups,  # SQL-checked
         "minhash_near_dups": textops.minhash_near_dups,  # rows-only
         "minhash_dedup_groups": textops.minhash_dedup_groups,  # rows-only
         "simhash_near_dups": textops.simhash_near_dups,  # rows-only
@@ -306,6 +307,32 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY o_orderdate, o_orderkey
                          ROWS UNBOUNDED PRECEDING), 2) AS cum_totalprice
             FROM orders WHERE o_custkey <= 200
+        """,
+        "ngram_jaccard_near_dups": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+                       unnest(range(len(regexp_split_to_array(trim(lower(text)), '\\s+')))) AS pos
+                FROM documents WHERE trim(text) <> ''
+            ),
+            sh AS (
+                SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -151,6 +151,16 @@ def minhash_dedup_groups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     return out.sort_values("url", ignore_index=True)[["url", "group_id"]]
 
 
+def ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.2) -> pd.DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs over documents (SQL-checked:
+    the DuckDB oracle recomputes the same shingle sets relationally)."""
+    from ..stages.neardup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=threshold
+    )
+
+
 def text_embeddings(sf_dir: str, dim: int = 64) -> rd.Dataset:
     """documents.text → hashing-trick embeddings (actor pool; the model-
     inference stage shape — rows-only oracle, non-SQL)."""

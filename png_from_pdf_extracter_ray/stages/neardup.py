@@ -366,6 +366,102 @@ def min_label_components(
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted shingle index — SQL-checkable)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_strings(text: str, k_shingle: int) -> set[str]:
+    """Distinct k-token shingles; docs with < k tokens have none (the
+    same rule the SQL oracle's positional self-join implements)."""
+    toks = (text or "").lower().split()
+    if len(toks) < k_shingle:
+        return set()
+    return {" ".join(toks[i : i + k_shingle]) for i in range(len(toks) - k_shingle + 1)}
+
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """EXACT all-pairs n-gram Jaccard ≥ threshold via an inverted
+    shingle index — no sketching, so the result is SQL-checkable:
+
+    1. one pass emits distinct ``(id, shingle)`` rows (and, separately,
+       the per-doc shingle-set sizes);
+    2. shingles hash-bucket shuffle; within each bucket a vectorized
+       self-merge counts per-pair co-occurrences (each shingle lives in
+       exactly one bucket, so bucket counts are partial intersections);
+    3. a small pair groupby sums |A∩B|; two bucketed joins attach
+       |A|, |B|; J = i / (|A| + |B| - i).
+
+    Scale notes (documented contract): pair generation is quadratic per
+    shingle — at web scale, cap shingle document frequency (df-heavy
+    shingles carry no near-dup signal) and hash shingles to u64; here
+    shingles stay raw strings so the DuckDB oracle matches byte-for-byte.
+    """
+    from ray.data.aggregate import Sum
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            for s in _shingle_strings(t, k_shingle):
+                ids.append(i)
+                shs.append(s)
+        t_out = pa.Table.from_pydict(
+            {id_col: pa.array(ids, batch[id_col].type), "shingle": pa.array(shs, pa.string())}
+        )
+        b = stable_bucket_ids(t_out["shingle"], num_buckets) if len(ids) else np.empty(0, np.int32)
+        return t_out.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def size_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        sizes = [len(_shingle_strings(t, k_shingle)) for t in batch[text_col].to_pylist()]
+        return pa.Table.from_pydict(
+            {id_col: pa.array(ids, batch[id_col].type), "n_sh": pa.array(sizes, pa.int64())}
+        )
+
+    shingles = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    sizes = ds.map_batches(size_rows, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="shingle")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = m.groupby([f"{id_col}_x", f"{id_col}_y"], as_index=False).size()
+        return out.rename(
+            columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b", "size": "i"}
+        )
+
+    partial = shingles.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    inter = partial.groupby(["id_a", "id_b"]).aggregate(Sum("i", alias_name="i"))
+
+    def _sizes_as(side: str) -> rd.Dataset:
+        return sizes.map_batches(
+            lambda t, s=side: t.rename_columns([f"id_{s}", f"n_{s}"]), batch_format="pyarrow"
+        )
+
+    with_a = bucketed_hash_join(inter, _sizes_as("a"), on="id_a", num_buckets=num_buckets)
+    with_ab = bucketed_hash_join(with_a, _sizes_as("b"), on="id_b", num_buckets=num_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = pc.cast(t["i"], pa.float64())
+        union = pc.subtract(pc.add(pc.cast(t["n_a"], pa.float64()), pc.cast(t["n_b"], pa.float64())), i)
+        jac = pc.divide(i, union)
+        t = t.append_column("jaccard", pc.round(jac, 4))
+        return t.filter(pc.greater_equal(jac, threshold)).select(["id_a", "id_b", "jaccard"])
+
+    out = _to_pandas_safe(
+        with_ab.map_batches(score, batch_format="pyarrow"), ["id_a", "id_b", "jaccard"]
+    )
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
