@@ -56,7 +56,10 @@ def cosine_topk(
                     id_col: pa.array(
                         [batch[id_col][int(i)].as_py() for i in order]
                     ),
-                    "cos": pa.array(np.round(cos[order], 3).astype(np.float64)),
+                    # cast BEFORE rounding: np.round on float32 keeps the
+                    # nearest f32 (0.2879999876…), which hash-mismatches
+                    # the oracle's float64 0.288
+                    "cos": pa.array(np.round(cos[order].astype(np.float64), 3)),
                 }
             )
 
@@ -147,7 +150,10 @@ def ivf_topk(
             return pa.Table.from_pydict(
                 {
                     id_col: pa.array(ids[order].tolist(), pa.int64()),
-                    "cos": pa.array(np.round(cos[order], 3).astype(np.float64)),
+                    # cast BEFORE rounding: np.round on float32 keeps the
+                    # nearest f32 (0.2879999876…), which hash-mismatches
+                    # the oracle's float64 0.288
+                    "cos": pa.array(np.round(cos[order].astype(np.float64), 3)),
                 }
             )
 
@@ -218,7 +224,10 @@ def ann_topk_lsh(
             return pa.Table.from_pydict(
                 {
                     id_col: pa.array(ids[order].tolist(), pa.int64()),
-                    "cos": pa.array(np.round(cos[order], 3).astype(np.float64)),
+                    # cast BEFORE rounding: np.round on float32 keeps the
+                    # nearest f32 (0.2879999876…), which hash-mismatches
+                    # the oracle's float64 0.288
+                    "cos": pa.array(np.round(cos[order].astype(np.float64), 3)),
                 }
             )
 
