@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": textops.token_counts,
         "bpe_token_counts": textops.bpe_token_counts,
         "quality_scores": textops.quality_scores,
+        "stopword_stats": textops.stopword_stats,
         "md5_fingerprints": textops.md5_fingerprints,
         # --- text analysis (non-SQL: rows-only) ---
         "rolling_fingerprints": textops.rolling_fingerprints,
@@ -123,8 +124,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _stopword_sql() -> str:
+    """Stopword-ratio oracle; the IN-list is built from the SAME Python
+    list the engine uses (stages/text_stats.STOPWORDS) — one source of
+    truth, no drift."""
+    from png_from_pdf_extracter_ray.stages.text_stats import STOPWORDS
+
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks, x -> x IN ({inlist}))) AS BIGINT) AS n_stop,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(toks, x -> x IN ({inlist}))) AS DOUBLE)
+                         / len(toks) END AS stop_ratio
+        FROM t
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from png_from_pdf_extracter_ray.pipelines.summary import oracle_summary_path
+
+    _STOPWORD_SQL = _stopword_sql()
 
     # The flagship oracle is a parquet written by a SINGLE-PROCESS (no
     # Ray) run of the same deterministic kernel — synthesize → dedup →
@@ -212,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "md5_fingerprints": """
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
+        "stopword_stats": _STOPWORD_SQL,
         "orders_customer_join": """
             SELECT c_mktsegment, o_orderstatus,
                    ROUND(SUM(o_totalprice), 2) AS sum_totalprice,

@@ -20,6 +20,7 @@ from ..stages.text_stats import (
     bpe_token_count_batch,
     md5_fingerprint_batch,
     quality_score_batch,
+    stopword_stats_batch,
     token_count_batch,
 )
 
@@ -44,6 +45,12 @@ def quality_scores(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         quality_score_batch, batch_format="pandas"
     ).select_columns(["doc_id", "text_len", "n_punct", "punct_ratio"])
+
+
+def stopword_stats(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stopword_stats_batch, batch_format="pandas"
+    ).select_columns(["doc_id", "n_tokens", "n_stop", "stop_ratio"])
 
 
 def md5_fingerprints(sf_dir: str) -> rd.Dataset:

@@ -57,6 +57,35 @@ def quality_score_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFram
     return df.assign(text_len=length, n_punct=n_punct.astype("int64"), punct_ratio=ratio)
 
 
+# English stopword list for the stopword-ratio quality signal; shared
+# verbatim with the SQL oracle (__ray_entry__ builds the IN-list from it).
+STOPWORDS = (
+    "the and of to in is you that it he was for on are as with his they at be "
+    "this have from or one had by word but not what all were we when your can"
+).split()
+_STOP_SET = frozenset(STOPWORDS)
+
+
+def stopword_stats_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Stopword count/ratio over whitespace tokens (lowercased).
+
+    Token semantics match the SQL oracle exactly: split trimmed
+    lowercased text on ``\\s+``; blank docs have 0 tokens.  The explode
+    + isin body is vectorized pandas — no per-row Python.
+    """
+    s = df[text_col].fillna("").str.strip().str.lower()
+    toks = s.str.split(_WS)
+    n_tokens = toks.str.len().astype("int64").where(s != "", 0)
+    exploded = toks.explode()
+    hits = exploded.isin(_STOP_SET).groupby(level=0).sum().astype("int64")
+    n_stop = hits.reindex(df.index, fill_value=0).where(s != "", 0).astype("int64")
+    # UNROUNDED ratio: both engines divide the same two int64s, so the
+    # IEEE doubles are bit-identical; any rounding would reintroduce
+    # half-even (numpy) vs half-away (DuckDB) mismatches.
+    ratio = (n_stop / n_tokens.replace(0, np.nan)).fillna(0.0)
+    return df.assign(n_tokens=n_tokens, n_stop=n_stop, stop_ratio=ratio)
+
+
 def md5_fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Content fingerprint (md5 hex) — SQL-checkable against DuckDB md5()."""
     fp = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in df[text_col]]
