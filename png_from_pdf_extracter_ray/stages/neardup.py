@@ -385,7 +385,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k_shingle: int = 3,
-    num_buckets: int = 16,
+    num_buckets: int = 64,
 ) -> pd.DataFrame:
     """EXACT all-pairs n-gram Jaccard ≥ threshold via an inverted
     shingle index — no sketching, so the result is SQL-checkable:
@@ -395,16 +395,18 @@ def ngram_jaccard_pairs(
     2. shingles hash-bucket shuffle; within each bucket a vectorized
        self-merge counts per-pair co-occurrences (each shingle lives in
        exactly one bucket, so bucket counts are partial intersections);
-    3. a small pair groupby sums |A∩B|; two bucketed joins attach
-       |A|, |B|; J = i / (|A| + |B| - i).
+    3. partial counts re-bucket on ``id_a`` (which co-locates every row
+       of a pair) and a vectorized pandas groupby-sum per bucket yields
+       |A∩B| — B groups, NOT one Ray group per pair: a naive
+       ``groupby([id_a, id_b]).aggregate`` over ~10^6 tiny pair groups
+       measured 200+ s where the bucketed sum takes ~2 s;
+    4. two bucketed joins attach |A|, |B|; J = i / (|A| + |B| - i).
 
     Scale notes (documented contract): pair generation is quadratic per
     shingle — at web scale, cap shingle document frequency (df-heavy
     shingles carry no near-dup signal) and hash shingles to u64; here
     shingles stay raw strings so the DuckDB oracle matches byte-for-byte.
     """
-    from ray.data.aggregate import Sum
-
     def shingle_rows(batch: pa.Table) -> pa.Table:
         ids, shs = [], []
         for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
@@ -436,7 +438,20 @@ def ngram_jaccard_pairs(
         )
 
     partial = shingles.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
-    inter = partial.groupby(["id_a", "id_b"]).aggregate(Sum("i", alias_name="i"))
+
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([c for c in ("__bucket",) if c in t.column_names])
+        b = stable_bucket_ids(t["id_a"], num_buckets)
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["id_a", "id_b"], as_index=False)["i"].sum()
+
+    inter = (
+        partial.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(sum_bucket, batch_format="pandas")
+    )
 
     def _sizes_as(side: str) -> rd.Dataset:
         return sizes.map_batches(
