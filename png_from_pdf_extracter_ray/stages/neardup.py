@@ -39,6 +39,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -149,9 +150,17 @@ def minhash_candidate_pairs(
     ds: rd.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_buckets: int = 64,
     **mh_kwargs,
 ) -> rd.Dataset:
-    """text rows → distinct candidate pairs (id_a < id_b) via LSH banding."""
+    """text rows → distinct candidate pairs (id_a < id_b) via LSH banding.
+
+    Band rows shuffle into B hash buckets of ``band_hash`` (every row of
+    a given (band_id, band_hash) combo lands in the same bucket), and
+    each bucket runs a vectorized self-merge + drop_duplicates — B
+    groups total, NOT one Ray group per band bucket: per-key groups over
+    ~n_docs × n_bands tiny buckets pay 10-100× in per-group overhead.
+    """
     bands = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col, **mh_kwargs},
@@ -159,21 +168,35 @@ def minhash_candidate_pairs(
         concurrency=(1, 8),
     )
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group[id_col].to_pylist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.Table.from_pydict({"id_a": pa.array(a), "id_b": pa.array(b)})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = stable_bucket_ids(t["band_hash"], num_buckets)
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pyarrow"
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[[id_col, "band_id", "band_hash"]].merge(g[[id_col, "band_id", "band_hash"]], on=["band_id", "band_hash"])
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = m[[f"{id_col}_x", f"{id_col}_y"]].drop_duplicates()
+        return out.rename(columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b"})
+
+    cand_part = (
+        bands.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
     )
-    # distinct pairs (the same pair can surface from several bands)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+
+    # global distinct: the same pair can surface from several bands
+    # (different buckets) — re-bucket on id_a, dedup vectorized per bucket
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        b = stable_bucket_ids(t["id_a"], num_buckets)
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["id_a", "id_b"]].drop_duplicates()
+
+    return (
+        cand_part.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(distinct_bucket, batch_format="pandas")
     )
 
 
@@ -515,13 +538,25 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+def _popcount64(arr: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (no np.bitwise_count in 1.26)."""
+    return np.unpackbits(arr.view(np.uint8)).reshape(len(arr), 8 * 8).sum(axis=1)
+
+
 def simhash_near_dup_pairs(
     ds: rd.Dataset,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_buckets: int = 64,
 ) -> pd.DataFrame:
-    """SimHash near-dups via 16-bit block probing + exact hamming verify."""
+    """SimHash near-dups via 16-bit block probing + exact hamming verify.
+
+    Block rows shuffle into B hash buckets of ``block_key`` (all rows of
+    a (block, block_key) combo co-locate); per bucket a vectorized
+    self-merge generates candidates and a numpy XOR+popcount verifies
+    hamming — B groups, not one Ray group per 16-bit block value.
+    """
     sigs = ds.map_batches(
         SimHasher,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
@@ -530,58 +565,59 @@ def simhash_near_dup_pairs(
     )
 
     def explode_blocks(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        sh = batch["simhash"].to_pylist()
-        rid, rblk, rkey, rsig = [], [], [], []
-        for i, s in zip(ids, sh):
-            u = s & ((1 << 64) - 1)
-            for blk in range(4):
-                rid.append(i)
-                rblk.append(blk)
-                rkey.append((u >> (16 * blk)) & 0xFFFF)
-                rsig.append(s)
-        return pa.Table.from_pydict(
+        sh = np.asarray(batch["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+        n = len(sh)
+        rid = pc.take(batch[id_col].combine_chunks(), pa.array(np.repeat(np.arange(n), 4)))
+        blocks = np.tile(np.arange(4, dtype=np.int32), n)
+        keys = ((sh[:, None] >> (16 * np.arange(4, dtype=np.uint64))[None, :]) & np.uint64(0xFFFF)).astype(np.int32).ravel()
+        t = pa.Table.from_pydict(
             {
-                id_col: pa.array(rid),
-                "block": pa.array(rblk, pa.int32()),
-                "block_key": pa.array(rkey, pa.int32()),
-                "simhash": pa.array(rsig, pa.int64()),
+                id_col: rid,
+                "block": pa.array(blocks, pa.int32()),
+                "block_key": pa.array(keys, pa.int32()),
+                "simhash": pa.array(np.repeat(sh.view(np.int64), 4), pa.int64()),
             }
         )
+        b = stable_bucket_ids(t["block_key"], num_buckets)
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(group[id_col].to_pylist(), group["simhash"].to_pylist())
-        )
-        ia, ib, hd = [], [], []
-        for x in range(len(rows)):
-            for y in range(x + 1, len(rows)):
-                if rows[x][0] == rows[y][0]:
-                    continue
-                d = hamming64(rows[x][1], rows[y][1])
-                if d <= max_hamming:
-                    ia.append(rows[x][0])
-                    ib.append(rows[y][0])
-                    hd.append(d)
-        return pa.Table.from_pydict(
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [id_col, "block", "block_key", "simhash"]
+        m = g[cols].merge(g[cols], on=["block", "block_key"])
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        if m.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        x = m["simhash_x"].to_numpy(dtype=np.int64).view(np.uint64)
+        y = m["simhash_y"].to_numpy(dtype=np.int64).view(np.uint64)
+        d = _popcount64(np.bitwise_xor(x, y))
+        out = pd.DataFrame(
             {
-                "id_a": pa.array(ia),
-                "id_b": pa.array(ib),
-                "hamming": pa.array(hd, pa.int32()),
+                "id_a": m[f"{id_col}_x"].to_numpy(),
+                "id_b": m[f"{id_col}_y"].to_numpy(),
+                "hamming": d.astype(np.int32),
             }
         )
+        out = out[out["hamming"] <= max_hamming]
+        return out.drop_duplicates(subset=["id_a", "id_b"])
 
-    pairs = (
+    cand_part = (
         sigs.map_batches(explode_blocks, batch_format="pyarrow")
-        .groupby(["block", "block_key"])
-        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
     )
-    # Single execution: _to_pandas_safe keeps the column names when the
-    # pair set is empty (a count() pre-check would run the DAG twice).
+
+    # global distinct across buckets (a pair can match in several blocks)
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        b = stable_bucket_ids(t["id_a"], num_buckets)
+        return t.append_column("__bucket2", pa.array(b, pa.int32()))
+
+    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["id_a", "id_b", "hamming"]].drop_duplicates(subset=["id_a", "id_b"])
+
     out = _to_pandas_safe(
-        pairs.groupby(["id_a", "id_b"]).map_groups(
-            lambda g: g.slice(0, 1), batch_format="pyarrow"
-        ),
+        cand_part.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__bucket2")
+        .map_groups(distinct_bucket, batch_format="pandas"),
         ["id_a", "id_b", "hamming"],
     )
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
