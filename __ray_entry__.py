@@ -101,7 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textops.quality_scores,
         "stopword_stats": textops.stopword_stats,
         "md5_fingerprints": textops.md5_fingerprints,
-        # --- text analysis (non-SQL: rows-only) ---
+        # --- text analysis (rolling fp: rows-only; langid: SQL-checked) ---
         "rolling_fingerprints": textops.rolling_fingerprints,
         "langid_heuristic": textops.langid_heuristic,
         # --- embedding computation (actor-pool model stage; rows-only) ---
@@ -145,6 +145,41 @@ def _stopword_sql() -> str:
                     ELSE CAST(len(list_filter(toks, x -> x IN ({inlist}))) AS DOUBLE)
                          / len(toks) END AS stop_ratio
         FROM t
+    """
+
+
+def _langid_sql() -> str:
+    """Language-ID oracle: per-language distinct-token ∩ marker-set
+    counts, argmax with the engine's tie-break (lexicographically
+    smallest language code; all-zero → 'und').  Marker sets come from
+    the SAME tables the engine's LangId actor uses."""
+    from png_from_pdf_extracter_ray.stages.text_stats import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    counts = ",\n                   ".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in sorted(_LANG_MARKERS[lang]))}))) AS {lang}"
+        for lang in langs
+    )
+    m = f"greatest({', '.join(langs)})"
+    case = "\n                    ".join(
+        f"WHEN {lang} = {m} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   {counts}
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN {m} = 0 THEN 'und'
+                    {case}
+                    ELSE 'und' END AS lang_pred
+        FROM s
     """
 
 
@@ -240,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
         "stopword_stats": _STOPWORD_SQL,
+        "langid_heuristic": _langid_sql(),
         "orders_customer_join": """
             SELECT c_mktsegment, o_orderstatus,
                    ROUND(SUM(o_totalprice), 2) AS sum_totalprice,

@@ -153,6 +153,10 @@ def bench_queries() -> dict[str, float]:
         "events_hourly",
         "similarity_topk",
         "customers_per_nation",
+        "stopword_stats",
+        "text_embeddings",
+        "minhash_near_dups",
+        "ngram_jaccard_near_dups",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
