@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from png_from_pdf_extracter_ray.pipelines.extract_pipeline import flagship
 
     from png_from_pdf_extracter_ray.pipelines.summary import flagship_summary
+    from png_from_pdf_extracter_ray.pipelines.summary import pages_digest as _pages_digest
 
     return {
         # --- flagship extraction (non-SQL: rows-only check) ---
@@ -73,6 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship summary (SQL-checked against the single-process
         # oracle's parquet: counts + XOR content digest per status/type) ---
         "extract_flagship_summary": lambda sf: flagship_summary(sf, expand=2),
+        # --- page-raster digest (SQL-checked vs the same single-process
+        # oracle: XOR over blake2b of the PNG BYTES of every page) ---
+        "pages_digest": lambda sf: _pages_digest(sf, expand=2),
         # --- relational operators (SQL-checked) ---
         "q1_pricing_summary": rel.q1_pricing_summary,
         "lang_whitelist_filter": rel.lang_whitelist_filter,
@@ -193,14 +197,20 @@ def oracle_sql() -> dict[str, str]:
     # extract → summarize, see pipelines/summary.py.  The queries()
     # callable (re)writes it; the driver compares at sf0.01 (tests
     # override via GRAFT_ORACLE_SF_DIR to match their sf fixture).
-    _flagship_oracle = oracle_summary_path(
-        os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"), expand=2
-    )
+    from png_from_pdf_extracter_ray.pipelines.summary import pages_digest_oracle_path
+
+    _oracle_sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    _flagship_oracle = oracle_summary_path(_oracle_sf, expand=2)
+    _pages_oracle = pages_digest_oracle_path(_oracle_sf, expand=2)
 
     return {
         "extract_flagship_summary": f"""
             SELECT status, content_type, n_docs, xor_digest
             FROM read_parquet('{_flagship_oracle}')
+        """,
+        "pages_digest": f"""
+            SELECT n_pages, total_png_bytes, xor_digest
+            FROM read_parquet('{_pages_oracle}')
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -106,17 +106,87 @@ def oracle_summary_path(sf_dir: str, expand: int = 2) -> str:
     return os.path.join(ORACLE_SUMMARY_ROOT, f"{tag}.parquet")
 
 
+PAGES_DIGEST_COLS = ["n_pages", "total_png_bytes", "xor_digest"]
+
+
+def _page_digest_partial(batch: pa.Table) -> pd.DataFrame:
+    """One partial row per batch of EXPLODED page rows: count, byte sum,
+    XOR of per-page blake2b(url:page_number:png-bytes) — covers the
+    raster BYTES, which the text content_hash does not."""
+    urls = batch["url"].to_pylist()
+    nums = batch["page_number"].to_pylist()
+    pngs = batch["png"].to_pylist()
+    acc = np.uint64(0)
+    total = 0
+    for u, n, p in zip(urls, nums, pngs):
+        b = p or b""
+        total += len(b)
+        d = hashlib.blake2b(f"{u}:{n}:".encode() + b, digest_size=8).digest()
+        acc ^= np.uint64(int.from_bytes(d, "big"))
+    return pd.DataFrame(
+        {
+            "n_pages": [len(urls)],
+            "total_png_bytes": [total],
+            "xor_digest": [int(acc.astype(np.int64))],
+        }
+    )
+
+
+def _combine_page_partials(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "n_pages": [int(df["n_pages"].sum())],
+            "total_png_bytes": [int(df["total_png_bytes"].sum())],
+            "xor_digest": [
+                int(
+                    np.bitwise_xor.reduce(
+                        df["xor_digest"].to_numpy(dtype=np.int64).view(np.uint64)
+                    ).astype(np.int64)
+                )
+            ],
+        }
+    )
+
+
+def pages_digest(sf_dir: str, expand: int = 2) -> pd.DataFrame:
+    """Ray side: exploded page rasters reduced to one digest row; the
+    single-process oracle writes its own row to parquet for the SQL
+    compare.  This is the raster-bytes correctness check — any PNG that
+    differs by one byte flips the XOR."""
+    from ..stages.multimodal import explode_pages
+    from .textops import _extracted_pages
+
+    write_oracle_summary(sf_dir, expand=expand)
+    partials = (
+        _extracted_pages(sf_dir)
+        .map_batches(explode_pages, batch_format="pyarrow", batch_size=16)
+        .map_batches(_page_digest_partial, batch_format="pyarrow", batch_size=64)
+        .to_pandas()
+    )
+    if partials.empty:
+        return pd.DataFrame({c: [0] for c in PAGES_DIGEST_COLS})
+    return _combine_page_partials(partials)[PAGES_DIGEST_COLS]
+
+
+def pages_digest_oracle_path(sf_dir: str, expand: int = 2) -> str:
+    return oracle_summary_path(sf_dir, expand).replace(".parquet", "_pages.parquet")
+
+
 def write_oracle_summary(sf_dir: str, expand: int = 2) -> str:
     """Single-process oracle: synthesize → dedup → extract → summarize,
     all sequentially in this process (no Ray), committed via atomic
-    rename.  Skipped when already present (deterministic content)."""
+    rename.  Skipped when already present (deterministic content).
+    Writes BOTH the status/content-type summary and the page-raster
+    digest from one extraction pass."""
     import pyarrow.parquet as pq
 
     from ..corpus.synth import pages_from_documents_batch
     from ..stages.extract_stage import oracle_extract_table
+    from ..stages.multimodal import explode_pages
 
     path = oracle_summary_path(sf_dir, expand)
-    if os.path.exists(path):
+    pages_path = pages_digest_oracle_path(sf_dir, expand)
+    if os.path.exists(path) and os.path.exists(pages_path):
         return path
     os.makedirs(ORACLE_SUMMARY_ROOT, exist_ok=True)
 
@@ -136,6 +206,13 @@ def write_oracle_summary(sf_dir: str, expand: int = 2) -> str:
     tmp = path + ".tmp"
     pq.write_table(pa.Table.from_pandas(summary, preserve_index=False), tmp)
     os.replace(tmp, path)
+
+    exploded = explode_pages(extracted.select(["url", "pages"]))
+    pd_partial = _page_digest_partial(exploded)
+    pages_summary = _combine_page_partials(pd_partial)[PAGES_DIGEST_COLS]
+    tmp2 = pages_path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(pages_summary, preserve_index=False), tmp2)
+    os.replace(tmp2, pages_path)
     return path
 
 
