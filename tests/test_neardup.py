@@ -126,3 +126,35 @@ def test_embedding_near_dup_pairs(ray_session) -> None:  # noqa: ANN001
     out = embedding_near_dup_pairs(ds, ids, vecs, threshold=0.95)
     assert list(zip(out["id_a"], out["id_b"])) == [(10, 20)]
     assert out["cos"].iloc[0] > 0.99
+
+
+def test_minhash_verification_broadcasts_only_candidate_ids(ray_session, monkeypatch) -> None:  # noqa: ANN001
+    """VERDICT r1 regression guard: the Jaccard verification must not
+    broadcast a whole-corpus text lookup — the only ray.put in the path
+    is the (output-sized) candidate ID SET."""
+    import ray as ray_mod
+
+    from png_from_pdf_extracter_ray.stages import neardup
+
+    put_objects = []
+    orig_put = ray_mod.put
+
+    def spy_put(obj, *a, **kw):  # noqa: ANN001, ANN002, ANN003
+        put_objects.append(obj)
+        return orig_put(obj, *a, **kw)
+
+    monkeypatch.setattr(neardup.ray, "put", spy_put)
+    rows = {
+        "doc_id": list(range(8)),
+        "text": [BASE, NEAR, FAR, BASE, NEAR + " x", FAR + " y", BASE + " z", NEAR],
+    }
+    out = minhash_near_dup_pairs(rd.from_arrow(pa.Table.from_pydict(rows)), threshold=0.8)
+    assert len(out) > 0
+    # ray.put also carries Ray Data's own blocks (pa.Table); the only
+    # NON-block object this path may broadcast is the candidate id set.
+    user_puts = [o for o in put_objects if not isinstance(o, pa.Table)]
+    assert user_puts, "expected the candidate id set to be broadcast"
+    for obj in user_puts:
+        assert isinstance(obj, (set, frozenset)), type(obj)
+        # ids, not texts: a corpus text would be a long string
+        assert all(not (isinstance(x, str) and len(x) > 200) for x in obj)
