@@ -150,11 +150,16 @@ def test_minhash_verification_broadcasts_only_candidate_ids(ray_session, monkeyp
     }
     out = minhash_near_dup_pairs(rd.from_arrow(pa.Table.from_pydict(rows)), threshold=0.8)
     assert len(out) > 0
-    # ray.put also carries Ray Data's own blocks (pa.Table); the only
-    # NON-block object this path may broadcast is the candidate id set.
-    user_puts = [o for o in put_objects if not isinstance(o, pa.Table)]
-    assert user_puts, "expected the candidate id set to be broadcast"
-    for obj in user_puts:
-        assert isinstance(obj, (set, frozenset)), type(obj)
-        # ids, not texts: a corpus text would be a long string
-        assert all(not (isinstance(x, str) and len(x) > 200) for x in obj)
+    # ray.put also carries Ray Data internals (pa.Table blocks,
+    # MapTransformer closures); the user-level objects this path may
+    # broadcast are the candidate id SET — never a dict, and never a
+    # container of corpus-sized text payloads (the r1 scale-killer).
+    assert any(isinstance(o, (set, frozenset)) for o in put_objects), (
+        "expected the candidate id set to be broadcast"
+    )
+    for obj in put_objects:
+        assert not isinstance(obj, dict), "dict broadcast = text-lookup regression"
+        if isinstance(obj, (set, frozenset, list, tuple)):
+            assert all(
+                not (isinstance(x, str) and len(x) > 200) for x in obj
+            ), "broadcast container holds corpus-sized strings"
