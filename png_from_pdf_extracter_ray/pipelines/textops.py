@@ -107,12 +107,23 @@ def similarity_topk_ivf(sf_dir: str, k: int = 10, n_cells: int = 16, nprobe: int
 def _unique_pages(sf_dir: str) -> rd.Dataset:
     """Synthesized pages exact-deduped to one row per url (earliest
     warc_ts wins — the engine's canonical dedup semantics), so near-dup
-    ids are unique and "the text of url X" is unambiguous."""
+    ids are unique and "the text of url X" is unambiguous.
+
+    Materialized ONCE: the near-dup pipelines consume the corpus twice
+    (signature pass + verification semi-join), and re-running the
+    synthetic source per consumer doubles the cost.  For a real
+    parquet-backed corpus at scale, skip the materialize — a pruned
+    re-read is cheaper than pinning the text column in the object store.
+    """
     from ..sources.pages_source import synthesize_pages
     from ..stages.dedup import dedup_keep_first
 
     pages = synthesize_pages(sf_dir, expand=2).select_columns(["url", "warc_ts", "text"])
-    return dedup_keep_first(pages, key="url", order_col="warc_ts").drop_columns(["warc_ts"])
+    return (
+        dedup_keep_first(pages, key="url", order_col="warc_ts")
+        .drop_columns(["warc_ts"])
+        .materialize()
+    )
 
 
 def minhash_near_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:

@@ -60,17 +60,21 @@ def _to_pandas_safe(ds: "rd.Dataset", columns: list[str]) -> pd.DataFrame:
 
 
 def _token_hashes(text: str, k_shingle: int) -> np.ndarray:
-    """Distinct k-shingle hashes of a document (uint64)."""
+    """Distinct k-shingle hashes of a document (uint64).
+
+    One vectorized ``pd.util.hash_array`` (siphash, fixed key —
+    process-stable) over the shingle-string array instead of a Python
+    blake2b per shingle: the per-shingle hashing dominated MinHash
+    signature AND Jaccard-verification cost.
+    """
     toks = (text or "").lower().split()
     if len(toks) < k_shingle:
         shingle_strs = [" ".join(toks)] if toks else []
     else:
         shingle_strs = [" ".join(toks[i : i + k_shingle]) for i in range(len(toks) - k_shingle + 1)]
-    out = {
-        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-        for s in shingle_strs
-    }
-    return np.fromiter(out, dtype=np.uint64, count=len(out))
+    if not shingle_strs:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(pd.util.hash_array(np.asarray(shingle_strs, dtype=object)))
 
 
 def shingle_jaccard(a: str, b: str, k_shingle: int = 3) -> float:
