@@ -45,6 +45,45 @@ class PartitionManifest:
     started_at: float
     duration_s: float
     engine_version: str = "0.1.0"
+    # per-operator wall/rows from the executed Dataset's stats —
+    # the "per-stage metrics" leg of the lineage record (north rule).
+    # Default keeps pre-existing manifests loadable on resume.
+    stage_metrics: list[dict[str, Any]] | None = None
+
+
+_STAGE_RE = None
+
+
+def stage_metrics_from_stats(stats_text: str, max_stages: int = 16) -> list[dict[str, Any]]:
+    """Parse Ray's ``Dataset.stats()`` text into per-operator rows.
+
+    The stats format is informational (not a stable API), so this is a
+    best-effort extractor: operator name + total wall time per stage.
+    Unparseable stats yield an empty list, never an error.
+    """
+    global _STAGE_RE
+    import re
+
+    if _STAGE_RE is None:
+        _STAGE_RE = re.compile(
+            r"^Operator (\d+) (.+?): (\d+) tasks executed, (\d+) blocks produced in ([\d.]+)s",
+            re.M,
+        )
+    out: list[dict[str, Any]] = []
+    try:
+        for num, name, tasks, blocks, secs in _STAGE_RE.findall(stats_text or ""):
+            out.append(
+                {
+                    "op": int(num),
+                    "name": name,
+                    "tasks": int(tasks),
+                    "blocks": int(blocks),
+                    "wall_s": float(secs),
+                }
+            )
+    except Exception:
+        return []
+    return out[:max_stages]
 
 
 def _digest_xor(urls: list[str], hashes: list[str]) -> str:
@@ -144,6 +183,10 @@ def run_partitioned(
         shutil.rmtree(part_dir, ignore_errors=True)
         ds = pipeline_for_shard(shard)
         ds.write_parquet(part_dir)
+        try:
+            stages = stage_metrics_from_stats(ds.stats())
+        except Exception:
+            stages = []
         rows, by_status, digest = summarize_partition(part_dir)
         manifest = PartitionManifest(
             partition_id=pid,
@@ -153,6 +196,7 @@ def run_partitioned(
             content_digest=digest,
             started_at=t0,
             duration_s=time.time() - t0,
+            stage_metrics=stages,
         )
         tmp = man_path + ".tmp"
         with open(tmp, "w") as f:

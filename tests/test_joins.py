@@ -1,0 +1,62 @@
+"""bucketed_hash_join: dtype preservation (the round-2 bug class),
+chained joins, empty sides, and the shared-column guard."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from png_from_pdf_extracter_ray.stages.joins import bucketed_hash_join
+
+
+def _ds(d: dict) -> rd.Dataset:
+    return rd.from_arrow(pa.Table.from_pydict(d))
+
+
+def test_int64_keys_survive_chained_joins(ray_session) -> None:  # noqa: ANN001
+    """The regression: pandas NaN-alignment of mismatched union schemas
+    coerced int64 keys to float64, which hash into different buckets and
+    silently match NOTHING in a second join."""
+    pairs = _ds({"id_a": [1, 1, 2], "id_b": [2, 4, 4]})
+    ta = _ds({"id_a": [1, 2, 3, 4], "text_a": ["t1", "t2", "t3", "t4"]})
+    tb = _ds({"id_b": [1, 2, 3, 4], "text_b": ["u1", "u2", "u3", "u4"]})
+    j1 = bucketed_hash_join(pairs, ta, on="id_a")
+    j2 = bucketed_hash_join(j1, tb, on="id_b").to_pandas()
+    assert len(j2) == 3, "second join lost rows (dtype/bucket mismatch)"
+    assert pd.api.types.is_integer_dtype(j2["id_a"])
+    assert pd.api.types.is_integer_dtype(j2["id_b"])
+    got = j2.sort_values(["id_a", "id_b"], ignore_index=True)
+    assert list(got["text_b"]) == ["u2", "u4", "u4"]
+
+
+def test_inner_join_semantics_match_pandas(ray_session) -> None:  # noqa: ANN001
+    left = _ds({"k": [1, 2, 2, 5], "l": ["a", "b", "c", "d"]})
+    right = _ds({"k": [2, 2, 5, 7], "r": ["x", "y", "z", "w"]})
+    got = (
+        bucketed_hash_join(left, right, on="k")
+        .to_pandas()
+        .sort_values(["k", "l", "r"], ignore_index=True)
+    )
+    want = (
+        left.to_pandas()
+        .merge(right.to_pandas(), on="k")
+        .sort_values(["k", "l", "r"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_join_with_no_matches_is_empty_with_schema(ray_session) -> None:  # noqa: ANN001
+    left = _ds({"k": [1, 2], "l": ["a", "b"]})
+    right = _ds({"k": [3, 4], "r": ["x", "y"]})
+    out = bucketed_hash_join(left, right, on="k").to_pandas()
+    assert len(out) == 0
+
+
+def test_shared_nonkey_columns_rejected(ray_session) -> None:  # noqa: ANN001
+    left = _ds({"k": [1], "v": [1]})
+    right = _ds({"k": [1], "v": [2]})
+    with pytest.raises(ValueError, match="share non-key columns"):
+        bucketed_hash_join(left, right, on="k")

@@ -142,3 +142,19 @@ def test_watch_mode_processes_newly_arrived_shards(ray_session, sf_dir, tmp_path
     for p, before in poll1_manifests.items():
         with open(p) as f:
             assert f.read() == before
+
+
+def test_manifest_records_per_stage_metrics(ray_session, sf_dir, tmp_path) -> None:  # noqa: ANN001
+    out_dir = str(tmp_path / "run_stages")
+    from png_from_pdf_extracter_ray.state.manifest import run_partitioned
+
+    manifests = run_partitioned(SHARDS[:1], out_dir, _pipeline_for(sf_dir))
+    stages = manifests[0].stage_metrics
+    assert stages, "expected per-stage metrics parsed from Dataset.stats()"
+    names = " ".join(s["name"] for s in stages)
+    assert "ExtractWorker" in names
+    assert all(s["wall_s"] >= 0 and s["tasks"] >= 1 for s in stages)
+    # round-trips through the committed manifest json
+    with open(os.path.join(out_dir, "manifests", "part-00000.json")) as f:
+        m = json.load(f)
+    assert m["stage_metrics"] == stages
