@@ -294,21 +294,37 @@ def distinct_mktsegments(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"c_mktsegment": sorted(vals)})
 
 
-def events_sessionize(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
+def _bucket_by(ds: rd.Dataset, col: str, num_buckets: int) -> rd.Dataset:
+    """Attach a stable hash bucket of ``col`` — keyed stages then shuffle
+    into B vectorizable groups instead of one Ray group per key."""
+    from ..stages.dedup import stable_bucket_ids
+
+    def add(t: pa.Table) -> pa.Table:
+        b = stable_bucket_ids(t[col], num_buckets)
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def events_sessionize(sf_dir: str, gap_s: int = 1800, num_buckets: int = 64) -> pd.DataFrame:
     """Sessionization: per-user sessions split on ts gaps > ``gap_s``.
 
-    The streaming-shaped op of the guide: partition by key, sort by ts
-    within the group, window in pandas.  Deterministic ordering tie-break
-    on event_id.  Output: one row per session.
+    Scale shape: users hash into B buckets (all events of a user
+    co-locate) and the whole bucket is sessionized VECTORIZED — per-user
+    shift/cumsum via pandas groupby inside the bucket, not one Ray group
+    per user (billions of keys ⇒ per-key groups crawl).  Deterministic
+    tie-break on event_id.  Output: one row per session.
     """
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        brk = (g["ts"].diff().dt.total_seconds() > gap_s) | g["ts"].diff().isna()
-        g = g.assign(session_no=brk.cumsum().astype("int64"))
-        out = g.groupby("session_no", as_index=False).agg(
-            user_id=("user_id", "first"),
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id", sort=False)["ts"].shift()
+        brk = ((g["ts"] - prev).dt.total_seconds() > gap_s) | prev.isna()
+        g = g.assign(
+            session_no=brk.groupby(g["user_id"], sort=False).cumsum().astype("int64")
+        )
+        out = g.groupby(["user_id", "session_no"], as_index=False, sort=False).agg(
             n_events=("event_id", "size"),
             session_start=("ts", "min"),
         )
@@ -316,7 +332,12 @@ def events_sessionize(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
         out["n_events"] = out["n_events"].astype("int64")
         return out[["user_id", "session_no", "n_events", "session_start"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return (
+        _bucket_by(ds, "user_id", num_buckets)
+        .groupby("__bucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
+        .to_pandas()
+    )
 
 
 def cumulative_order_value(sf_dir: str, custkey_max: int = 200) -> pd.DataFrame:
@@ -441,27 +462,38 @@ def q3_shipping_priority(
     )
 
 
-def events_asof_last_purchase(sf_dir: str) -> pd.DataFrame:
+def events_asof_last_purchase(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     """As-of join: for each event, the user's most recent STRICTLY PRIOR
-    'purchase' event — ``pd.merge_asof`` per user-hash bucket over
-    ts-sorted groups (the guide's as-of pattern; DuckDB ASOF JOIN is the
-    oracle).  Partitioning assumption: both sides bucketed on user_id."""
+    'purchase' event (DuckDB ASOF JOIN is the oracle).
+
+    Scale shape: users hash into B buckets and each bucket runs ONE
+    vectorized ``pd.merge_asof(..., by="user_id")`` over the ts-sorted
+    bucket — not one Ray group per user.  Partitioning assumption: both
+    sides of the as-of are co-located by user hash."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
-        right = g[g["event_type"] == "purchase"][["ts"]].assign(prev_purchase=lambda d: d["ts"])
+        right = g[g["event_type"] == "purchase"][["user_id", "ts"]].assign(
+            prev_purchase=lambda d: d["ts"]
+        )
         out = pd.merge_asof(
-            g[["event_id", "ts"]],
+            g[["event_id", "user_id", "ts"]],
             right,
             on="ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=False,
         )
         prev = out["prev_purchase"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         return pd.DataFrame({"event_id": out["event_id"], "prev_purchase": prev.fillna("")})
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+    return (
+        _bucket_by(ds, "user_id", num_buckets)
+        .groupby("__bucket")
+        .map_groups(asof_bucket, batch_format="pandas")
+        .to_pandas()
+    )
 
 
 def quantity_quantiles_by_returnflag(sf_dir: str) -> pd.DataFrame:
