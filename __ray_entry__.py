@@ -197,11 +197,21 @@ def oracle_sql() -> dict[str, str]:
     # extract → summarize, see pipelines/summary.py.  The queries()
     # callable (re)writes it; the driver compares at sf0.01 (tests
     # override via GRAFT_ORACLE_SF_DIR to match their sf fixture).
-    from png_from_pdf_extracter_ray.pipelines.summary import pages_digest_oracle_path
+    from png_from_pdf_extracter_ray.pipelines.summary import (
+        pages_digest_oracle_path,
+        write_oracle_summary,
+    )
 
     _oracle_sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     _flagship_oracle = oracle_summary_path(_oracle_sf, expand=2)
     _pages_oracle = pages_digest_oracle_path(_oracle_sf, expand=2)
+    # Write the single-process oracle parquets NOW (pure Python, no Ray)
+    # so the SQL below works regardless of whether the driver runs the
+    # SQL before or after the corresponding queries() entry.
+    try:
+        write_oracle_summary(_oracle_sf, expand=2)
+    except Exception:
+        pass  # the queries() entries also (re)write on their own path
 
     return {
         "extract_flagship_summary": f"""
