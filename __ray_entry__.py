@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from png_from_pdf_extracter_ray.pipelines.summary import flagship_summary
     from png_from_pdf_extracter_ray.pipelines.summary import pages_digest as _pages_digest
+    from png_from_pdf_extracter_ray.pipelines.summary import (
+        skew_routed_summary as _skew_summary,
+    )
 
     return {
         # --- flagship extraction (non-SQL: rows-only check) ---
@@ -77,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- page-raster digest (SQL-checked vs the same single-process
         # oracle: XOR over blake2b of the PNG BYTES of every page) ---
         "pages_digest": lambda sf: _pages_digest(sf, expand=2),
+        # --- skew-routed pipeline summary: the size-bucketed variant must
+        # reproduce the flagship oracle exactly (SQL-checked) ---
+        "extract_skew_routed_summary": lambda sf: _skew_summary(sf, expand=2),
         # --- relational operators (SQL-checked) ---
         "q1_pricing_summary": rel.q1_pricing_summary,
         "lang_whitelist_filter": rel.lang_whitelist_filter,
@@ -221,6 +227,10 @@ def oracle_sql() -> dict[str, str]:
         "pages_digest": f"""
             SELECT n_pages, total_png_bytes, xor_digest
             FROM read_parquet('{_pages_oracle}')
+        """,
+        "extract_skew_routed_summary": f"""
+            SELECT status, content_type, n_docs, xor_digest
+            FROM read_parquet('{_flagship_oracle}')
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -99,6 +99,23 @@ def flagship_summary(sf_dir: str, expand: int = 2) -> pd.DataFrame:
     return summarize_extracted(flagship(sf_dir, expand=expand, summary_only=True))
 
 
+def skew_routed_summary(sf_dir: str, expand: int = 2) -> pd.DataFrame:
+    """Same summary via the SIZE-BUCKETED pipeline (mega-docs routed to a
+    batch_size=1 pool slice) — must equal the flagship oracle exactly,
+    which driver-checks the skew-routing path end to end."""
+    from ..sources.pages_source import synthesize_pages
+    from ..stages.dedup import dedup_keep_first
+    from .extract_pipeline import extract_pipeline_size_bucketed
+
+    write_oracle_summary(sf_dir, expand=expand)
+
+    def pages_factory() -> rd.Dataset:
+        pages = synthesize_pages(sf_dir, expand=expand)
+        return dedup_keep_first(pages, key="url", order_col="warc_ts")
+
+    return summarize_extracted(extract_pipeline_size_bucketed(pages_factory))
+
+
 def oracle_summary_path(sf_dir: str, expand: int = 2) -> str:
     from ..corpus.synth import CORPUS_VERSION
 
