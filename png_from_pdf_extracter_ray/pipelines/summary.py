@@ -43,7 +43,7 @@ def _row_digests(urls: list[str], hashes: list[str]) -> np.ndarray:
     return out
 
 
-def _partial(batch: pa.Table) -> pd.DataFrame:
+def _partial_df(batch: pa.Table) -> pd.DataFrame:
     d = _row_digests(batch["url"].to_pylist(), batch["content_hash"].to_pylist())
     df = pd.DataFrame(
         {
@@ -57,7 +57,15 @@ def _partial(batch: pa.Table) -> pd.DataFrame:
         n_docs=("n_docs", "sum"),
         xor_digest=("xor_digest", lambda s: np.bitwise_xor.reduce(s.to_numpy(dtype=np.uint64))),
     )
+    # int64 bit pattern + Arrow out: consistent dtype across blocks and a
+    # real schema on empty partials
+    agg["xor_digest"] = agg["xor_digest"].astype(np.uint64).astype(np.int64)
+    agg["n_docs"] = agg["n_docs"].astype("int64")
     return agg
+
+
+def _partial(batch: pa.Table) -> pa.Table:
+    return pa.Table.from_pandas(_partial_df(batch), preserve_index=False)
 
 
 def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -67,7 +75,11 @@ def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
             "content_type": [g["content_type"].iloc[0]],
             "n_docs": [int(g["n_docs"].sum())],
             "xor_digest": [
-                int(np.bitwise_xor.reduce(g["xor_digest"].to_numpy(dtype=np.uint64)).astype(np.int64))
+                int(
+                    np.bitwise_xor.reduce(
+                        g["xor_digest"].to_numpy(dtype=np.int64).view(np.uint64)
+                    ).astype(np.int64)
+                )
             ],
         }
     )
@@ -235,14 +247,16 @@ def write_oracle_summary(sf_dir: str, expand: int = 2) -> str:
 
 def summarize_extracted_table(t: pa.Table) -> pd.DataFrame:
     """Single-process equivalent of ``summarize_extracted`` over one table."""
-    merged = _partial(t)
+    merged = _partial_df(t)
     out = (
         merged.groupby(["status", "content_type"], as_index=False, sort=False)
         .agg(
             n_docs=("n_docs", "sum"),
             xor_digest=(
                 "xor_digest",
-                lambda s: np.bitwise_xor.reduce(s.to_numpy(dtype=np.uint64)),
+                lambda s: np.bitwise_xor.reduce(
+                    s.to_numpy(dtype=np.int64).view(np.uint64)
+                ),
             ),
         )
     )
