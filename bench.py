@@ -208,7 +208,9 @@ def run_scaling() -> dict:
 
     lo, hi = 8, 32
     sub(hi, ["--prepare"])  # build the pages cache at full parallelism, untimed
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    # 5 reps: this sandbox's run-to-run variance is ±15%, and a 3-rep
+    # median landed on both sides of the 0.8 bar in back-to-back runs
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "5"))
 
     def median_run(ncpu: int) -> dict:
         runs = sorted((sub(ncpu) for _ in range(reps)), key=lambda r: r["value"])
