@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": textops.bpe_token_counts,
         "quality_scores": textops.quality_scores,
         "stopword_stats": textops.stopword_stats,
+        "train_test_split": textops.train_test_split,
         "md5_fingerprints": textops.md5_fingerprints,
         # --- text analysis (rolling fp: rows-only; langid: SQL-checked) ---
         "rolling_fingerprints": textops.rolling_fingerprints,
@@ -306,6 +307,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stopword_stats": _STOPWORD_SQL,
         "langid_heuristic": _langid_sql(),
+        "train_test_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
+        """,
         "orders_customer_join": """
             SELECT c_mktsegment, o_orderstatus,
                    ROUND(SUM(o_totalprice), 2) AS sum_totalprice,

@@ -47,6 +47,30 @@ def quality_scores(sf_dir: str) -> rd.Dataset:
     ).select_columns(["doc_id", "text_len", "n_punct", "punct_ratio"])
 
 
+def train_test_split(sf_dir: str, test_hex_prefixes: tuple = ("0", "1")) -> rd.Dataset:
+    """Deterministic hash-based train/test split (the held-out-set op of
+    a training-data pipeline): split = 'test' iff the first hex char of
+    md5(doc_id) is in ``test_hex_prefixes`` (2/16 = 12.5% by default).
+    Pure function of the id → stable under any partitioning, resumable,
+    and SQL-checkable (DuckDB md5 agrees byte-for-byte)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def split_batch(batch: pa.Table) -> pa.Table:
+        splits = [
+            "test"
+            if hashlib.md5(str(i).encode()).hexdigest()[0] in test_hex_prefixes
+            else "train"
+            for i in batch["doc_id"].to_pylist()
+        ]
+        return batch.append_column("split", pa.array(splits, pa.string()))
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        split_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "split"])
+
+
 def stopword_stats(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         stopword_stats_batch, batch_format="pandas"
