@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textops.quality_scores,
         "stopword_stats": textops.stopword_stats,
         "train_test_split": textops.train_test_split,
+        "stratified_sample": textops.stratified_sample,
         "md5_fingerprints": textops.md5_fingerprints,
         # --- text analysis (rolling fp: rows-only; langid: SQL-checked) ---
         "rolling_fingerprints": textops.rolling_fingerprints,
@@ -312,6 +313,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
                         THEN 'test' ELSE 'train' END AS split
             FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 20
         """,
         "orders_customer_join": """
             SELECT c_mktsegment, o_orderstatus,

@@ -71,6 +71,32 @@ def train_test_split(sf_dir: str, test_hex_prefixes: tuple = ("0", "1")) -> rd.D
     ).select_columns(["doc_id", "split"])
 
 
+def stratified_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Deterministic stratified sample: the k docs with the smallest
+    md5(doc_id) per language — the balanced-subset op of a training-data
+    pipeline.  Batch-local prune first (≤ k rows per lang leave each
+    batch), then a tiny per-lang merge; fully reproducible, no RNG."""
+    import hashlib
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            __m=[hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]]
+        )
+        return df.sort_values(["__m", "doc_id"]).groupby("lang", sort=False).head(k)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["__m", "doc_id"]).head(k)[["doc_id", "lang"]]
+
+    out = (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(prune, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "doc_id"], ignore_index=True)
+
+
 def stopword_stats(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         stopword_stats_batch, batch_format="pandas"
