@@ -213,13 +213,20 @@ def oracle_sql() -> dict[str, str]:
     _oracle_sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     _flagship_oracle = oracle_summary_path(_oracle_sf, expand=2)
     _pages_oracle = pages_digest_oracle_path(_oracle_sf, expand=2)
-    # Write the single-process oracle parquets NOW (pure Python, no Ray)
-    # so the SQL below works regardless of whether the driver runs the
-    # SQL before or after the corresponding queries() entry.
+    # Write the single-process oracle parquets NOW (pure Python, no Ray,
+    # ~2 s once per sf; cached thereafter) so the SQL below works
+    # regardless of whether the driver runs the SQL before or after the
+    # corresponding queries() entry.
     try:
         write_oracle_summary(_oracle_sf, expand=2)
-    except Exception:
-        pass  # the queries() entries also (re)write on their own path
+    except Exception as exc:  # noqa: BLE001
+        # don't fail the whole oracle_sql() dict over one entry's file —
+        # but say WHY the flagship SQL is about to 404 on read_parquet
+        print(
+            f"[__ray_entry__] flagship oracle parquet write failed: {exc!r}; "
+            "extract_flagship_summary/pages_digest SQL will not find their files",
+            file=sys.stderr,
+        )
 
     return {
         "extract_flagship_summary": f"""

@@ -18,4 +18,8 @@ single-process oracle and the distributed UDF, making extracted text
 byte-identical per url by construction (verified by tests, not assumed).
 """
 
-__version__ = "0.1.0"
+# Bump on ANY kernel/pipeline behavior change: /tmp result caches (the
+# extracted-pages cache and the single-process oracle parquets) are
+# keyed by this + CORPUS_VERSION, so a stale version here would serve
+# pre-change extractions.
+__version__ = "0.2.0"

@@ -16,7 +16,43 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+
+def resolve_watch_shard_size(
+    out_dir: str, n_docs: int, shards: int, shard_size: int | None
+) -> int:
+    """Pin the watch-mode shard size to the output dir.
+
+    The shard size DEFINES partition ids for the lifetime of ``out_dir``:
+    it is persisted on first start and reloaded on restart — deriving it
+    from the (growing) input each start would silently re-map committed
+    manifests onto different doc ranges, skipping new data and
+    mis-attributing old shards.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "watch_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            size = json.load(f)["shard_size"]
+        if shard_size and shard_size != size:
+            raise SystemExit(
+                f"--shard-size {shard_size} conflicts with the committed "
+                f"shard size {size} recorded in {meta_path}"
+            )
+        return size
+    if n_docs == 0 and not shard_size:
+        raise SystemExit(
+            "--watch on an empty input needs an explicit --shard-size "
+            "(deriving it from zero docs would lock in 1-doc shards)"
+        )
+    size = shard_size or max(1, -(-n_docs // shards))
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"shard_size": size}, f)
+    os.replace(tmp, meta_path)
+    return size
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -77,7 +113,9 @@ def main(argv: list[str] | None = None) -> int:
         return pq.read_metadata(f"{args.sf_dir}/documents.parquet").num_rows
 
     if args.watch:
-        size = args.shard_size or max(1, -(-_n_docs() // args.shards))
+        size = resolve_watch_shard_size(
+            args.out, _n_docs(), args.shards, args.shard_size
+        )
 
         def list_full_shards() -> list[dict]:
             # only FULL fixed-size ranges: the growing tail shard must

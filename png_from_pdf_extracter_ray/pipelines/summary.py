@@ -129,9 +129,15 @@ def skew_routed_summary(sf_dir: str, expand: int = 2) -> pd.DataFrame:
 
 
 def oracle_summary_path(sf_dir: str, expand: int = 2) -> str:
+    from .. import __version__ as ENGINE_VERSION
     from ..corpus.synth import CORPUS_VERSION
 
-    tag = os.path.basename(sf_dir.rstrip("/")) + f"_x{expand}_v{CORPUS_VERSION}"
+    # keyed by corpus AND engine version — the parquet holds extraction
+    # output, which a kernel change alters without a corpus bump
+    tag = (
+        os.path.basename(sf_dir.rstrip("/"))
+        + f"_x{expand}_v{CORPUS_VERSION}_e{ENGINE_VERSION}"
+    )
     return os.path.join(ORACLE_SUMMARY_ROOT, f"{tag}.parquet")
 
 

@@ -295,10 +295,13 @@ def _extracted_pages(sf_dir: str) -> rd.Dataset:
     partition manifests); a partial write is cleared and re-run."""
     import shutil
 
+    from .. import __version__ as ENGINE_VERSION
     from ..corpus.synth import CORPUS_VERSION
     from .extract_pipeline import flagship
 
-    tag = os.path.basename(sf_dir.rstrip("/")) + f"_x2_v{CORPUS_VERSION}"
+    # keyed by corpus AND engine version: the cache stores extraction
+    # OUTPUT, which changes when the kernel changes, not just the corpus
+    tag = os.path.basename(sf_dir.rstrip("/")) + f"_x2_v{CORPUS_VERSION}_e{ENGINE_VERSION}"
     path = os.path.join(_EXTRACT_CACHE_ROOT, tag)
     marker = path + ".done"
     if not os.path.exists(marker):

@@ -92,13 +92,21 @@ def _run_with_timeout(fn: Callable[[], Any], timeout_s: float) -> Any:
     box: dict[str, Any] = {}
 
     def target() -> None:
-        box["v"] = fn()
+        try:
+            box["v"] = fn()
+        except BaseException as e:  # noqa: BLE001 — re-raised in the caller
+            box["e"] = e
 
     t = threading.Thread(target=target, daemon=True)
     t.start()
     t.join(timeout_s)
     if t.is_alive():
         return _TIMED_OUT
+    if "e" in box:
+        # propagate infrastructure errors with their real type/traceback
+        # (only kernel-taxonomy errors become dead-letter rows, and those
+        # never escape extract_one)
+        raise box["e"]
     return box["v"]
 
 

@@ -50,6 +50,10 @@ from .joins import bucketed_hash_join
 # Sentinel signature value for empty documents: the max 32-bit hash output.
 _EMPTY_SIG = (1 << 32) - 1
 
+# Per-worker-process cache of the broadcast candidate-id value set
+# (keyed by ObjectRef hex — same pattern as dedup._WINNER_CACHE).
+_CAND_ID_CACHE: dict = {}
+
 
 def _to_pandas_safe(ds: "rd.Dataset", columns: list[str]) -> pd.DataFrame:
     """to_pandas that keeps column names when the dataset is empty."""
@@ -66,6 +70,11 @@ def _token_hashes(text: str, k_shingle: int) -> np.ndarray:
     process-stable) over the shingle-string array instead of a Python
     blake2b per shingle: the per-shingle hashing dominated MinHash
     signature AND Jaccard-verification cost.
+
+    Short-doc policy: a doc with < k tokens becomes ONE whole-doc
+    shingle (short exact dups still pair) — deliberately different from
+    ``_shingle_strings``, whose relational oracle emits no shingles
+    below k tokens.
     """
     toks = (text or "").lower().split()
     if len(toks) < k_shingle:
@@ -246,9 +255,15 @@ def minhash_near_dup_pairs(
     ids_ref = ray.put(cand_ids)
 
     def semi_filter(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        mask = pa.array([i in wanted for i in batch[id_col].to_pylist()])
-        return batch.select([id_col, text_col]).filter(mask)
+        # deserialize the broadcast set once per worker process, as an
+        # Arrow value-set for a vectorized is_in (not a per-batch
+        # ray.get + per-element Python membership loop)
+        vs = _CAND_ID_CACHE.get(ids_ref.hex())
+        if vs is None:
+            vs = pa.array(list(ray.get(ids_ref)))
+            _CAND_ID_CACHE[ids_ref.hex()] = vs
+        mask = pc.is_in(batch[id_col], value_set=vs)
+        return batch.select([id_col, text_col]).filter(pc.fill_null(mask, False))
 
     texts = ds.map_batches(semi_filter, batch_format="pyarrow")
 
@@ -388,8 +403,14 @@ def min_label_components(
         ).count()
         labels = out.drop_columns(["__changed"]).materialize()
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    # Loud, not wrong: truncating propagation would silently SPLIT a
+    # component whose diameter exceeds the round budget.
+    raise RuntimeError(
+        f"min_label_components did not converge in {max_iters} rounds "
+        f"({n_changed} labels still changing) — a component's diameter "
+        "exceeds the budget; raise max_iters"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -399,7 +420,12 @@ def min_label_components(
 
 def _shingle_strings(text: str, k_shingle: int) -> set[str]:
     """Distinct k-token shingles; docs with < k tokens have none (the
-    same rule the SQL oracle's positional self-join implements)."""
+    same rule the SQL oracle's positional self-join implements).
+
+    DELIBERATELY different short-doc policy from ``_token_hashes`` (the
+    MinHash path), which folds a < k-token doc into ONE whole-doc
+    shingle so short exact dups still pair: this operator must match
+    its relational oracle, which emits no shingles below k tokens."""
     toks = (text or "").lower().split()
     if len(toks) < k_shingle:
         return set()

@@ -34,6 +34,8 @@ import pyarrow.dataset as pads
 
 import ray.data as rd
 
+from .. import __version__ as ENGINE_VERSION
+
 
 @dataclass
 class PartitionManifest:
@@ -44,7 +46,7 @@ class PartitionManifest:
     content_digest: str
     started_at: float
     duration_s: float
-    engine_version: str = "0.1.0"
+    engine_version: str = ENGINE_VERSION
     # per-operator wall/rows from the executed Dataset's stats —
     # the "per-stage metrics" leg of the lineage record (north rule).
     # Default keeps pre-existing manifests loadable on resume.

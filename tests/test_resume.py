@@ -158,3 +158,24 @@ def test_manifest_records_per_stage_metrics(ray_session, sf_dir, tmp_path) -> No
     with open(os.path.join(out_dir, "manifests", "part-00000.json")) as f:
         m = json.load(f)
     assert m["stage_metrics"] == stages
+
+
+def test_watch_shard_size_pinned_across_restarts(tmp_path) -> None:  # noqa: ANN001
+    """Restarting --watch after the input grew must reuse the committed
+    shard size (partition ids are defined by it), not re-derive it."""
+    import pytest
+
+    from png_from_pdf_extracter_ray.main import resolve_watch_shard_size
+
+    out = str(tmp_path / "watch_out")
+    size1 = resolve_watch_shard_size(out, n_docs=100, shards=4, shard_size=None)
+    assert size1 == 25
+    # input grew to 200 docs; restart derives NOTHING — pinned size wins
+    size2 = resolve_watch_shard_size(out, n_docs=200, shards=4, shard_size=None)
+    assert size2 == 25
+    # a conflicting explicit size is an error, not a silent remap
+    with pytest.raises(SystemExit, match="conflicts"):
+        resolve_watch_shard_size(out, n_docs=200, shards=4, shard_size=50)
+    # empty input without an explicit size must not lock in 1-doc shards
+    with pytest.raises(SystemExit, match="empty input"):
+        resolve_watch_shard_size(str(tmp_path / "other"), n_docs=0, shards=4, shard_size=None)

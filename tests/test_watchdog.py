@@ -60,3 +60,22 @@ def test_guard_off_matches_guarded_output_for_wellformed_docs() -> None:
     a = guarded(batch).drop_columns(["duration_ms"])
     b = plain(batch).drop_columns(["duration_ms"])
     assert a.equals(b)
+
+
+def test_infrastructure_errors_propagate_with_real_type() -> None:
+    """A non-timeout exception inside the guarded batch must surface as
+    itself, not as KeyError('v') from the result box."""
+    import pytest
+
+    from png_from_pdf_extracter_ray.stages.extract_stage import (
+        _TIMED_OUT,
+        _run_with_timeout,
+    )
+
+    def boom() -> None:
+        raise MemoryError("payload too large for worker heap")
+
+    with pytest.raises(MemoryError, match="payload too large"):
+        _run_with_timeout(boom, timeout_s=5.0)
+    assert _run_with_timeout(lambda: 42, timeout_s=5.0) == 42
+    assert _run_with_timeout(lambda: __import__("time").sleep(1), 0.05) is _TIMED_OUT
