@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_per_region": rel.nations_per_region,
         "orders_customer_join": rel.orders_customer_join,
         "distinct_mktsegments": rel.distinct_mktsegments,
+        "customers_without_orders": rel.customers_without_orders,
+        "orders_count_per_customer": rel.orders_count_per_customer,
         "supplier_topk_acctbal": rel.supplier_topk_acctbal,
         "parts_by_brand": rel.parts_by_brand,
         "union_account_holders": rel.union_account_holders,
@@ -340,6 +342,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_mktsegments": """
             SELECT DISTINCT c_mktsegment FROM customer
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+            )
+        """,
+        "orders_count_per_customer": """
+            SELECT c_custkey, CAST(COALESCE(cnt, 0) AS BIGINT) AS n_orders
+            FROM customer
+            LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
+            ON c_custkey = o_custkey
         """,
         "supplier_topk_acctbal": """
             SELECT s_suppkey, s_name, s_acctbal FROM supplier

@@ -288,6 +288,47 @@ def orders_customer_join(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def customers_without_orders(sf_dir: str, since: str = "1998-06-01") -> pd.DataFrame:
+    """Anti-join (NOT IN / NOT EXISTS shape): customers with NO order on
+    or after ``since``.  The right side ships only its (filtered,
+    batch-deduped) key column through the bucket shuffle."""
+    import pyarrow.compute as pc
+
+    cut = pd.Timestamp(since).to_pydatetime()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    order_keys = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(cut)))
+        .select(["o_custkey"])
+        .rename_columns(["c_custkey"])
+        .combine_chunks()
+        .group_by(["c_custkey"])
+        .aggregate([]),
+        batch_format="pyarrow",
+    )
+    out = bucketed_hash_join(cust, order_keys, on="c_custkey", how="anti").to_pandas()
+    if out.empty and list(out.columns) != ["c_custkey", "c_name"]:
+        out = pd.DataFrame(
+            {"c_custkey": pd.Series([], dtype="int64"), "c_name": pd.Series([], dtype=object)}
+        )
+    return out.sort_values("c_custkey", ignore_index=True)
+
+
+def orders_count_per_customer(sf_dir: str) -> pd.DataFrame:
+    """LEFT join: per-customer order count including zero-order customers
+    (pre-aggregated counts bucket-join onto the customer table)."""
+    counts = grouped_sum_arrow(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        ["o_custkey"],
+        None,
+        [],
+        count_col="cnt",
+    ).map_batches(lambda t: t.rename_columns(["c_custkey", "cnt"]), batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    j = bucketed_hash_join(cust, counts, on="c_custkey", how="left").to_pandas()
+    j["n_orders"] = j["cnt"].fillna(0).astype("int64")
+    return j[["c_custkey", "n_orders"]]
+
+
 def distinct_mktsegments(sf_dir: str) -> pd.DataFrame:
     """DISTINCT via Dataset.unique (shuffle de-dup of one column)."""
     vals = _read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment")

@@ -47,8 +47,15 @@ def bucketed_hash_join(
     right: rd.Dataset,
     on: str,
     num_buckets: int = 32,
+    how: str = "inner",
 ) -> rd.Dataset:
-    """Explicit partitioned hash join — one bucket shuffle, merge per bucket."""
+    """Explicit partitioned hash join — one bucket shuffle, merge per bucket.
+
+    ``how``: "inner", "left" (unmatched left rows keep typed nulls on the
+    right columns), or "anti" (left rows with NO match — the NOT-IN /
+    NOT-EXISTS shape; output carries only the left columns)."""
+    if how not in ("inner", "left", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
     ls, rs = left.schema(), right.schema()
     lcols, rcols = list(ls.names), list(rs.names)
     types = {
@@ -82,7 +89,19 @@ def bucketed_hash_join(
         side = group["__side"]
         l = group.filter(pc.equal(side, 0)).select(lcols).to_pandas()
         r = group.filter(pc.equal(side, 1)).select(rcols).to_pandas()
-        merged = l.merge(r, on=on, how="inner")
+        if how == "anti":
+            out = l[~l[on].isin(r[on])]
+            schema = pa.schema([(c, types[c]) for c in lcols])
+            return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+        merged = l.merge(r, on=on, how=how)
+        if how == "left":
+            # typed schema: an all-matched (or all-unmatched) bucket must
+            # not flip dtypes vs its neighbors
+            schema = pa.schema(
+                [(c, types[c]) for c in lcols]
+                + [(c, types[c]) for c in rcols if c != on]
+            )
+            return pa.Table.from_pandas(merged, schema=schema, preserve_index=False)
         return pa.Table.from_pandas(merged, preserve_index=False)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -60,3 +60,29 @@ def test_shared_nonkey_columns_rejected(ray_session) -> None:  # noqa: ANN001
     right = _ds({"k": [1], "v": [2]})
     with pytest.raises(ValueError, match="share non-key columns"):
         bucketed_hash_join(left, right, on="k")
+
+
+def test_left_join_keeps_unmatched_rows_typed(ray_session) -> None:  # noqa: ANN001
+    left = _ds({"k": [1, 2, 3], "l": ["a", "b", "c"]})
+    right = _ds({"k": [2], "r": [10]})
+    out = (
+        bucketed_hash_join(left, right, on="k", how="left")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert len(out) == 3
+    assert pd.api.types.is_integer_dtype(out["k"])
+    assert out.loc[out["k"] == 2, "r"].iloc[0] == 10
+    assert out.loc[out["k"] == 1, "r"].isna().all()
+
+
+def test_anti_join_returns_only_unmatched_left(ray_session) -> None:  # noqa: ANN001
+    left = _ds({"k": [1, 2, 3, 4], "l": ["a", "b", "c", "d"]})
+    right = _ds({"k": [2, 4]})
+    out = (
+        bucketed_hash_join(left, right, on="k", how="anti")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert list(out["k"]) == [1, 3]
+    assert list(out.columns) == ["k", "l"]
