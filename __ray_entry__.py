@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_ivf": textops.similarity_topk_ivf,
         # --- near-duplicate detection ---
         "embedding_near_dups": textops.embedding_near_dups,  # SQL-checked
+        "embedding_near_dups_lsh": textops.embedding_near_dups_lsh,  # rows-only
         "ngram_jaccard_near_dups": textops.ngram_jaccard_near_dups,  # SQL-checked
         "minhash_near_dups": textops.minhash_near_dups,  # rows-only
         "minhash_dedup_groups": textops.minhash_dedup_groups,  # rows-only

@@ -85,6 +85,7 @@ def _extract_payload(
     cfg: ExtractConfig,
     deadline: float,
     part_idx: int | None = None,
+    cancel: Any | None = None,
 ) -> dict[str, Any] | None:
     """Extract one (sub-)payload.  Returns None for unsupported types
     (≈ non-PDF attachment skipped during the MIME walk)."""
@@ -130,7 +131,12 @@ def _extract_payload(
             if part_idx is not None:
                 base = f"{base}_part{part_idx}"
             for p in pages:
-                if time.perf_counter() > deadline:
+                # ``cancel`` is the watchdog's cooperative abandon flag:
+                # once the caller has given up on this thread its output
+                # is discarded, so exiting early only saves CPU.
+                if (cancel is not None and cancel.is_set()) or (
+                    time.perf_counter() > deadline
+                ):
                     raise pdfmod.PDFConversionError(
                         f"PDF conversion timed out after {cfg.timeout_s} seconds"
                     )
@@ -155,9 +161,16 @@ def _extract_payload(
     return None  # unsupported part type — skipped, like non-PDF attachments
 
 
-def extract_one(url: str, payload: bytes | None, cfg: ExtractConfig) -> dict[str, Any]:
+def extract_one(
+    url: str,
+    payload: bytes | None,
+    cfg: ExtractConfig,
+    cancel: Any | None = None,
+) -> dict[str, Any]:
     """Extract one document.  Pure, deterministic in everything except
-    ``duration_ms`` (a metric, not part of the byte-identity invariant)."""
+    ``duration_ms`` (a metric, not part of the byte-identity invariant).
+    ``cancel`` (a threading.Event-like) is only consulted to abandon
+    work whose output the caller has already discarded."""
     t0 = time.perf_counter()
     deadline = t0 + cfg.timeout_s
     ct = sniff_content_type(payload)
@@ -191,7 +204,7 @@ def extract_one(url: str, payload: bytes | None, cfg: ExtractConfig) -> dict[str
             results = []
             for i, part in enumerate(parts, start=1):
                 pct = sniff_content_type(part)
-                r = _extract_payload(url, part, pct, cfg, deadline, part_idx=i)
+                r = _extract_payload(url, part, pct, cfg, deadline, part_idx=i, cancel=cancel)
                 if r is not None:
                     results.append(r)
             if not results:
@@ -213,7 +226,7 @@ def extract_one(url: str, payload: bytes | None, cfg: ExtractConfig) -> dict[str
                 out["title"] = next((r["title"] for r in results if r["title"]), "")
                 out["n_payloads"] = len(results)
         else:
-            r = _extract_payload(url, payload, ct, cfg, deadline)
+            r = _extract_payload(url, payload, ct, cfg, deadline, cancel=cancel)
             if r is None:
                 out["status"] = STATUS_SKIPPED
             else:

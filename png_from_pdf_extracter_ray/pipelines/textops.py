@@ -239,30 +239,32 @@ def text_embeddings(sf_dir: str, dim: int = 64) -> rd.Dataset:
 
 def text_embedding_near_dups(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
     """End-to-end: embed documents with the engine's own embedder, then
-    exact cosine near-dup pairs over those vectors — the composition a
-    training-data pipeline runs (embed → dedup).  Rows-only oracle."""
-    import numpy as np
+    SRP-LSH-bucketed cosine near-dup pairs over those vectors — the
+    composition a training-data pipeline runs (embed → dedup).
 
-    from ..stages.neardup import embedding_near_dup_pairs
+    Round-3 rework: the embedding matrix is never materialized on the
+    driver and never broadcast whole — candidate pairs come from the
+    SRP-LSH bucket self-merge and only bucket-joined vector pairs are
+    scored (stages/neardup.embedding_near_dup_pairs_lsh).  Rows-only
+    oracle (LSH recall is probabilistic by design; verification is
+    exact cosine, so output ⊆ the exact pair set).
+    """
+    from ..stages.neardup import embedding_near_dup_pairs_lsh
 
+    # materialized once: consumed by the signature pass AND the verify joins
     emb = text_embeddings(sf_dir).materialize()
-    ids, vecs = [], []
-    for b in emb.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ids.extend(b["doc_id"].to_pylist())
-        vecs.extend(b["embedding"].to_pylist())
-    out = embedding_near_dup_pairs(
-        emb,
-        np.asarray(ids),
-        np.asarray(vecs, dtype=np.float32),
-        threshold=threshold,
-        id_col="doc_id",
-        vec_col="embedding",
+    return embedding_near_dup_pairs_lsh(
+        emb, threshold=threshold, id_col="doc_id", vec_col="embedding"
     )
-    return out
 
 
 def embedding_near_dups(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
-    """Exact embedding-cosine near-dup pairs (SQL-checked)."""
+    """Exact embedding-cosine near-dup pairs (SQL-checked).
+
+    The EXACT mode: the full normalized matrix is broadcast once and
+    every batch matmuls against it — correct at any recall, bounded by
+    the matrix fitting worker memory (the documented envelope).  The
+    beyond-memory path is ``embedding_near_dups_lsh``."""
     import pyarrow.parquet as pq
 
     from ..stages.neardup import embedding_near_dup_pairs
@@ -279,6 +281,25 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     )
 
 
+def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """SRP-LSH-bucketed embedding near-dup pairs — the 100 TB path: no
+    driver matrix, no full broadcast; candidates from bucketed signature
+    self-merge, verification by exact cosine on bucket-joined vectors.
+    Rows-only oracle (recall is the documented LSH tradeoff; at this
+    corpus/threshold the pair set matches the exact mode — asserted by
+    a pytest recall check at threshold 0.95)."""
+    from ..stages.neardup import embedding_near_dup_pairs_lsh
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # moderate-threshold regime (0.4 ≈ 66° angle) needs SHORT signatures
+    # and MANY tables for recall: P[collide ≥1 table] = 1-(1-(1-θ/π)^4)^32
+    # ≈ 0.996 at cos 0.4 — vs the near-dup default (6 planes × 16 tables)
+    # tuned for cos ≥ 0.9.
+    return embedding_near_dup_pairs_lsh(
+        ds, threshold=threshold, n_planes=4, n_tables=32
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal page operations (rows-only oracles)
 # ---------------------------------------------------------------------------
@@ -290,25 +311,40 @@ _EXTRACT_CACHE_ROOT = "/tmp/graft_extracted_pages"
 def _extracted_pages(sf_dir: str) -> rd.Dataset:
     """Flagship extraction output, run ONCE per (sf_dir, expand, corpus
     version) and cached as parquet — the three multimodal queries each
-    read the cache instead of re-running the whole extraction.  The
-    ``.done`` marker commits the cache (same commit-last protocol as the
-    partition manifests); a partial write is cleared and re-run."""
+    read the cache instead of re-running the whole extraction.
+
+    Commit protocol: write to a process-unique temp dir, then one atomic
+    ``os.rename`` to the final path — a cache dir either exists complete
+    or not at all, and two concurrent processes cannot interleave writes
+    (the losing rename just discards its tmp).  The tag hashes the
+    ABSOLUTE sf_dir (two corpora whose directories share a leaf name
+    must not share a cache entry) plus corpus AND engine version: the
+    cache stores extraction OUTPUT, which changes when the kernel
+    changes, not just the corpus.
+    """
+    import errno
+    import hashlib
     import shutil
 
     from .. import __version__ as ENGINE_VERSION
     from ..corpus.synth import CORPUS_VERSION
     from .extract_pipeline import flagship
 
-    # keyed by corpus AND engine version: the cache stores extraction
-    # OUTPUT, which changes when the kernel changes, not just the corpus
-    tag = os.path.basename(sf_dir.rstrip("/")) + f"_x2_v{CORPUS_VERSION}_e{ENGINE_VERSION}"
+    abs_sf = os.path.abspath(sf_dir).rstrip("/")
+    dir_hash = hashlib.sha1(abs_sf.encode()).hexdigest()[:12]
+    tag = f"{os.path.basename(abs_sf)}_{dir_hash}_x2_v{CORPUS_VERSION}_e{ENGINE_VERSION}"
     path = os.path.join(_EXTRACT_CACHE_ROOT, tag)
-    marker = path + ".done"
-    if not os.path.exists(marker):
-        shutil.rmtree(path, ignore_errors=True)
-        flagship(sf_dir, expand=2, summary_only=False).write_parquet(path)
-        with open(marker, "w") as f:
-            f.write(tag)
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        flagship(sf_dir, expand=2, summary_only=False).write_parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError as exc:
+            # another process committed first — its cache is complete; use it
+            if exc.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
     return rd.read_parquet(path)
 
 

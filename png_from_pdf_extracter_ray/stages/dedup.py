@@ -146,6 +146,10 @@ def dedup_keep_first_broadcast(
     def winner_filter(batch: pa.Table) -> pa.Table:
         lookup = _WINNER_CACHE.get(ref.hex())
         if lookup is None:
+            # single-entry cache (same policy as neardup._CAND_ID_CACHE):
+            # repeated runs in one worker process must not pin every past
+            # winner map for the process lifetime
+            _WINNER_CACHE.clear()
             w = ray.get(ref)
             lookup = pd.Series(w["orders"], index=w["keys"])
             _WINNER_CACHE[ref.hex()] = lookup

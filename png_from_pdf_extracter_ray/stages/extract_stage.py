@@ -58,7 +58,9 @@ def results_to_table(
     )
 
 
-def extract_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
+def extract_batch(
+    batch: pa.Table, cfg: ExtractConfig, cancel: "threading.Event | None" = None
+) -> pa.Table:
     """Extract every row of a pages batch (shared by worker and oracle)."""
     urls = batch["url"].to_pylist()
     payloads = batch["html"].to_pylist()
@@ -69,25 +71,32 @@ def extract_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
         else pa.nulls(n, pa.timestamp("us"))
     )
     langs = batch["lang"] if "lang" in batch.schema.names else pa.nulls(n, pa.string())
-    results = [extract_one(u, p, cfg) for u, p in zip(urls, payloads)]
+    results = [extract_one(u, p, cfg, cancel=cancel) for u, p in zip(urls, payloads)]
     return results_to_table(results, warc_ts, langs)
 
 
 _TIMED_OUT = object()
 
 
-def _run_with_timeout(fn: Callable[[], Any], timeout_s: float) -> Any:
+def _run_with_timeout(
+    fn: Callable[[], Any], timeout_s: float, cancel: "threading.Event | None" = None
+) -> Any:
     """Run ``fn`` in a daemon thread; return its result or ``_TIMED_OUT``.
 
-    On timeout the thread is ABANDONED (it keeps the CPU until it
-    finishes or the worker process dies — daemon, so it never blocks
-    actor exit); the caller continues, which is the "dead-letter without
-    killing the actor" semantics.  Caveat vs the reference's subprocess
-    kill: a wedged pure-Python loop yields the GIL every switch interval
-    so the timeout fires on schedule, but a single non-yielding C call
-    (e.g. one catastrophic regex match) would also starve this watchdog
-    — the kernel's own parsers are bounded-iteration Python loops with
-    cooperative deadlines, so that mode is out of contract.
+    On timeout the thread is ABANDONED (daemon, so it never blocks actor
+    exit); the caller continues, which is the "dead-letter without
+    killing the actor" semantics.  If ``cancel`` is given it is SET on
+    timeout — the kernel's render loop checks it cooperatively, so an
+    abandoned thread exits at its next check instead of running the rest
+    of the batch to completion while the caller re-extracts the same
+    rows (a poison batch would otherwise do ~2× the work concurrently
+    and accumulate live threads in a long-lived actor).  Caveat vs the
+    reference's subprocess kill: a wedged pure-Python loop yields the
+    GIL every switch interval so the timeout fires on schedule, but a
+    single non-yielding C call (e.g. one catastrophic regex match) would
+    also starve this watchdog — the kernel's own parsers are
+    bounded-iteration Python loops with cooperative deadlines, so that
+    mode is out of contract.
     """
     box: dict[str, Any] = {}
 
@@ -101,6 +110,8 @@ def _run_with_timeout(fn: Callable[[], Any], timeout_s: float) -> Any:
     t.start()
     t.join(timeout_s)
     if t.is_alive():
+        if cancel is not None:
+            cancel.set()
         return _TIMED_OUT
     if "e" in box:
         # propagate infrastructure errors with their real type/traceback
@@ -138,7 +149,10 @@ class ExtractWorker:
         if not self.guard:
             return extract_batch(batch, self.cfg)
         budget = self.cfg.timeout_s + self.grace * batch.num_rows
-        out = _run_with_timeout(lambda: extract_batch(batch, self.cfg), budget)
+        cancel = threading.Event()
+        out = _run_with_timeout(
+            lambda: extract_batch(batch, self.cfg, cancel=cancel), budget, cancel
+        )
         if out is not _TIMED_OUT:
             return out
         return self._per_document(batch)
@@ -156,8 +170,11 @@ class ExtractWorker:
         langs = batch["lang"] if "lang" in batch.schema.names else pa.nulls(n, pa.string())
         results = []
         for u, p in zip(urls, payloads):
+            cancel = threading.Event()
             r = _run_with_timeout(
-                lambda u=u, p=p: extract_one(u, p, self.cfg), self.cfg.timeout_s
+                lambda u=u, p=p, c=cancel: extract_one(u, p, self.cfg, cancel=c),
+                self.cfg.timeout_s,
+                cancel,
             )
             results.append(timeout_row(u, p, self.cfg) if r is _TIMED_OUT else r)
         return results_to_table(results, warc_ts, langs)

@@ -94,14 +94,14 @@ def bucketed_hash_join(
             schema = pa.schema([(c, types[c]) for c in lcols])
             return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
         merged = l.merge(r, on=on, how=how)
-        if how == "left":
-            # typed schema: an all-matched (or all-unmatched) bucket must
-            # not flip dtypes vs its neighbors
-            schema = pa.schema(
-                [(c, types[c]) for c in lcols]
-                + [(c, types[c]) for c in rcols if c != on]
-            )
-            return pa.Table.from_pandas(merged, schema=schema, preserve_index=False)
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        # typed schema for BOTH inner and left: an empty (or all-null)
+        # bucket must not emit null-typed/degraded columns that disagree
+        # with its neighbors' schemas downstream (groupby concat,
+        # write_parquet unify block schemas).
+        schema = pa.schema(
+            [(c, types[c]) for c in lcols]
+            + [(c, types[c]) for c in rcols if c != on]
+        )
+        return pa.Table.from_pandas(merged, schema=schema, preserve_index=False)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

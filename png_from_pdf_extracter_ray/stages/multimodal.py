@@ -155,17 +155,29 @@ class GeneralImageDecodeStub:
 
 
 def sample_pages(ds: rd.Dataset, stride: int = 2) -> rd.Dataset:
-    """Frame sampling: keep pages where (page_number-1) % stride == 0."""
+    """Frame sampling: keep pages where (page_number-1) % stride == 0.
+
+    Pure Arrow (mirrors ``explode_pages``): flatten the list<struct>
+    column, mask on ``page_number``, and re-nest with
+    ``ListArray.from_arrays`` — the raster binaries are sliced inside the
+    Arrow buffers, never copied through Python objects.  A null pages
+    list (failed doc) becomes an empty list, same as the semantics the
+    old row-walk implemented.
+    """
 
     def _sample(batch: pa.Table) -> pa.Table:
-        pages = batch["pages"].to_pylist()
-        sampled = [
-            [p for p in (plist or []) if (p["page_number"] - 1) % stride == 0]
-            for plist in pages
-        ]
+        list_type = batch.schema.field("pages").type
+        pages = batch["pages"].combine_chunks()
+        flat = pc.list_flatten(pages)
+        parent = np.asarray(pc.list_parent_indices(pages))
+        pn = np.asarray(pc.struct_field(flat, "page_number"))
+        mask = ((pn - 1) % stride) == 0
+        kept = flat.filter(pa.array(mask))
+        counts = np.bincount(parent[mask], minlength=batch.num_rows)
+        offsets = np.zeros(batch.num_rows + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        sampled = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept)
         idx = batch.schema.get_field_index("pages")
-        return batch.set_column(
-            idx, "pages", pa.array(sampled, batch.schema.field("pages").type)
-        )
+        return batch.set_column(idx, "pages", sampled.cast(list_type))
 
     return ds.map_batches(_sample, batch_format="pyarrow", batch_size=16)

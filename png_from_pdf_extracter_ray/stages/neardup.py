@@ -63,6 +63,39 @@ def _to_pandas_safe(ds: "rd.Dataset", columns: list[str]) -> pd.DataFrame:
     return df
 
 
+def _typed_table(out: pd.DataFrame, dtype_src: dict) -> pa.Table:
+    """pandas → Arrow with an EXPLICIT schema per column.
+
+    ``dtype_src`` maps each output column to either a pa.DataType or a
+    pandas Series to copy the dtype from (usually the group's input
+    column).  Without this, an empty DataFrame from a no-pair bucket
+    degrades to ``PandasBlockSchema(names=[])`` and the streaming
+    executor logs schema-mismatch warnings for every such block (and
+    downstream schema unification can degrade dtypes).  Prefer passing
+    pa.DataType values captured from the DATASET schema at pipeline
+    build time: a Series from an empty group cannot be inferred.
+    """
+    fields = []
+    for c in out.columns:
+        src = dtype_src[c]
+        if isinstance(src, pa.DataType):
+            t = src
+        else:
+            # infer from ONE value (empty-series inference yields null type)
+            t = pa.Array.from_pandas(src.head(1)).type if len(src) else pa.string()
+        fields.append((c, t))
+    return pa.Table.from_pandas(out, schema=pa.schema(fields), preserve_index=False)
+
+
+def _schema_type(ds: "rd.Dataset", col: str) -> pa.DataType:
+    """Arrow type of ``col`` in a Dataset's schema (pandas-block dtypes
+    normalized the same way joins._arrow_type does)."""
+    from .joins import _arrow_type
+
+    s = ds.schema()
+    return _arrow_type(dict(zip(s.names, s.types))[col])
+
+
 def _token_hashes(text: str, k_shingle: int) -> np.ndarray:
     """Distinct k-shingle hashes of a document (uint64).
 
@@ -86,14 +119,20 @@ def _token_hashes(text: str, k_shingle: int) -> np.ndarray:
     return np.unique(pd.util.hash_array(np.asarray(shingle_strs, dtype=object)))
 
 
-def shingle_jaccard(a: str, b: str, k_shingle: int = 3) -> float:
-    ha = set(_token_hashes(a, k_shingle).tolist())
-    hb = set(_token_hashes(b, k_shingle).tolist())
-    if not ha and not hb:
+def _jaccard_from_hashes(ha: np.ndarray, hb: np.ndarray) -> float:
+    """Jaccard of two sorted-unique hash arrays (``_token_hashes`` output)."""
+    if ha.size == 0 and hb.size == 0:
         return 1.0
-    if not ha or not hb:
+    if ha.size == 0 or hb.size == 0:
         return 0.0
-    return len(ha & hb) / len(ha | hb)
+    inter = np.intersect1d(ha, hb, assume_unique=True).size
+    return inter / (ha.size + hb.size - inter)
+
+
+def shingle_jaccard(a: str, b: str, k_shingle: int = 3) -> float:
+    return _jaccard_from_hashes(
+        _token_hashes(a, k_shingle), _token_hashes(b, k_shingle)
+    )
 
 
 class MinHasher:
@@ -174,6 +213,7 @@ def minhash_candidate_pairs(
     groups total, NOT one Ray group per band bucket: per-key groups over
     ~n_docs × n_bands tiny buckets pay 10-100× in per-group overhead.
     """
+    id_type = _schema_type(ds, id_col)
     bands = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col, **mh_kwargs},
@@ -185,11 +225,12 @@ def minhash_candidate_pairs(
         b = stable_bucket_ids(t["band_hash"], num_buckets)
         return t.append_column("__bucket", pa.array(b, pa.int32()))
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_bucket(g: pd.DataFrame) -> pa.Table:
         m = g[[id_col, "band_id", "band_hash"]].merge(g[[id_col, "band_id", "band_hash"]], on=["band_id", "band_hash"])
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         out = m[[f"{id_col}_x", f"{id_col}_y"]].drop_duplicates()
-        return out.rename(columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b"})
+        out = out.rename(columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b"})
+        return _typed_table(out, {"id_a": id_type, "id_b": id_type})
 
     cand_part = (
         bands.map_batches(add_bucket, batch_format="pyarrow")
@@ -203,8 +244,9 @@ def minhash_candidate_pairs(
         b = stable_bucket_ids(t["id_a"], num_buckets)
         return t.append_column("__bucket", pa.array(b, pa.int32()))
 
-    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["id_a", "id_b"]].drop_duplicates()
+    def distinct_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g[["id_a", "id_b"]].drop_duplicates()
+        return _typed_table(out, {"id_a": id_type, "id_b": id_type})
 
     return (
         cand_part.map_batches(add_pair_bucket, batch_format="pyarrow")
@@ -260,6 +302,10 @@ def minhash_near_dup_pairs(
         # ray.get + per-element Python membership loop)
         vs = _CAND_ID_CACHE.get(ids_ref.hex())
         if vs is None:
+            # single-entry cache: clear before insert so repeated queries
+            # in one process don't pin every past candidate set (and its
+            # object-store entry via the captured ref) forever
+            _CAND_ID_CACHE.clear()
             vs = pa.array(list(ray.get(ids_ref)))
             _CAND_ID_CACHE[ids_ref.hex()] = vs
         mask = pc.is_in(batch[id_col], value_set=vs)
@@ -277,6 +323,18 @@ def minhash_near_dup_pairs(
     with_ab = bucketed_hash_join(with_a, _renamed("b"), on="id_b", num_buckets=num_buckets)
 
     def verify(batch: pa.Table) -> pa.Table:
+        # Per-batch memo of shingle-hash arrays keyed by doc id: batches
+        # arrive bucket-grouped, so a document in P candidate pairs repeats
+        # within a batch — without the memo it pays P shingle-hash passes.
+        memo: dict = {}
+
+        def hashes(i, t):  # noqa: ANN001, ANN202
+            h = memo.get(i)
+            if h is None:
+                h = _token_hashes(t or "", k_shingle)
+                memo[i] = h
+            return h
+
         ia, ib, ja = [], [], []
         for a, b, ta, tb in zip(
             batch["id_a"].to_pylist(),
@@ -284,7 +342,7 @@ def minhash_near_dup_pairs(
             batch["text_a"].to_pylist(),
             batch["text_b"].to_pylist(),
         ):
-            j = shingle_jaccard(ta or "", tb or "", k_shingle)
+            j = _jaccard_from_hashes(hashes(a, ta), hashes(b, tb))
             if j >= threshold:
                 ia.append(a)
                 ib.append(b)
@@ -330,14 +388,15 @@ def min_label_components(
     component.
     """
     pairs = pairs.materialize()  # reused 2× per round — never recompute
+    id_type = _schema_type(pairs, "id_a")
 
     def _ids(col: str) -> rd.Dataset:
         return pairs.select_columns([col]).map_batches(
             lambda t: t.rename_columns(["id"]), batch_format="pyarrow"
         )
 
-    def first_per_bucket_key(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["id"])[["id"]]
+    def first_per_bucket_key(g: pd.DataFrame) -> pa.Table:
+        return _typed_table(g.drop_duplicates(subset=["id"])[["id"]], {"id": id_type})
 
     def bucketed(ds: rd.Dataset, col: str) -> rd.Dataset:
         def add_bucket(t: pa.Table) -> pa.Table:
@@ -380,7 +439,7 @@ def min_label_components(
             batch_format="pyarrow",
         )
 
-        def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        def resolve_bucket(g: pd.DataFrame) -> pa.Table:
             new = g.groupby("id", as_index=False, sort=False)["label"].min()
             # exactly one self-message (old non-null) exists per id
             old = (
@@ -390,7 +449,10 @@ def min_label_components(
             )
             agg = new.merge(old, on="id", how="left")
             agg["__changed"] = agg["label"] != agg["old"]
-            return agg[["id", "label", "__changed"]]
+            return _typed_table(
+                agg[["id", "label", "__changed"]],
+                {"id": id_type, "label": id_type, "__changed": pa.bool_()},
+            )
 
         out = (
             bucketed(self_msg.union(neigh), "id")
@@ -460,6 +522,8 @@ def ngram_jaccard_pairs(
     shingles carry no near-dup signal) and hash shingles to u64; here
     shingles stay raw strings so the DuckDB oracle matches byte-for-byte.
     """
+    id_type = _schema_type(ds, id_col)
+
     def shingle_rows(batch: pa.Table) -> pa.Table:
         ids, shs = [], []
         for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
@@ -482,12 +546,15 @@ def ngram_jaccard_pairs(
     shingles = ds.map_batches(shingle_rows, batch_format="pyarrow")
     sizes = ds.map_batches(size_rows, batch_format="pyarrow")
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_bucket(g: pd.DataFrame) -> pa.Table:
         m = g.merge(g, on="shingle")
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         out = m.groupby([f"{id_col}_x", f"{id_col}_y"], as_index=False).size()
-        return out.rename(
+        out = out.rename(
             columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b", "size": "i"}
+        )
+        return _typed_table(
+            out, {"id_a": id_type, "id_b": id_type, "i": pa.int64()}
         )
 
     partial = shingles.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
@@ -497,8 +564,11 @@ def ngram_jaccard_pairs(
         b = stable_bucket_ids(t["id_a"], num_buckets)
         return t.append_column("__bucket", pa.array(b, pa.int32()))
 
-    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["id_a", "id_b"], as_index=False)["i"].sum()
+    def sum_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby(["id_a", "id_b"], as_index=False)["i"].sum()
+        return _typed_table(
+            out, {"id_a": id_type, "id_b": id_type, "i": pa.int64()}
+        )
 
     inter = (
         partial.map_batches(add_pair_bucket, batch_format="pyarrow")
@@ -534,21 +604,48 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _simhash_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized 64-bit SimHash per text (uint64 array).
+
+    One ``pd.util.hash_array`` call over the CONCATENATED token stream of
+    the whole batch (the MinHash r2 fix applied here: a per-token Python
+    ``hashlib.blake2b`` loop dominated signature cost), then per-doc bit
+    vote via ``np.add.reduceat`` at the doc offsets — no per-token Python.
+    Empty docs get signature 0.
+    """
+    tok_lists = [(t or "").lower().split() for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    n_docs = len(tok_lists)
+    sigs = np.zeros(n_docs, dtype=np.uint64)
+    total = int(counts.sum())
+    if total == 0:
+        return sigs
+    all_toks = np.empty(total, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        all_toks[pos : pos + len(toks)] = toks
+        pos += len(toks)
+    hashes = pd.util.hash_array(all_toks)  # uint64, process-stable siphash
+    # (total, 64) ±1 votes; reduceat sums per doc segment.
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int8)
+    votes = (2 * bits - 1).astype(np.int32)
+    offsets = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    nonempty = counts > 0
+    # reduceat needs strictly valid offsets; restrict to non-empty docs
+    if nonempty.any():
+        acc = np.add.reduceat(votes, offsets[nonempty], axis=0)
+        bitvals = (acc >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+        sigs[nonempty] = bitvals.sum(axis=1, dtype=np.uint64)
+    return sigs
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (deterministic)."""
-    toks = (text or "").lower().split()
-    if not toks:
+    """64-bit SimHash over whitespace tokens (deterministic; scalar
+    wrapper over the vectorized batch kernel so both paths agree)."""
+    if not (text or "").split():
         return 0
-    hashes = np.array(
-        [
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-            for t in toks
-        ],
-        dtype=np.uint64,
-    )
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-    acc = (2 * bits - 1).sum(axis=0)
-    return int(((acc >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return int(_simhash_batch([text])[0])
 
 
 class SimHasher:
@@ -556,12 +653,10 @@ class SimHasher:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [simhash64(t) for t in batch[self.text_col].to_pylist()]
+        sigs = _simhash_batch(batch[self.text_col].to_pylist())
         out = batch.select([self.id_col])
         # store as int64 bit pattern (Arrow has no uint64-friendly SQL path)
-        return out.append_column(
-            "simhash", pa.array([s - (1 << 64) if s >= 1 << 63 else s for s in sigs], pa.int64())
-        )
+        return out.append_column("simhash", pa.array(sigs.view(np.int64), pa.int64()))
 
 
 def hamming64(a: int, b: int) -> int:
@@ -587,6 +682,7 @@ def simhash_near_dup_pairs(
     self-merge generates candidates and a numpy XOR+popcount verifies
     hamming — B groups, not one Ray group per 16-bit block value.
     """
+    id_type = _schema_type(ds, id_col)
     sigs = ds.map_batches(
         SimHasher,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
@@ -611,12 +707,13 @@ def simhash_near_dup_pairs(
         b = stable_bucket_ids(t["block_key"], num_buckets)
         return t.append_column("__bucket", pa.array(b, pa.int32()))
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_bucket(g: pd.DataFrame) -> pa.Table:
         cols = [id_col, "block", "block_key", "simhash"]
+        types = {"id_a": id_type, "id_b": id_type, "hamming": pa.int32()}
         m = g[cols].merge(g[cols], on=["block", "block_key"])
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         if m.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            return _typed_table(pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}), types)
         x = m["simhash_x"].to_numpy(dtype=np.int64).view(np.uint64)
         y = m["simhash_y"].to_numpy(dtype=np.int64).view(np.uint64)
         d = _popcount64(np.bitwise_xor(x, y))
@@ -628,7 +725,7 @@ def simhash_near_dup_pairs(
             }
         )
         out = out[out["hamming"] <= max_hamming]
-        return out.drop_duplicates(subset=["id_a", "id_b"])
+        return _typed_table(out.drop_duplicates(subset=["id_a", "id_b"]), types)
 
     cand_part = (
         sigs.map_batches(explode_blocks, batch_format="pyarrow")
@@ -641,8 +738,11 @@ def simhash_near_dup_pairs(
         b = stable_bucket_ids(t["id_a"], num_buckets)
         return t.append_column("__bucket2", pa.array(b, pa.int32()))
 
-    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["id_a", "id_b", "hamming"]].drop_duplicates(subset=["id_a", "id_b"])
+    def distinct_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g[["id_a", "id_b", "hamming"]].drop_duplicates(subset=["id_a", "id_b"])
+        return _typed_table(
+            out, {"id_a": id_type, "id_b": id_type, "hamming": pa.int32()}
+        )
 
     out = _to_pandas_safe(
         cand_part.map_batches(add_pair_bucket, batch_format="pyarrow")
@@ -710,5 +810,176 @@ def embedding_near_dup_pairs(
     out = _to_pandas_safe(
         ds.map_batches(PairScorer, batch_format="pyarrow", concurrency=(1, 4)),
         ["id_a", "id_b", "cos"],
+    )
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup via SRP-LSH bucketing (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs_lsh(
+    ds: rd.Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 16,
+    n_planes: int = 6,
+    seed: int = 42,
+    num_buckets: int = 64,
+    max_sig_group: int | None = None,
+) -> pd.DataFrame:
+    """Embedding near-dup pairs WITHOUT a driver-side matrix or a full
+    broadcast — the scale path for corpora whose N×d matrix does not fit
+    a worker (the exact-mode ``embedding_near_dup_pairs`` broadcast is
+    the ≤worker-memory envelope).
+
+    Shape (mirrors the MinHash pipeline, banding swapped for signed
+    random projections):
+
+    1. **Signatures**: each batch computes, per table t, an
+       ``n_planes``-bit SRP signature (sign pattern of the vector against
+       t's hyperplanes).  Planes are derived deterministically from
+       ``seed`` in every worker — no broadcast needed.  Rows
+       ``(id, table, sig)`` are tiny.
+    2. **Candidate pairs**: hash-bucket shuffle on (table, sig) → per
+       bucket a vectorized self-merge emits pairs with an equal
+       signature in SOME table; global distinct via an id_a re-bucket
+       (both steps B groups, never one Ray group per signature).
+    3. **Verify**: the candidate-id set (output-sized) is broadcast as a
+       semi-join filter over ``ds``; two bucketed hash joins attach the
+       actual vectors; exact cosine per batch keeps pairs ≥ threshold.
+
+    Output ⊆ the exact pairs (verification is exact); recall is the LSH
+    tradeoff: P[collide in ≥1 table] = 1-(1-(1-θ/π)^n_planes)^n_tables
+    (θ = angle at the threshold) — 16 tables × 6 planes gives ~0.9997
+    at cos 0.9.  ``max_sig_group`` caps a single (table, sig) group
+    (dense near-identical clusters make the self-merge quadratic; capped
+    groups rely on the other tables — recommended at web scale, off by
+    default so small corpora stay exact-recall).
+    """
+    probe = ds.take(1)
+    if not probe:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+    dim = len(probe[0][vec_col])
+    id_type = _schema_type(ds, id_col)
+    from .similarity import srp_planes
+
+    def signature_rows(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
+        planes = srp_planes(dim, n_tables * n_planes, seed)  # deterministic
+        bits = (mat @ planes.T) >= 0  # (n, tables*planes)
+        bits = bits.reshape(len(mat), n_tables, n_planes)
+        weights = 1 << np.arange(n_planes, dtype=np.uint64)
+        sigs = (bits.astype(np.uint64) @ weights).astype(np.int64)  # (n, tables)
+        n = len(mat)
+        rid = pc.take(
+            batch[id_col].combine_chunks(), pa.array(np.repeat(np.arange(n), n_tables))
+        )
+        tables = np.tile(np.arange(n_tables, dtype=np.int32), n)
+        flat_sigs = sigs.ravel()
+        # combined (table, sig) key for the bucket hash — one uint64
+        combo = (tables.astype(np.uint64) << np.uint64(n_planes)) | flat_sigs.astype(
+            np.uint64
+        )
+        b = (pd.util.hash_array(combo) % num_buckets).astype(np.int32)
+        return pa.Table.from_pydict(
+            {
+                id_col: rid,
+                "table": pa.array(tables, pa.int32()),
+                "sig": pa.array(flat_sigs, pa.int64()),
+                "__bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pa.Table:
+        types = {"id_a": id_type, "id_b": id_type}
+        if max_sig_group is not None:
+            sz = g.groupby(["table", "sig"], sort=False)[id_col].transform("size")
+            g = g[sz <= max_sig_group]
+        cols = [id_col, "table", "sig"]
+        m = g[cols].merge(g[cols], on=["table", "sig"])
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = m[[f"{id_col}_x", f"{id_col}_y"]].drop_duplicates()
+        out = out.rename(columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b"})
+        return _typed_table(out, types)
+
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        b = stable_bucket_ids(t["id_a"], num_buckets)
+        return t.append_column("__bucket2", pa.array(b, pa.int32()))
+
+    def distinct_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g[["id_a", "id_b"]].drop_duplicates()
+        return _typed_table(out, {"id_a": id_type, "id_b": id_type})
+
+    cands = (
+        ds.map_batches(signature_rows, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__bucket2")
+        .map_groups(distinct_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    # --- verify: semi-join filter + bucketed joins + exact cosine ---
+    cand_ids: set = set()
+    for b in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        cand_ids.update(b["id_a"].to_pylist())
+        cand_ids.update(b["id_b"].to_pylist())
+    if not cand_ids:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+    ids_ref = ray.put(cand_ids)
+
+    def semi_filter(batch: pa.Table) -> pa.Table:
+        vs = _CAND_ID_CACHE.get(ids_ref.hex())
+        if vs is None:
+            _CAND_ID_CACHE.clear()
+            vs = pa.array(list(ray.get(ids_ref)))
+            _CAND_ID_CACHE[ids_ref.hex()] = vs
+        mask = pc.is_in(batch[id_col], value_set=vs)
+        return batch.select([id_col, vec_col]).filter(pc.fill_null(mask, False))
+
+    vecs = ds.map_batches(semi_filter, batch_format="pyarrow")
+
+    def _renamed(suffix: str) -> rd.Dataset:
+        return vecs.map_batches(
+            lambda t, s=suffix: t.rename_columns([f"id_{s}", f"vec_{s}"]),
+            batch_format="pyarrow",
+        )
+
+    with_a = bucketed_hash_join(cands, _renamed("a"), on="id_a", num_buckets=num_buckets)
+    with_ab = bucketed_hash_join(with_a, _renamed("b"), on="id_b", num_buckets=num_buckets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "id_a": pa.array([], batch["id_a"].type),
+                    "id_b": pa.array([], batch["id_b"].type),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        va = np.asarray(batch["vec_a"].to_pylist(), dtype=np.float32)
+        vb = np.asarray(batch["vec_b"].to_pylist(), dtype=np.float32)
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = np.einsum("ij,ij->i", va, vb) / (na * nb)
+        keep = cos >= threshold
+        return pa.Table.from_pydict(
+            {
+                "id_a": batch["id_a"].combine_chunks().filter(pa.array(keep)),
+                "id_b": batch["id_b"].combine_chunks().filter(pa.array(keep)),
+                "cos": pa.array(
+                    np.round(cos[keep].astype(np.float64), 3), pa.float64()
+                ),
+            }
+        )
+
+    out = _to_pandas_safe(
+        with_ab.map_batches(verify, batch_format="pyarrow"), ["id_a", "id_b", "cos"]
     )
     return out.sort_values(["id_a", "id_b"], ignore_index=True)

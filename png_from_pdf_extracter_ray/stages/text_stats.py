@@ -97,22 +97,47 @@ class RollingFingerprint:
 
     A Rabin-Karp style fingerprint over the token stream: stable under
     partitioning, cheap to compute, usable as a shard-friendly dedup key.
+
+    Fully vectorized (round-3 fix of the per-token Python blake2b loop):
+    one ``pd.util.hash_array`` over the batch's concatenated token stream,
+    then the polynomial fold ``Σ h_i · BASE^(n-1-i) mod 2^64`` as wrapping
+    uint64 numpy ops — power table indexed per token, segment sums via
+    ``np.add.reduceat``.  The uint64 wrap IS the modulus, so the result is
+    identical to the sequential Horner fold over the same hashes.
     """
 
-    BASE = 1_000_003
-    MASK = (1 << 64) - 1
+    BASE = np.uint64(1_000_003)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        out = []
-        for t in texts:
-            acc = 0
-            for tok in (t or "").split():
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                )
-                acc = ((acc * self.BASE) + h) & self.MASK
-            out.append(f"{acc:016x}")
+        tok_lists = [(t or "").split() for t in texts]
+        counts = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        n_docs = len(tok_lists)
+        fps = np.zeros(n_docs, dtype=np.uint64)
+        total = int(counts.sum())
+        if total:
+            all_toks = np.empty(total, dtype=object)
+            pos = 0
+            for toks in tok_lists:
+                all_toks[pos : pos + len(toks)] = toks
+                pos += len(toks)
+            hashes = pd.util.hash_array(all_toks)  # uint64 siphash per token
+            # BASE^k mod 2^64 for k in [0, max_len): cumprod wraps by design
+            max_len = int(counts.max())
+            pows = np.ones(max_len, dtype=np.uint64)
+            if max_len > 1:
+                np.cumprod(np.full(max_len - 1, self.BASE, dtype=np.uint64), out=pows[1:])
+            offsets = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            # exponent of token j (global) in its doc: (doc_end - 1) - j
+            ends = np.repeat(offsets + counts, counts)
+            exps = ends - 1 - np.arange(total, dtype=np.int64)
+            terms = hashes * pows[exps]
+            nonempty = counts > 0
+            fps[nonempty] = np.add.reduceat(terms, offsets[nonempty])
+        out = [f"{v:016x}" for v in fps.tolist()]
         return batch.append_column("rolling_fp", pa.array(out, pa.string()))
 
 

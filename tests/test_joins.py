@@ -51,8 +51,16 @@ def test_inner_join_semantics_match_pandas(ray_session) -> None:  # noqa: ANN001
 def test_join_with_no_matches_is_empty_with_schema(ray_session) -> None:  # noqa: ANN001
     left = _ds({"k": [1, 2], "l": ["a", "b"]})
     right = _ds({"k": [3, 4], "r": ["x", "y"]})
-    out = bucketed_hash_join(left, right, on="k").to_pandas()
-    assert len(out) == 0
+    joined = bucketed_hash_join(left, right, on="k")
+    # empty buckets must emit the TYPED schema (not null-typed columns):
+    # downstream ops unify block schemas and a null-typed string column
+    # from an empty bucket disagrees with its non-empty neighbors
+    schema = joined.schema()
+    types = dict(zip(schema.names, schema.types))
+    assert types["k"] == pa.int64()
+    assert types["l"] == pa.string()
+    assert types["r"] == pa.string()
+    assert joined.count() == 0
 
 
 def test_shared_nonkey_columns_rejected(ray_session) -> None:  # noqa: ANN001

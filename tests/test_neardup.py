@@ -163,3 +163,64 @@ def test_minhash_verification_broadcasts_only_candidate_ids(ray_session, monkeyp
             assert all(
                 not (isinstance(x, str) and len(x) > 200) for x in obj
             ), "broadcast container holds corpus-sized strings"
+
+
+def test_embedding_lsh_recall_matches_exact_high_threshold(ray_session) -> None:  # noqa: ANN001
+    """SRP-LSH pair generation must recover every exact pair at a
+    near-dup threshold (deterministic seed → stable outcome): a planted
+    cluster of near-identical vectors plus noise vectors."""
+    from png_from_pdf_extracter_ray.stages.neardup import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(32).astype(np.float32)
+    vecs = [base + 0.02 * rng.standard_normal(32).astype(np.float32) for _ in range(6)]
+    vecs += [rng.standard_normal(32).astype(np.float32) for _ in range(40)]
+    ids = np.arange(len(vecs))
+    ds = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"vec_id": ids.tolist(), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    exact = embedding_near_dup_pairs(
+        ds, ids, np.stack(vecs), threshold=0.95
+    )
+    lsh = embedding_near_dup_pairs_lsh(ds, threshold=0.95)
+    se = set(zip(exact["id_a"], exact["id_b"]))
+    sl = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert len(se) == 15  # the planted 6-cluster: C(6,2) pairs
+    assert sl == se, f"LSH missed {se - sl} / extra {sl - se}"
+
+
+def test_embedding_lsh_is_exact_on_sf_embeddings(ray_session, sf_dir) -> None:  # noqa: ANN001
+    """Recall check on the driver's embeddings table (threshold 0.4 with
+    the wide-table config the queries() entry uses): LSH ⊆ exact always
+    (verification is exact cosine) and ⊇ at this corpus/config."""
+    from png_from_pdf_extracter_ray.pipelines import textops
+
+    exact = textops.embedding_near_dups(sf_dir, threshold=0.4)
+    lsh = textops.embedding_near_dups_lsh(sf_dir, threshold=0.4)
+    se = set(zip(exact["id_a"], exact["id_b"]))
+    sl = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert len(se) > 0
+    assert sl == se, f"LSH missed {se - sl} / extra {sl - se}"
+
+
+def test_embedding_lsh_max_sig_group_caps_dense_buckets(ray_session) -> None:  # noqa: ANN001
+    """With a max_sig_group cap of 1 every (table, sig) group is dropped,
+    so no pairs can be emitted — the documented web-scale safety valve."""
+    from png_from_pdf_extracter_ray.stages.neardup import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16).astype(np.float32)
+    vecs = [base + 0.01 * rng.standard_normal(16).astype(np.float32) for _ in range(5)]
+    ds = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"vec_id": list(range(5)), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    out = embedding_near_dup_pairs_lsh(ds, threshold=0.9, max_sig_group=1)
+    assert len(out) == 0

@@ -79,3 +79,35 @@ def test_infrastructure_errors_propagate_with_real_type() -> None:
         _run_with_timeout(boom, timeout_s=5.0)
     assert _run_with_timeout(lambda: 42, timeout_s=5.0) == 42
     assert _run_with_timeout(lambda: __import__("time").sleep(1), 0.05) is _TIMED_OUT
+
+
+def test_cancel_flag_set_on_timeout_and_aborts_render_loop() -> None:
+    """On timeout the watchdog sets the cooperative cancel event, and a
+    kernel render loop that sees it exits early (the abandoned thread
+    stops burning CPU instead of finishing a discarded batch)."""
+    import threading
+
+    from png_from_pdf_extracter_ray.kernel.extract import extract_one
+    from png_from_pdf_extracter_ray.stages.extract_stage import (
+        _TIMED_OUT,
+        _run_with_timeout,
+    )
+
+    cancel = threading.Event()
+    out = _run_with_timeout(
+        lambda: __import__("time").sleep(1), 0.05, cancel
+    )
+    assert out is _TIMED_OUT
+    assert cancel.is_set()
+
+    # a pre-set cancel makes the PDF render loop bail out as a timeout
+    # dead-letter instead of rendering every page
+    from png_from_pdf_extracter_ray.corpus.pdfgen import make_pdf
+
+    cfg = ExtractConfig(render_pages=True)
+    pdf = make_pdf([["page one line"], ["page two line"], ["page three line"]])
+    pre_set = threading.Event()
+    pre_set.set()
+    row = extract_one("https://a/doc.pdf", pdf, cfg, cancel=pre_set)
+    assert row["status"] == "failed"
+    assert row["error_type"] == "PDFConversionError"
