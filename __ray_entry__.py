@@ -200,6 +200,9 @@ def _langid_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from png_from_pdf_extracter_ray.pipelines.summary import oracle_summary_path
+    from png_from_pdf_extracter_ray.pipelines.textops import (
+        NGRAM_MAX_DF as _NGRAM_MAX_DF,
+    )
 
     _STOPWORD_SQL = _stopword_sql()
 
@@ -443,19 +446,26 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING), 2) AS cum_totalprice
             FROM orders WHERE o_custkey <= 200
         """,
-        "ngram_jaccard_near_dups": """
+        # the df cap (shingles in > N docs dropped from the universe —
+        # intersections AND sizes) mirrors textops.NGRAM_MAX_DF exactly
+        "ngram_jaccard_near_dups": f"""
             WITH toks AS (
                 SELECT doc_id,
                        unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
                        unnest(range(len(regexp_split_to_array(trim(lower(text)), '\\s+')))) AS pos
                 FROM documents WHERE trim(text) <> ''
             ),
-            sh AS (
+            sh0 AS (
                 SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
                 FROM toks a
                 JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
                 JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
             ),
+            keep AS (
+                SELECT shingle FROM sh0 GROUP BY shingle
+                HAVING COUNT(*) <= {_NGRAM_MAX_DF}
+            ),
+            sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
             sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
             inter AS (
                 SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i

@@ -219,13 +219,19 @@ def minhash_dedup_groups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     return out.sort_values("url", ignore_index=True)[["url", "group_id"]]
 
 
+NGRAM_MAX_DF = 16  # shared with the DuckDB oracle (__ray_entry__)
+
+
 def ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.2) -> pd.DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs over documents (SQL-checked:
-    the DuckDB oracle recomputes the same shingle sets relationally)."""
+    """Exact 3-gram Jaccard near-dup pairs over documents with the
+    df-capped shingle universe active (shingles in > NGRAM_MAX_DF docs
+    are boilerplate, not near-dup signal, and make pair generation
+    quadratic at web scale).  SQL-checked: the DuckDB oracle recomputes
+    the same capped shingle sets relationally."""
     from ..stages.neardup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs(sf_dir, ["doc_id", "text"]), threshold=threshold
+        _docs(sf_dir, ["doc_id", "text"]), threshold=threshold, max_df=NGRAM_MAX_DF
     )
 
 

@@ -501,6 +501,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k_shingle: int = 3,
     num_buckets: int = 64,
+    max_df: int | None = None,
 ) -> pd.DataFrame:
     """EXACT all-pairs n-gram Jaccard ≥ threshold via an inverted
     shingle index — no sketching, so the result is SQL-checkable:
@@ -517,10 +518,15 @@ def ngram_jaccard_pairs(
        measured 200+ s where the bucketed sum takes ~2 s;
     4. two bucketed joins attach |A|, |B|; J = i / (|A| + |B| - i).
 
-    Scale notes (documented contract): pair generation is quadratic per
-    shingle — at web scale, cap shingle document frequency (df-heavy
-    shingles carry no near-dup signal) and hash shingles to u64; here
-    shingles stay raw strings so the DuckDB oracle matches byte-for-byte.
+    ``max_df`` caps shingle document frequency — the web-scale guard:
+    pair generation is quadratic per shingle, so ONE boilerplate shingle
+    ("all rights reserved") in 10^6 docs would emit 10^12 partial pairs.
+    Shingles with df > max_df are dropped from the shingle UNIVERSE
+    (both intersections and sizes — filtered Jaccard over the informative
+    shingles), computed exactly per bucket since a shingle lives in
+    exactly one bucket.  The DuckDB oracle applies the identical cap, so
+    the entry stays SQL-checkable.  Shingles stay raw strings so the
+    oracle matches byte-for-byte.
     """
     id_type = _schema_type(ds, id_col)
 
@@ -544,20 +550,79 @@ def ngram_jaccard_pairs(
         )
 
     shingles = ds.map_batches(shingle_rows, batch_format="pyarrow")
-    sizes = ds.map_batches(size_rows, batch_format="pyarrow")
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pa.Table:
+    def _pair_partials(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="shingle")
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         out = m.groupby([f"{id_col}_x", f"{id_col}_y"], as_index=False).size()
-        out = out.rename(
+        return out.rename(
             columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b", "size": "i"}
         )
-        return _typed_table(
-            out, {"id_a": id_type, "id_b": id_type, "i": pa.int64()}
+
+    if max_df is None:
+        sizes = ds.map_batches(size_rows, batch_format="pyarrow")
+
+        def pairs_in_bucket(g: pd.DataFrame) -> pa.Table:
+            return _typed_table(
+                _pair_partials(g), {"id_a": id_type, "id_b": id_type, "i": pa.int64()}
+            )
+
+        partial = shingles.groupby("__bucket").map_groups(
+            pairs_in_bucket, batch_format="pandas"
+        )
+    else:
+        # ONE pass over the bucketed shingles emits BOTH pair partials
+        # (kind=0) and capped per-doc size partials (kind=1) — df is
+        # exact per bucket because a shingle lives in exactly one bucket.
+        both_types = {
+            "id_a": id_type,
+            "id_b": id_type,
+            "i": pa.int64(),
+            "__kind": pa.int8(),
+        }
+
+        def bucket_pass(g: pd.DataFrame) -> pa.Table:
+            dfreq = g.groupby("shingle", sort=False)[id_col].transform("size")
+            g = g[dfreq <= max_df]
+            pairs = _pair_partials(g).assign(__kind=np.int8(0))
+            sz = g.groupby(id_col, as_index=False).size()
+            sz = sz.rename(columns={id_col: "id_a", "size": "i"})
+            sz["id_b"] = None  # size rows carry no pair partner (typed null)
+            sz["__kind"] = np.int8(1)
+            out = pd.concat(
+                [pairs, sz[["id_a", "id_b", "i", "__kind"]]], ignore_index=True
+            )
+            return _typed_table(out[["id_a", "id_b", "i", "__kind"]], both_types)
+
+        both = (
+            shingles.groupby("__bucket")
+            .map_groups(bucket_pass, batch_format="pandas")
+            .materialize()  # consumed twice (pairs + sizes); partials-sized
+        )
+        if both.count() == 0:
+            # every shingle was capped away (or no doc had >= k tokens):
+            # downstream datasets would have no schema for the joins
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        partial = both.map_batches(
+            lambda t: t.filter(pc.equal(t["__kind"], 0)).select(["id_a", "id_b", "i"]),
+            batch_format="pyarrow",
         )
 
-    partial = shingles.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+        def _size_bucket(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["__kind"], 1)).select(["id_a", "i"])
+            b = stable_bucket_ids(t["id_a"], num_buckets)
+            return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+        def _sum_sizes(g: pd.DataFrame) -> pa.Table:
+            out = g.groupby("id_a", as_index=False)["i"].sum()
+            out = out.rename(columns={"id_a": id_col, "i": "n_sh"})
+            return _typed_table(out, {id_col: id_type, "n_sh": pa.int64()})
+
+        sizes = (
+            both.map_batches(_size_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(_sum_sizes, batch_format="pandas")
+        )
 
     def add_pair_bucket(t: pa.Table) -> pa.Table:
         t = t.drop_columns([c for c in ("__bucket",) if c in t.column_names])
@@ -574,7 +639,14 @@ def ngram_jaccard_pairs(
         partial.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(sum_bucket, batch_format="pandas")
+        # output-sized (one row per co-occurring pair); reused by the two
+        # size joins, and the count() guards the no-pairs case — a
+        # map_groups over zero rows yields a schema-less dataset that the
+        # bucketed joins cannot consume
+        .materialize()
     )
+    if inter.count() == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
 
     def _sizes_as(side: str) -> rd.Dataset:
         return sizes.map_batches(

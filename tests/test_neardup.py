@@ -224,3 +224,26 @@ def test_embedding_lsh_max_sig_group_caps_dense_buckets(ray_session) -> None:  #
     )
     out = embedding_near_dup_pairs_lsh(ds, threshold=0.9, max_sig_group=1)
     assert len(out) == 0
+
+
+def test_ngram_jaccard_df_cap_drops_boilerplate(ray_session) -> None:  # noqa: ANN001
+    """Shingles above the df cap are dropped from the shingle universe
+    (both intersections and sizes) — a boilerplate phrase shared by all
+    docs must not pair otherwise-unrelated documents."""
+    from png_from_pdf_extracter_ray.stages.neardup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved by the company"
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"alpha beta gamma delta epsilon {boiler}",
+            f"zeta eta theta iota kappa {boiler}",
+            f"lambda mu nu xi omicron {boiler}",
+            f"pi rho sigma tau upsilon {boiler}",
+        ],
+    }
+    ds = rd.from_arrow(pa.Table.from_pydict(rows))
+    uncapped = ngram_jaccard_pairs(ds, threshold=0.1)
+    assert len(uncapped) == 6  # every pair shares the boilerplate shingles
+    capped = ngram_jaccard_pairs(ds, threshold=0.1, max_df=3)
+    assert len(capped) == 0  # boilerplate (df=4) dropped; nothing else shared
