@@ -141,6 +141,54 @@ def bench_extract(dedup_mode: str = "broadcast") -> dict:
     }
 
 
+def bench_extract_skew() -> dict:
+    """Time the size-bucketed skew-routed pipeline (small docs in large
+    batches, mega-docs at batch_size=1 on a pool slice) over the same
+    cached pages table — published alongside the flagship so the skew
+    path has a trend line."""
+    from png_from_pdf_extracter_ray.pipelines.extract_pipeline import (
+        extract_pipeline_size_bucketed,
+    )
+    from png_from_pdf_extracter_ray.sources.pages_source import read_pages
+    from png_from_pdf_extracter_ray.stages.dedup import (
+        compute_winners,
+        dedup_keep_first_broadcast,
+    )
+    from png_from_pdf_extracter_ray.stages.filters import filter_lang
+    from png_from_pdf_extracter_ray.config import DEFAULT_CONFIG
+
+    pages_path, n_rows = _ensure_pages()
+    out_dir = OUT_DIR + "_skew"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    import ray.data as rd
+
+    t0 = time.perf_counter()
+    winners = compute_winners(
+        rd.read_parquet(pages_path, columns=["url", "warc_ts"]),
+        key="url",
+        order_col="warc_ts",
+    )
+
+    def factory() -> "rd.Dataset":
+        ds = filter_lang(read_pages(pages_path), DEFAULT_CONFIG.lang_allow)
+        return dedup_keep_first_broadcast(ds, winners, key="url", order_col="warc_ts")
+
+    ds = extract_pipeline_size_bucketed(factory)
+    ds.write_parquet(out_dir)
+    dt = time.perf_counter() - t0
+
+    import pyarrow.dataset as pads
+
+    n_out = pads.dataset(out_dir, format="parquet").count_rows()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "sec": round(dt, 3),
+        "output_docs": n_out,
+        "docs_per_sec": round(n_out / dt, 1),
+    }
+
+
 def bench_queries() -> dict[str, float]:
     entrymod = _entry
 
@@ -173,6 +221,7 @@ def run_once(shuffle_bench: bool = True) -> dict:
     _init_ray()
     extract = bench_extract("broadcast")
     shuffle = bench_extract("shuffle") if shuffle_bench else None
+    skew = bench_extract_skew() if shuffle_bench else None
     queries = bench_queries()
     result = {
         "metric": "flagship extract pipeline wall time (sf pages table, dedup+render+sink)",
@@ -186,6 +235,8 @@ def run_once(shuffle_bench: bool = True) -> dict:
     }
     if shuffle is not None:
         result["shuffle_dedup"] = shuffle
+    if skew is not None:
+        result["skew_routed"] = skew
     import ray
 
     ray.shutdown()
