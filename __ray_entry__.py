@@ -30,18 +30,20 @@ if _REPO not in sys.path:
 # instead of being looked up by module name on the worker.
 def _register_pickle_by_value() -> None:
     import importlib
+    import pkgutil
 
     from ray import cloudpickle as _cp
 
-    # Eagerly import the pipeline entry modules so every transitively
-    # needed submodule exists in sys.modules before registration.
-    for m in (
-        "png_from_pdf_extracter_ray.pipelines.extract_pipeline",
-        "png_from_pdf_extracter_ray.pipelines.relational",
-        "png_from_pdf_extracter_ray.pipelines.textops",
-        "png_from_pdf_extracter_ray.state.manifest",
-    ):
-        importlib.import_module(m)
+    # Eagerly import EVERY package module (pkgutil walk, not a hand-kept
+    # list) so each one exists in sys.modules before registration — a
+    # module first imported lazily AFTER this point would ship by
+    # reference and fail to import on foreign-cwd workers.
+    pkg = importlib.import_module("png_from_pdf_extracter_ray")
+    for info in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+        try:
+            importlib.import_module(info.name)
+        except Exception:
+            pass
     for name, mod in list(sys.modules.items()):
         if name.startswith("png_from_pdf_extracter_ray") and mod is not None:
             try:
@@ -136,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_page_meta": textops.pages_page_meta,
         "pages_resized_thumbs": textops.pages_resized_thumbs,
         "pages_frame_sample": textops.pages_frame_sample,
+        "pages_image_features": textops.pages_image_features,
     }
 
 

@@ -1,0 +1,249 @@
+"""General image decoding — pure stdlib + numpy (no imaging library in
+this container, in the spirit of the reference's all-stdlib constraint,
+/root/reference/specs/001-pdf-to-png-mailer/spec.md:122 FR-029).
+
+``decode_image`` sniffs magic bytes and returns an (H, W) uint8
+GRAYSCALE array for:
+
+- **PNG** — a real decoder: 8-bit depth, color types 0 (gray), 2 (RGB),
+  3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline filters
+  (None/Sub/Up/Average/Paeth; Sub via per-lane cumsum, Up vectorized,
+  Average/Paeth per-pixel only on the rows that use them).  Strictly a
+  superset of ``kernel.png.decode_png_gray`` (which stays as the fast
+  path for this engine's own filter-0 rasters).
+- **PGM/PPM** (P5/P6 binary) — header parse + buffer reshape.
+- **BMP** — BITMAPINFOHEADER, uncompressed 8-bit (palette) and 24-bit,
+  bottom-up or top-down, 4-byte row padding.
+
+JPEG/GIF/WebP/TIFF raise ``UnsupportedImageError`` — entropy-coded
+formats have no reasonable pure-Python baseline; that residual gap is
+the only part of general decode still stubbed (stages/multimodal.py).
+
+Color → grayscale uses the integer ITU-R 601 weights
+``(299·R + 587·G + 114·B) // 1000`` so results are deterministic
+across platforms (no float rounding).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+class UnsupportedImageError(ValueError):
+    """Format recognized but not decodable without an imaging library."""
+
+
+def sniff_image_format(data: bytes) -> str:
+    if data[:8] == _PNG_SIG:
+        return "png"
+    if data[:2] in (b"P5", b"P6"):
+        return "pnm"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    return "unknown"
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Bytes → (H, W) uint8 grayscale.  Raises ``UnsupportedImageError``
+    for entropy-coded formats, ``ValueError`` for malformed input."""
+    fmt = sniff_image_format(data)
+    if fmt == "png":
+        return _decode_png(data)
+    if fmt == "pnm":
+        return _decode_pnm(data)
+    if fmt == "bmp":
+        return _decode_bmp(data)
+    if fmt in ("jpeg", "gif", "webp", "tiff"):
+        raise UnsupportedImageError(
+            f"{fmt} decoding requires an imaging library not present in this "
+            "environment (entropy-coded format; no pure-Python baseline)"
+        )
+    raise ValueError("unrecognized image format")
+
+
+def _to_gray(arr: np.ndarray) -> np.ndarray:
+    """(H, W, C) uint8 → (H, W) uint8 via integer ITU-R 601 weights."""
+    if arr.ndim == 2:
+        return arr
+    r = arr[:, :, 0].astype(np.uint32)
+    g = arr[:, :, 1].astype(np.uint32)
+    b = arr[:, :, 2].astype(np.uint32)
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering.  ``raw`` is (h, 1+stride) bytes
+    (filter byte + filtered data); returns (h, stride) reconstructed."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 1:  # Sub: per-bpp-lane cumsum (mod 256 survives int cumsum)
+            rec = line.reshape(-1, bpp).cumsum(axis=0).reshape(-1) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype == 3:  # Average — sequential left-dependency
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth — sequential left-dependency
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        prev = rec.astype(np.uint8)
+        out[y] = prev
+    return out
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    i, w, h, idat, plte = 8, 0, 0, [], b""
+    bitdepth = colortype = interlace = None
+    while i + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            w, h, bitdepth, colortype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + length
+    if not idat or w == 0 or h == 0:
+        raise ValueError("malformed PNG (no IDAT/IHDR)")
+    if bitdepth != 8:
+        raise UnsupportedImageError(f"PNG bit depth {bitdepth} (only 8 supported)")
+    if interlace:
+        raise UnsupportedImageError("Adam7-interlaced PNG not supported")
+    if colortype not in _CHANNELS:
+        raise ValueError(f"bad PNG color type {colortype}")
+    ch = _CHANNELS[colortype]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    rec = _unfilter(raw.reshape(h, stride + 1), h, stride, ch)
+    if colortype == 0:
+        return rec
+    px = rec.reshape(h, w, ch)
+    if colortype == 3:  # palette lookup, then gray
+        if not plte:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return _to_gray(pal[px[:, :, 0]])
+    if colortype == 4:  # gray + alpha: alpha dropped
+        return px[:, :, 0].copy()
+    return _to_gray(px[:, :, :3])  # RGB / RGBA (alpha dropped)
+
+
+# ---------------------------------------------------------------------------
+# PNM (PGM P5 / PPM P6, binary)
+# ---------------------------------------------------------------------------
+
+
+def _decode_pnm(data: bytes) -> np.ndarray:
+    magic = data[:2]
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        # skip whitespace and '#' comments between header tokens
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise UnsupportedImageError("16-bit PNM not supported")
+    ch = 1 if magic == b"P5" else 3
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=pos)
+    if ch == 1:
+        return px.reshape(h, w).copy()
+    return _to_gray(px.reshape(h, w, 3))
+
+
+# ---------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER, uncompressed)
+# ---------------------------------------------------------------------------
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    if len(data) < 54:
+        raise ValueError("truncated BMP")
+    (offset,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise UnsupportedImageError("BITMAPCOREHEADER BMP not supported")
+    w, h_signed = struct.unpack("<ii", data[18:26])
+    bpp, compression = struct.unpack("<HI", data[28:34])
+    if compression != 0:
+        raise UnsupportedImageError(f"compressed BMP (method {compression})")
+    if bpp not in (8, 24):
+        raise UnsupportedImageError(f"{bpp}-bit BMP (only 8/24 supported)")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    row_bytes = ((w * bpp // 8) + 3) & ~3  # rows padded to 4 bytes
+    px = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=offset)
+    rows = px.reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        # palette: 4-byte BGRX entries right after the info header
+        pal_off = 14 + hdr_size
+        (colors_used,) = struct.unpack("<I", data[46:50])
+        n_colors = colors_used or 256
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(-1, 4)
+        gray_pal = (
+            (299 * pal[:, 2].astype(np.uint32)
+             + 587 * pal[:, 1].astype(np.uint32)
+             + 114 * pal[:, 0].astype(np.uint32)) // 1000
+        ).astype(np.uint8)
+        idx = rows[:, :w]
+        return gray_pal[idx]
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return _to_gray(rgb)

@@ -383,6 +383,25 @@ def pages_resized_thumbs(sf_dir: str) -> rd.Dataset:
     )
 
 
+def pages_image_features(sf_dir: str) -> rd.Dataset:
+    """General image decode → grayscale feature extraction over the
+    extracted page rasters (REAL pure-Python decode, kernel/image.py;
+    the model-input feature stage of a multimodal pipeline).  Actor
+    pool, small batches (pages are heavy binaries).  Rows-only."""
+    from ..stages.multimodal import GeneralImageDecoder, explode_pages
+
+    return (
+        _extracted_pages(sf_dir)
+        .map_batches(explode_pages, batch_format="pyarrow", batch_size=16)
+        .map_batches(
+            GeneralImageDecoder,
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def pages_frame_sample(sf_dir: str, stride: int = 2) -> rd.Dataset:
     """Frame-sampling: every Nth page per document; summary counts."""
     import pyarrow as pa

@@ -10,10 +10,11 @@ metadata multimodal surface.  Stages:
   (validates the binary against its typed metadata);
 - ``PngResizer``      — actor-pool decode → block-mean downscale →
   re-encode.  REAL for this engine's own rasters (8-bit gray, filter 0,
-  via kernel.png.decode_png_gray); general image decode (JPEG etc.)
-  has no library in this container and is stubbed behind
-  ``GeneralImageDecodeStub`` with the Ray-side plumbing (schema, actor
-  signature, batch size) real and tested;
+  via kernel.png.decode_png_gray);
+- ``GeneralImageDecoder`` — REAL general decode (kernel/image.py: full
+  PNG, PGM/PPM, uncompressed BMP) → grayscale feature extraction;
+  entropy-coded formats (JPEG/GIF/WebP — no pure-Python baseline)
+  dead-letter per row rather than raising;
 - ``sample_pages``    — frame-sampling: keep every Nth page of each doc
   (the video-frame-sample analog).
 
@@ -30,6 +31,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..kernel.image import decode_image
 from ..kernel.png import decode_png_gray, read_png_dpi, read_png_size, write_png_gray
 
 PAGE_ROW_SCHEMA = pa.schema(
@@ -123,34 +125,69 @@ class PngResizer:
         )
 
 
-class GeneralImageDecodeStub:
-    """STUB: general image decode (JPEG/WebP/…).
+class GeneralImageDecoder:
+    """Actor-pool stage: general image decode → grayscale features.
 
-    No imaging library exists in this container; this stage keeps the
-    real actor-pool plumbing (schema in/out, per-actor init, batch
-    processing) and raises ``NotImplementedError`` unless
-    ``deterministic_fake=True``, in which case it emits a fixed-size
-    feature vector derived from the bytes (stable stand-in for tests).
+    REAL decode for PNG (all filter types / gray / RGB / palette /
+    alpha), PGM/PPM and uncompressed BMP via the pure-Python
+    ``kernel.image.decode_image``; entropy-coded formats (JPEG/GIF/
+    WebP/TIFF) have no pure-Python baseline in this container and
+    dead-letter per ROW (``image_ok=false`` + ``image_error``) — errors
+    are data, same policy as the extraction kernel.
+
+    Output per row: true geometry, mean/std intensity, and an
+    ``feat_grid``×``feat_grid`` block-mean thumbnail vector
+    (list<double>, the downstream-model feature shape).
     """
 
-    def __init__(self, deterministic_fake: bool = False, feat_dim: int = 8) -> None:
-        self.fake = deterministic_fake
-        self.dim = feat_dim
+    def __init__(self, feat_grid: int = 8) -> None:
+        self.grid = feat_grid
+
+    def _features(self, arr: np.ndarray) -> list[float]:
+        h, w = arr.shape
+        gh, gw = min(self.grid, h), min(self.grid, w)
+        ys = (np.arange(gh + 1) * h) // gh
+        xs = (np.arange(gw + 1) * w) // gw
+        out = np.empty((self.grid, self.grid), dtype=np.float64)
+        out.fill(0.0)
+        for i in range(gh):
+            band = arr[ys[i] : ys[i + 1]]
+            for j in range(gw):
+                out[i, j] = float(band[:, xs[j] : xs[j + 1]].mean()) / 255.0
+        return out.reshape(-1).round(4).tolist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "general image decoding requires an imaging library not present "
-                "in this environment; pass deterministic_fake=True for plumbing tests"
-            )
-        import hashlib
-
-        feats = []
-        for b in batch["png"].to_pylist():
-            d = hashlib.blake2b(b or b"", digest_size=self.dim).digest()
-            feats.append([x / 255.0 for x in d])
-        return batch.append_column(
-            "image_feat", pa.array(feats, pa.list_(pa.float64()))
+        # decode_image imported at MODULE level: a function-local relative
+        # import would execute a real import on the worker, which fails
+        # when the driver runs from a foreign cwd (ROUND_NOTES #4)
+        n = batch.num_rows
+        ok = np.zeros(n, dtype=bool)
+        errs = [""] * n
+        widths = np.zeros(n, dtype=np.int32)
+        heights = np.zeros(n, dtype=np.int32)
+        means = np.zeros(n, dtype=np.float64)
+        stds = np.zeros(n, dtype=np.float64)
+        feats: list[list[float] | None] = [None] * n
+        for i, b in enumerate(batch["png"].to_pylist()):
+            try:
+                arr = decode_image(b or b"")
+            except (ValueError, NotImplementedError) as exc:
+                errs[i] = f"{type(exc).__name__}: {exc}"
+                continue
+            ok[i] = True
+            heights[i], widths[i] = arr.shape
+            means[i] = round(float(arr.mean()), 4)
+            stds[i] = round(float(arr.std()), 4)
+            feats[i] = self._features(arr)
+        return (
+            batch.drop_columns(["png"])
+            .append_column("image_ok", pa.array(ok))
+            .append_column("image_error", pa.array(errs, pa.string()))
+            .append_column("img_width", pa.array(widths, pa.int32()))
+            .append_column("img_height", pa.array(heights, pa.int32()))
+            .append_column("img_mean", pa.array(means, pa.float64()))
+            .append_column("img_std", pa.array(stds, pa.float64()))
+            .append_column("image_feat", pa.array(feats, pa.list_(pa.float64())))
         )
 
 

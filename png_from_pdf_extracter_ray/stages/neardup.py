@@ -311,7 +311,10 @@ def minhash_near_dup_pairs(
         mask = pc.is_in(batch[id_col], value_set=vs)
         return batch.select([id_col, text_col]).filter(pc.fill_null(mask, False))
 
-    texts = ds.map_batches(semi_filter, batch_format="pyarrow")
+    # materialized: BOTH bucket joins consume it, and without the pin the
+    # full-corpus semi-filter scan would execute twice; the surviving
+    # rows are candidate-set-sized (≤ 2 × #pairs), safe to hold
+    texts = ds.map_batches(semi_filter, batch_format="pyarrow").materialize()
 
     def _renamed(suffix: str) -> rd.Dataset:
         return texts.map_batches(
@@ -1013,7 +1016,8 @@ def embedding_near_dup_pairs_lsh(
         mask = pc.is_in(batch[id_col], value_set=vs)
         return batch.select([id_col, vec_col]).filter(pc.fill_null(mask, False))
 
-    vecs = ds.map_batches(semi_filter, batch_format="pyarrow")
+    # materialized: both bucket joins consume it (see minhash verify)
+    vecs = ds.map_batches(semi_filter, batch_format="pyarrow").materialize()
 
     def _renamed(suffix: str) -> rd.Dataset:
         return vecs.map_batches(

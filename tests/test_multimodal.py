@@ -10,7 +10,7 @@ import ray
 from png_from_pdf_extracter_ray.kernel.png import decode_png_gray, read_png_size
 from png_from_pdf_extracter_ray.pipelines.extract_pipeline import flagship
 from png_from_pdf_extracter_ray.stages.multimodal import (
-    GeneralImageDecodeStub,
+    GeneralImageDecoder,
     PngResizer,
     explode_pages,
     page_meta,
@@ -60,12 +60,23 @@ def test_frame_sampling(ray_session, sf_dir) -> None:  # noqa: ANN001
             assert len(plist) == (n_pages + 1) // 2
 
 
-def test_general_decode_stub_gates() -> None:
-    stub = GeneralImageDecodeStub()
-    batch = pa.Table.from_pydict({"png": [b"\x89PNGfake"]})
-    with pytest.raises(NotImplementedError):
-        stub(batch)
-    fake = GeneralImageDecodeStub(deterministic_fake=True)
-    out = fake(batch)
-    assert len(out["image_feat"][0].as_py()) == 8
-    assert fake(batch)["image_feat"][0].as_py() == out["image_feat"][0].as_py()
+def test_general_decoder_real_png_and_dead_letters(page_rows) -> None:  # noqa: ANN001
+    """The general decoder REALLY decodes this engine's rasters (and any
+    8-bit PNG/PNM/BMP); undecodable bytes dead-letter per row instead of
+    raising — errors are data."""
+    dec = GeneralImageDecoder(feat_grid=8)
+    out = dec(page_rows.slice(0, 3))
+    assert out["image_ok"].to_pylist() == [True] * 3
+    assert out["img_width"].to_pylist() == page_rows["width"].to_pylist()[:3]
+    assert out["img_height"].to_pylist() == page_rows["height"].to_pylist()[:3]
+    for f in out["image_feat"].to_pylist():
+        assert len(f) == 64
+        assert all(0.0 <= x <= 1.0 for x in f)
+    # a JPEG magic and garbage both dead-letter, never raise
+    bad = pa.Table.from_pydict(
+        {"png": [b"\xff\xd8\xff\xe0fakejpeg", b"not an image at all"]}
+    )
+    out_bad = dec(bad)
+    assert out_bad["image_ok"].to_pylist() == [False, False]
+    assert "jpeg" in out_bad["image_error"][0].as_py()
+    assert out_bad["image_feat"].null_count == 2
