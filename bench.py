@@ -217,11 +217,27 @@ def bench_queries() -> dict[str, float]:
     return out
 
 
+def _reclaim() -> None:
+    """Drop references and let plasma reclaim between bench phases — a
+    prior phase's materialized blocks otherwise push the next phase's
+    working set into spill and skew its number."""
+    import gc
+
+    gc.collect()
+    time.sleep(2.0)
+
+
 def run_once(shuffle_bench: bool = True) -> dict:
     _init_ray()
     extract = bench_extract("broadcast")
-    shuffle = bench_extract("shuffle") if shuffle_bench else None
-    skew = bench_extract_skew() if shuffle_bench else None
+    if shuffle_bench:
+        _reclaim()
+        shuffle = bench_extract("shuffle")
+        _reclaim()
+        skew = bench_extract_skew()
+        _reclaim()
+    else:
+        shuffle = skew = None
     queries = bench_queries()
     result = {
         "metric": "flagship extract pipeline wall time (sf pages table, dedup+render+sink)",
