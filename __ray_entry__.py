@@ -63,6 +63,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from png_from_pdf_extracter_ray.pipelines import corpus_stats
     from png_from_pdf_extracter_ray.pipelines import relational as rel
     from png_from_pdf_extracter_ray.pipelines import textops
     from png_from_pdf_extracter_ray.pipelines.extract_pipeline import flagship
@@ -120,6 +121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (rolling fp: rows-only; langid: SQL-checked) ---
         "rolling_fingerprints": textops.rolling_fingerprints,
         "langid_heuristic": textops.langid_heuristic,
+        # --- corpus statistics (all SQL-checked) ---
+        "vocab_top_tokens": corpus_stats.vocab_top_tokens,
+        "token_doc_frequency": corpus_stats.token_doc_frequency,
+        "doc_length_histogram": corpus_stats.doc_length_histogram,
+        "benchmark_contamination": corpus_stats.benchmark_contamination,
         # --- embedding computation (actor-pool model stage; rows-only) ---
         "text_embeddings": textops.text_embeddings,
         "text_embedding_near_dups": textops.text_embedding_near_dups,
@@ -202,6 +208,12 @@ def _langid_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
+        BENCHMARK_MOD as _BENCH_MOD,
+    )
+    from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
+        HIST_BIN_CHARS as _HIST_BIN,
+    )
     from png_from_pdf_extracter_ray.pipelines.summary import oracle_summary_path
     from png_from_pdf_extracter_ray.pipelines.textops import (
         NGRAM_MAX_DF as _NGRAM_MAX_DF,
@@ -324,6 +336,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stopword_stats": _STOPWORD_SQL,
         "langid_heuristic": _langid_sql(),
+        "vocab_top_tokens": """
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT token, COUNT(*) AS n FROM toks
+            GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        "token_doc_frequency": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT token, COUNT(*) AS df FROM toks
+            GROUP BY token HAVING COUNT(*) >= 20
+            ORDER BY df DESC, token
+        """,
+        "doc_length_histogram": f"""
+            SELECT n_chars // {_HIST_BIN} AS bin, COUNT(*) AS n_docs
+            FROM documents GROUP BY bin ORDER BY bin
+        """,
+        # benchmark set = doc_id % MOD == 0 (mirrors corpus_stats.BENCHMARK_MOD);
+        # shingle definition identical to the n-gram Jaccard oracle
+        "benchmark_contamination": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+                       unnest(range(len(regexp_split_to_array(trim(lower(text)), '\\s+')))) AS pos
+                FROM documents WHERE trim(text) <> ''
+            ),
+            sh AS (
+                SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+            ),
+            bench AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+            )
+            SELECT s.doc_id, COUNT(*) AS n_contam
+            FROM sh s JOIN bench USING (shingle)
+            WHERE s.doc_id % {_BENCH_MOD} <> 0
+            GROUP BY s.doc_id ORDER BY s.doc_id
+        """,
         "train_test_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')

@@ -1,0 +1,216 @@
+"""Corpus-level statistics for a training-data pipeline: vocabulary
+building, document-frequency tables, length histograms, and benchmark
+decontamination — each SQL-checkable against a DuckDB recomputation.
+
+Scale shapes:
+
+- token/vocab aggregation is the canonical pre-aggregate pattern —
+  per-batch partial counts (one pandas ``value_counts`` per batch, no
+  per-token Python) shrink the shuffle to (token, partial) rows, a
+  hash-bucket groupby sums B vectorized groups (never one Ray group per
+  token), and top-k uses per-bucket pruning (the global top-k is a
+  subset of the per-bucket top-k's, since a token's total lives in
+  exactly one bucket);
+- contamination broadcasts the (small) benchmark shingle set once via
+  ``ray.put`` and streams the corpus through a vectorized ``pc.is_in``
+  semi-join — the corpus is never shuffled, mirroring the dedup
+  verify pattern (stages/neardup.py).
+
+Token semantics shared with the text-stats oracles: trim → lower →
+split on ``\\s+``; blank docs contribute nothing.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..stages.dedup import stable_bucket_ids
+
+_WS = re.compile(r"\s+")
+
+# Shared with the DuckDB oracles (__ray_entry__): benchmark membership
+# and histogram bin width are part of the operator contract.
+BENCHMARK_MOD = 97
+HIST_BIN_CHARS = 256
+
+# Per-worker cache of the broadcast benchmark shingle set.
+_BENCH_CACHE: dict = {}
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _token_partials(df: pd.DataFrame, distinct_per_doc: bool) -> pd.DataFrame:
+    """Per-batch partial counts: (token, n) — total occurrences, or
+    document frequency when ``distinct_per_doc``."""
+    s = df["text"].fillna("").str.strip().str.lower()
+    toks = s[s != ""].str.split(_WS)
+    if distinct_per_doc:
+        toks = toks.map(lambda t: list(set(t)))
+    exploded = toks.explode().dropna()
+    if exploded.empty:
+        return pd.DataFrame({"token": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")})
+    counts = exploded.value_counts()
+    return pd.DataFrame({"token": counts.index.to_numpy(dtype=object), "n": counts.to_numpy(dtype=np.int64)})
+
+
+def _bucketed_token_sum(
+    ds: rd.Dataset, distinct_per_doc: bool, num_buckets: int = 32
+) -> rd.Dataset:
+    """documents → (token, n) with one fully-aggregated row per token.
+
+    Partial counts per batch, hash-bucket shuffle of the tiny partials,
+    vectorized sum inside each of B buckets.
+    """
+
+    def partials(df: pd.DataFrame) -> pa.Table:
+        out = _token_partials(df, distinct_per_doc)
+        t = pa.Table.from_pandas(
+            out, schema=pa.schema([("token", pa.string()), ("n", pa.int64())]), preserve_index=False
+        )
+        b = (
+            stable_bucket_ids(t["token"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def sum_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("token", as_index=False, sort=False)["n"].sum()
+        return pa.Table.from_pandas(
+            out, schema=pa.schema([("token", pa.string()), ("n", pa.int64())]), preserve_index=False
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(sum_bucket, batch_format="pandas")
+    )
+
+
+def vocab_top_tokens(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Global top-k tokens by total occurrence count (ties → token asc) —
+    the vocabulary-building op.  Per-bucket top-k prune: only k rows per
+    bucket reach the driver."""
+    totals = _bucketed_token_sum(_docs(sf_dir, ["text"]), distinct_per_doc=False)
+
+    def prune(t: pa.Table) -> pa.Table:
+        # batch-local prune — each batch holds complete token totals
+        return t.sort_by([("n", "descending"), ("token", "ascending")]).slice(0, k)
+
+    out = (
+        totals.map_batches(prune, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True], ignore_index=True)
+        .head(k)
+    )
+    return out[["token", "n"]]
+
+
+def token_doc_frequency(sf_dir: str, min_df: int = 20) -> pd.DataFrame:
+    """Document frequency per token, filtered to df ≥ min_df — the
+    idf-table / stopword-discovery op.  Output is vocabulary-sized
+    (bounded by the filter), sorted by (df desc, token asc)."""
+    dfreq = _bucketed_token_sum(_docs(sf_dir, ["text"]), distinct_per_doc=True)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n"], min_df))
+
+    out = (
+        dfreq.map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True], ignore_index=True)
+    )
+    out = out.rename(columns={"n": "df"})
+    return out[["token", "df"]]
+
+
+def doc_length_histogram(sf_dir: str) -> pd.DataFrame:
+    """Histogram of document length in HIST_BIN_CHARS-char bins — the
+    corpus length-distribution diagnostic.  Arrow integer division per
+    batch + one tiny low-cardinality groupby."""
+
+    def binify(t: pa.Table) -> pa.Table:
+        bins = pc.divide(t["n_chars"], HIST_BIN_CHARS)  # int64 // int -> trunc
+        return pa.Table.from_pydict({"bin": pc.cast(bins, pa.int64())})
+
+    out = (
+        _docs(sf_dir, ["n_chars"])
+        .map_batches(binify, batch_format="pyarrow")
+        .groupby("bin")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_docs"})
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("bin", ignore_index=True)[["bin", "n_docs"]]
+
+
+def _doc_shingles(text: str, k: int = 3) -> set[str]:
+    """Distinct k-token shingles (trim/lower/\\s+ tokens; < k tokens →
+    none) — the SAME definition as the n-gram Jaccard oracle."""
+    toks = (text or "").strip().lower().split()
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def benchmark_contamination(sf_dir: str) -> pd.DataFrame:
+    """Decontamination check: for every non-benchmark document, count its
+    distinct 3-gram shingles that also appear in the BENCHMARK set (docs
+    with ``doc_id % BENCHMARK_MOD == 0`` — the stand-in for an eval set).
+    Output: (doc_id, n_contam) for contaminated docs only.
+
+    The benchmark side is small by construction: its distinct shingle
+    set is collected once on the driver and broadcast via ``ray.put``;
+    the corpus streams through a per-batch set intersection — no
+    shuffle, the semi-join-broadcast pattern.
+    """
+    import pyarrow.parquet as pq
+
+    bench_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = np.asarray(bench_tbl["doc_id"])
+    bench_rows = bench_tbl.filter(pa.array(ids % BENCHMARK_MOD == 0))
+    bench_shingles: set[str] = set()
+    for t in bench_rows["text"].to_pylist():
+        bench_shingles |= _doc_shingles(t)
+    ref = ray.put(frozenset(bench_shingles))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bset = _BENCH_CACHE.get(ref.hex())
+        if bset is None:
+            _BENCH_CACHE.clear()
+            bset = ray.get(ref)
+            _BENCH_CACHE[ref.hex()] = bset
+        out_ids, out_n = [], []
+        ids = batch["doc_id"].to_pylist()
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            if i % BENCHMARK_MOD == 0:
+                continue  # benchmark docs are not checked against themselves
+            n = len(_doc_shingles(t) & bset)
+            if n:
+                out_ids.append(i)
+                out_n.append(n)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_contam": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(scan, batch_format="pyarrow").to_pandas()
+    if out.empty and list(out.columns) != ["doc_id", "n_contam"]:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "n_contam": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id", ignore_index=True)[["doc_id", "n_contam"]]
