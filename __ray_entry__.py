@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from png_from_pdf_extracter_ray.pipelines.extract_pipeline import flagship
 
     from png_from_pdf_extracter_ray.pipelines.summary import flagship_summary
+    from png_from_pdf_extracter_ray.pipelines.summary import (
+        flagship_rows as _flagship_rows,
+    )
     from png_from_pdf_extracter_ray.pipelines.summary import pages_digest as _pages_digest
     from png_from_pdf_extracter_ray.pipelines.summary import (
         skew_routed_summary as _skew_summary,
@@ -80,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship summary (SQL-checked against the single-process
         # oracle's parquet: counts + XOR content digest per status/type) ---
         "extract_flagship_summary": lambda sf: flagship_summary(sf, expand=2),
+        # --- per-DOCUMENT flagship rows (SQL-checked vs the per-doc
+        # oracle parquet — row-level drift in any column flips the hash) ---
+        "extract_flagship_rows": lambda sf: _flagship_rows(sf, expand=2),
         # --- page-raster digest (SQL-checked vs the same single-process
         # oracle: XOR over blake2b of the PNG BYTES of every page) ---
         "pages_digest": lambda sf: _pages_digest(sf, expand=2),
@@ -227,13 +233,17 @@ def oracle_sql() -> dict[str, str]:
     # callable (re)writes it; the driver compares at sf0.01 (tests
     # override via GRAFT_ORACLE_SF_DIR to match their sf fixture).
     from png_from_pdf_extracter_ray.pipelines.summary import (
+        page_meta_oracle_path,
         pages_digest_oracle_path,
+        per_doc_oracle_path,
         write_oracle_summary,
     )
 
     _oracle_sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     _flagship_oracle = oracle_summary_path(_oracle_sf, expand=2)
     _pages_oracle = pages_digest_oracle_path(_oracle_sf, expand=2)
+    _docs_oracle = per_doc_oracle_path(_oracle_sf, expand=2)
+    _meta_oracle = page_meta_oracle_path(_oracle_sf, expand=2)
     # Write the single-process oracle parquets NOW (pure Python, no Ray,
     # ~2 s once per sf; cached thereafter) so the SQL below works
     # regardless of whether the driver runs the SQL before or after the
@@ -261,6 +271,22 @@ def oracle_sql() -> dict[str, str]:
         "extract_skew_routed_summary": f"""
             SELECT status, content_type, n_docs, xor_digest
             FROM read_parquet('{_flagship_oracle}')
+        """,
+        "extract_flagship_rows": f"""
+            SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS warc_us, lang,
+                   content_type, status, error_type, n_payloads, n_pages,
+                   n_spans, text_chars, content_hash
+            FROM read_parquet('{_docs_oracle}')
+        """,
+        "pages_page_meta": f"""
+            SELECT url, page_number, width, height, dpi, filename,
+                   png_width, png_height, png_dpi, png_bytes
+            FROM read_parquet('{_meta_oracle}')
+        """,
+        "pages_frame_sample": f"""
+            SELECT url, n_pages,
+                   CAST((n_pages + 1) // 2 AS INTEGER) AS n_pages_sampled
+            FROM read_parquet('{_docs_oracle}')
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -207,6 +207,18 @@ def pages_digest_oracle_path(sf_dir: str, expand: int = 2) -> str:
     return oracle_summary_path(sf_dir, expand).replace(".parquet", "_pages.parquet")
 
 
+def per_doc_oracle_path(sf_dir: str, expand: int = 2) -> str:
+    """Per-document oracle rows (the flagship's summary columns) — lets
+    the driver hash-check the WHOLE per-doc output, not just aggregates."""
+    return oracle_summary_path(sf_dir, expand).replace(".parquet", "_docs.parquet")
+
+
+def page_meta_oracle_path(sf_dir: str, expand: int = 2) -> str:
+    """Per-page geometry/DPI oracle rows (explode + header parse run
+    single-process on the oracle extraction)."""
+    return oracle_summary_path(sf_dir, expand).replace(".parquet", "_pagemeta.parquet")
+
+
 def write_oracle_summary(sf_dir: str, expand: int = 2) -> str:
     """Single-process oracle: synthesize → dedup → extract → summarize,
     all sequentially in this process (no Ray), committed via atomic
@@ -221,7 +233,9 @@ def write_oracle_summary(sf_dir: str, expand: int = 2) -> str:
 
     path = oracle_summary_path(sf_dir, expand)
     pages_path = pages_digest_oracle_path(sf_dir, expand)
-    if os.path.exists(path) and os.path.exists(pages_path):
+    docs_path = per_doc_oracle_path(sf_dir, expand)
+    meta_path = page_meta_oracle_path(sf_dir, expand)
+    if all(os.path.exists(p) for p in (path, pages_path, docs_path, meta_path)):
         return path
     os.makedirs(ORACLE_SUMMARY_ROOT, exist_ok=True)
 
@@ -248,7 +262,60 @@ def write_oracle_summary(sf_dir: str, expand: int = 2) -> str:
     tmp2 = pages_path + ".tmp"
     pq.write_table(pa.Table.from_pandas(pages_summary, preserve_index=False), tmp2)
     os.replace(tmp2, pages_path)
+
+    # per-document oracle rows: the flagship's summary columns verbatim
+    from .extract_pipeline import SUMMARY_COLUMNS
+
+    tmp3 = docs_path + ".tmp"
+    pq.write_table(extracted.select(SUMMARY_COLUMNS), tmp3)
+    os.replace(tmp3, docs_path)
+
+    # per-page meta oracle rows: explode + PNG-header parse, the same
+    # functions the Ray path runs, executed single-process here
+    from ..stages.multimodal import page_meta
+
+    tmp4 = meta_path + ".tmp"
+    pq.write_table(page_meta(exploded), tmp4)
+    os.replace(tmp4, meta_path)
     return path
+
+
+FLAGSHIP_ROW_COLS = [
+    "url",
+    "warc_us",
+    "lang",
+    "content_type",
+    "status",
+    "error_type",
+    "n_payloads",
+    "n_pages",
+    "n_spans",
+    "text_chars",
+    "content_hash",
+]
+
+
+def flagship_rows(sf_dir: str, expand: int = 2) -> rd.Dataset:
+    """PER-DOCUMENT flagship output, SQL-checked: every summary column of
+    every extracted row is hash-compared against the single-process
+    oracle parquet (the aggregate summary/digest entries catch count and
+    content drift; this catches row-level drift in ANY column).
+    ``warc_ts`` is exposed as epoch microseconds (int64) so both engines
+    hash identical integers instead of dialect-dependent timestamps."""
+    import pyarrow.compute as _pc
+
+    from .extract_pipeline import flagship
+
+    write_oracle_summary(sf_dir, expand=expand)
+    ds = flagship(sf_dir, expand=expand, summary_only=True)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        us = _pc.cast(t["warc_ts"], pa.int64())  # timestamp[us] → µs since epoch
+        return t.drop_columns(["warc_ts"]).append_column("warc_us", us).select(
+            FLAGSHIP_ROW_COLS
+        )
+
+    return ds.map_batches(fmt, batch_format="pyarrow")
 
 
 def summarize_extracted_table(t: pa.Table) -> pd.DataFrame:
