@@ -74,7 +74,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from png_from_pdf_extracter_ray.pipelines.summary import pages_digest as _pages_digest
     from png_from_pdf_extracter_ray.pipelines.summary import (
+        pages_resized_digest as _resized_digest,
+    )
+    from png_from_pdf_extracter_ray.pipelines.summary import (
         skew_routed_summary as _skew_summary,
+    )
+    from png_from_pdf_extracter_ray.pipelines.summary import (
+        text_embeddings_digest as _emb_digest,
     )
 
     return {
@@ -89,6 +95,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- page-raster digest (SQL-checked vs the same single-process
         # oracle: XOR over blake2b of the PNG BYTES of every page) ---
         "pages_digest": lambda sf: _pages_digest(sf, expand=2),
+        # --- resized-raster digest: distributed decode→resize→re-encode
+        # must reproduce the single-process bytes (SQL-checked) ---
+        "pages_resized_digest": lambda sf: _resized_digest(sf, expand=2),
+        # --- embedding digest: distributed model stage, bit-level
+        # (SQL-checked) ---
+        "text_embeddings_digest": lambda sf: _emb_digest(sf, expand=2),
         # --- skew-routed pipeline summary: the size-bucketed variant must
         # reproduce the flagship oracle exactly (SQL-checked) ---
         "extract_skew_routed_summary": lambda sf: _skew_summary(sf, expand=2),
@@ -112,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": rel.q3_shipping_priority,
         "events_asof_last_purchase": rel.events_asof_last_purchase,
         "quantity_quantiles_by_returnflag": rel.quantity_quantiles_by_returnflag,
+        # bounded-state approximate quantiles (sketch — rows-only; a
+        # pytest asserts the documented rank-error bound vs exact)
+        "quantity_quantiles_sketch": rel.quantity_quantiles_sketch,
         "distinct_users_per_event_type": rel.distinct_users_per_event_type,
         "events_sessionize": rel.events_sessionize,
         "events_sliding_window": rel.events_sliding_window,
@@ -233,9 +248,11 @@ def oracle_sql() -> dict[str, str]:
     # callable (re)writes it; the driver compares at sf0.01 (tests
     # override via GRAFT_ORACLE_SF_DIR to match their sf fixture).
     from png_from_pdf_extracter_ray.pipelines.summary import (
+        embeddings_digest_oracle_path,
         page_meta_oracle_path,
         pages_digest_oracle_path,
         per_doc_oracle_path,
+        resized_digest_oracle_path,
         write_oracle_summary,
     )
 
@@ -244,6 +261,8 @@ def oracle_sql() -> dict[str, str]:
     _pages_oracle = pages_digest_oracle_path(_oracle_sf, expand=2)
     _docs_oracle = per_doc_oracle_path(_oracle_sf, expand=2)
     _meta_oracle = page_meta_oracle_path(_oracle_sf, expand=2)
+    _resized_oracle = resized_digest_oracle_path(_oracle_sf, expand=2)
+    _emb_oracle = embeddings_digest_oracle_path(_oracle_sf, expand=2)
     # Write the single-process oracle parquets NOW (pure Python, no Ray,
     # ~2 s once per sf; cached thereafter) so the SQL below works
     # regardless of whether the driver runs the SQL before or after the
@@ -267,6 +286,14 @@ def oracle_sql() -> dict[str, str]:
         "pages_digest": f"""
             SELECT n_pages, total_png_bytes, xor_digest
             FROM read_parquet('{_pages_oracle}')
+        """,
+        "pages_resized_digest": f"""
+            SELECT n_pages, total_png_bytes, xor_digest
+            FROM read_parquet('{_resized_oracle}')
+        """,
+        "text_embeddings_digest": f"""
+            SELECT n_docs, xor_digest
+            FROM read_parquet('{_emb_oracle}')
         """,
         "extract_skew_routed_summary": f"""
             SELECT status, content_type, n_docs, xor_digest

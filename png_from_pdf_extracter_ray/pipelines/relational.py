@@ -633,3 +633,18 @@ def union_account_holders(sf_dir: str) -> pd.DataFrame:
         lambda t: t.rename_columns(["name", "acctbal"]), batch_format="pyarrow"
     )
     return cust.union(supp).to_pandas()
+
+
+def quantity_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
+    """APPROXIMATE grouped quantiles via the mergeable grid sketch
+    (stages/sketch.py) — the bounded-state path for 100 TB groups, where
+    the exact version's gather-every-value groupby cannot hold.  Rank
+    error ≤ ~1/grid; a pytest asserts closeness to the exact quantiles.
+    Rows-only oracle (approximate by construction)."""
+    from ..stages.sketch import quantile_sketch_by_key
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = quantile_sketch_by_key(
+        ds, key_col="l_returnflag", val_col="l_quantity", qs=(0.5, 0.9), grid=128
+    )
+    return out.rename(columns={"p50": "p50_qty", "p90": "p90_qty"})

@@ -207,6 +207,18 @@ def pages_digest_oracle_path(sf_dir: str, expand: int = 2) -> str:
     return oracle_summary_path(sf_dir, expand).replace(".parquet", "_pages.parquet")
 
 
+def resized_digest_oracle_path(sf_dir: str, expand: int = 2) -> str:
+    """Digest of the 480×270 block-mean-resized rasters — verifies the
+    distributed decode→resize→re-encode path byte-for-byte."""
+    return oracle_summary_path(sf_dir, expand).replace(".parquet", "_resized.parquet")
+
+
+def embeddings_digest_oracle_path(sf_dir: str, expand: int = 2) -> str:
+    """Digest of the hashing-trick text embeddings — verifies the
+    distributed embedding stage bit-for-bit (float32 payload bytes)."""
+    return oracle_summary_path(sf_dir, expand).replace(".parquet", "_emb.parquet")
+
+
 def per_doc_oracle_path(sf_dir: str, expand: int = 2) -> str:
     """Per-document oracle rows (the flagship's summary columns) — lets
     the driver hash-check the WHOLE per-doc output, not just aggregates."""
@@ -235,7 +247,12 @@ def write_oracle_summary(sf_dir: str, expand: int = 2) -> str:
     pages_path = pages_digest_oracle_path(sf_dir, expand)
     docs_path = per_doc_oracle_path(sf_dir, expand)
     meta_path = page_meta_oracle_path(sf_dir, expand)
-    if all(os.path.exists(p) for p in (path, pages_path, docs_path, meta_path)):
+    resized_path = resized_digest_oracle_path(sf_dir, expand)
+    emb_path = embeddings_digest_oracle_path(sf_dir, expand)
+    if all(
+        os.path.exists(p)
+        for p in (path, pages_path, docs_path, meta_path, resized_path, emb_path)
+    ):
         return path
     os.makedirs(ORACLE_SUMMARY_ROOT, exist_ok=True)
 
@@ -277,7 +294,111 @@ def write_oracle_summary(sf_dir: str, expand: int = 2) -> str:
     tmp4 = meta_path + ".tmp"
     pq.write_table(page_meta(exploded), tmp4)
     os.replace(tmp4, meta_path)
+
+    # resized-raster digest: the same PngResizer the Ray path runs,
+    # single-process — any byte drift in decode/resize/re-encode flips it
+    from ..stages.multimodal import PngResizer
+
+    resized = PngResizer(target_w=480, target_h=270)(exploded)
+    resized_summary = _combine_page_partials(_page_digest_partial(resized))[
+        PAGES_DIGEST_COLS
+    ]
+    tmp5 = resized_path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(resized_summary, preserve_index=False), tmp5)
+    os.replace(tmp5, resized_path)
+
+    # embedding digest: the same TextEmbedder the Ray stage runs,
+    # single-process over the documents table (float32 payload bytes)
+    from ..stages.embed import TextEmbedder
+
+    emb_docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    emb = TextEmbedder()(emb_docs)
+    emb_summary = _combine_embedding_partials(_embedding_digest_partial(emb))
+    tmp6 = emb_path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(emb_summary, preserve_index=False), tmp6)
+    os.replace(tmp6, emb_path)
     return path
+
+
+EMB_DIGEST_COLS = ["n_docs", "xor_digest"]
+
+
+def _embedding_digest_partial(batch: pa.Table) -> pd.DataFrame:
+    """One partial row per batch of (doc_id, embedding) rows: count + XOR
+    of per-doc blake2b(doc_id: float32-vector-bytes)."""
+    ids = batch["doc_id"].to_pylist()
+    acc = np.uint64(0)
+    for i, v in zip(ids, batch["embedding"].to_pylist()):
+        b = np.asarray(v, dtype=np.float32).tobytes()
+        d = hashlib.blake2b(f"{i}:".encode() + b, digest_size=8).digest()
+        acc ^= np.uint64(int.from_bytes(d, "big"))
+    return pd.DataFrame(
+        {"n_docs": [len(ids)], "xor_digest": [int(acc.astype(np.int64))]}
+    )
+
+
+def _combine_embedding_partials(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "n_docs": [int(df["n_docs"].sum())],
+            "xor_digest": [
+                int(
+                    np.bitwise_xor.reduce(
+                        df["xor_digest"].to_numpy(dtype=np.int64).view(np.uint64)
+                    ).astype(np.int64)
+                )
+            ],
+        }
+    )
+
+
+def pages_resized_digest(sf_dir: str, expand: int = 2) -> pd.DataFrame:
+    """Ray side: explode → actor-pool decode/resize/re-encode → digest.
+    SQL-checked against the single-process resize of the same rasters —
+    the distributed transform must reproduce every output byte."""
+    from ..stages.multimodal import PngResizer, explode_pages
+    from .textops import _extracted_pages
+
+    write_oracle_summary(sf_dir, expand=expand)
+    partials = (
+        _extracted_pages(sf_dir)
+        .map_batches(explode_pages, batch_format="pyarrow", batch_size=16)
+        .map_batches(
+            PngResizer,
+            fn_constructor_kwargs={"target_w": 480, "target_h": 270},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=(1, 4),
+        )
+        .map_batches(_page_digest_partial, batch_format="pyarrow", batch_size=64)
+        .to_pandas()
+    )
+    if partials.empty:
+        return pd.DataFrame({c: [0] for c in PAGES_DIGEST_COLS})
+    return _combine_page_partials(partials)[PAGES_DIGEST_COLS]
+
+
+def text_embeddings_digest(sf_dir: str, expand: int = 2) -> pd.DataFrame:
+    """Ray side: the embedding actor pool reduced to one digest row —
+    bit-level check of the distributed model-inference stage."""
+    import ray.data as _rd
+
+    from ..stages.embed import embed_texts
+
+    write_oracle_summary(sf_dir, expand=expand)
+    docs = _rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    partials = (
+        embed_texts(docs)
+        .map_batches(_embedding_digest_partial, batch_format="pyarrow", batch_size=256)
+        .to_pandas()
+    )
+    if partials.empty:
+        return pd.DataFrame({c: [0] for c in EMB_DIGEST_COLS})
+    return _combine_embedding_partials(partials)[EMB_DIGEST_COLS]
 
 
 FLAGSHIP_ROW_COLS = [

@@ -16,13 +16,15 @@ production one — swap ``_embed_doc`` for a model forward pass.
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
+
+_EMB_ODD = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mix constant
 
 
 class TextEmbedder:
@@ -35,36 +37,48 @@ class TextEmbedder:
     ) -> None:
         self.id_col, self.text_col, self.dim = id_col, text_col, dim
         self.token_re = re.compile(r"[a-z0-9]+")
-        self.salt = f"emb:{seed}:".encode()
+        # seed folded arithmetically into the token hash (multiply-add
+        # post-mix over one hash_array pass — no per-token Python hashing)
+        self.seed_add = np.uint64(seed * 2 + 1)
 
-    def _token_hash(self, tok: str) -> int:
-        return int.from_bytes(
-            hashlib.blake2b(self.salt + tok.encode(), digest_size=8).digest(), "big"
+    def _embed_batch(self, texts: list[str]) -> np.ndarray:
+        """(len(texts), dim) float32 — the WHOLE batch in one hash pass:
+        tokens concatenated across docs, one ``pd.util.hash_array``, one
+        scattered add into the flattened matrix, row-normalize."""
+        tok_lists = [self.token_re.findall((t or "").lower()) for t in texts]
+        counts = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
         )
+        mat = np.zeros((len(texts), self.dim), dtype=np.float32)
+        total = int(counts.sum())
+        if total:
+            all_toks = np.empty(total, dtype=object)
+            pos = 0
+            for toks in tok_lists:
+                all_toks[pos : pos + len(toks)] = toks
+                pos += len(toks)
+            hs = (pd.util.hash_array(all_toks) + self.seed_add) * _EMB_ODD
+            buckets = (hs % np.uint64(self.dim)).astype(np.int64)
+            signs = 1.0 - 2.0 * ((hs >> np.uint64(32)) & np.uint64(1)).astype(
+                np.float32
+            )
+            doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+            np.add.at(mat.reshape(-1), doc_idx * self.dim + buckets, signs)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return mat / norms
 
     def _embed_doc(self, text: str) -> np.ndarray:
-        vec = np.zeros(self.dim, dtype=np.float32)
-        toks = self.token_re.findall((text or "").lower())
-        if toks:
-            hs = np.fromiter(
-                (self._token_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
-            )
-            buckets = (hs % np.uint64(self.dim)).astype(np.int64)
-            signs = 1.0 - 2.0 * ((hs >> np.uint64(32)) & np.uint64(1)).astype(np.float32)
-            np.add.at(vec, buckets, signs)
-        n = float(np.linalg.norm(vec))
-        if n > 0:
-            vec /= n
-        return vec
+        """Single-doc wrapper over the batch kernel (both paths share one
+        definition by construction)."""
+        return self._embed_batch([text])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = [self._embed_doc(t) for t in batch[self.text_col].to_pylist()]
+        mat = self._embed_batch(batch[self.text_col].to_pylist())
         return pa.Table.from_pydict(
             {
                 self.id_col: batch[self.id_col],
-                "embedding": pa.array(
-                    [v.tolist() for v in vecs], pa.list_(pa.float32())
-                ),
+                "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
             }
         )
 
