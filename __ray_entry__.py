@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": rel.parts_by_brand,
         "union_account_holders": rel.union_account_holders,
         "q3_shipping_priority": rel.q3_shipping_priority,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
         "events_asof_last_purchase": rel.events_asof_last_purchase,
         "quantity_quantiles_by_returnflag": rel.quantity_quantiles_by_returnflag,
         # bounded-state approximate quantiles (sketch — rows-only; a
@@ -500,6 +501,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, o_orderdate, l_orderkey
             LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
         """,
         "events_asof_last_purchase": """
             SELECT e.event_id,

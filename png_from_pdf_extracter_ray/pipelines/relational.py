@@ -648,3 +648,103 @@ def quantity_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
         ds, key_col="l_returnflag", val_col="l_quantity", qs=(0.5, 0.9), grid=128
     )
     return out.rename(columns={"p50": "p50_qty", "p90": "p90_qty"})
+
+
+def q5_local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> pd.DataFrame:
+    """TPC-H Q5 shape: revenue per nation where customer and supplier
+    share the nation, restricted to one region and a date window — the
+    engine's deepest join composition (6 tables).
+
+    Join plan (the 100 TB shapes, not a literal 6-way shuffle):
+    region→nation resolve on the driver (tiny); customer's
+    (custkey → nationkey) and supplier's (suppkey → nationkey) maps are
+    broadcast once via ``ray.put`` (small sides — the Bloom/semi-join
+    stand-in); orders and lineitem, the two big tables, are each slimmed
+    by a broadcast map_batches lookup and meet in ONE bucketed
+    large⋈large hash join on orderkey; the customer-nation ==
+    supplier-nation predicate filters inside the join output; revenue
+    pre-aggregates per batch before a tiny per-nation groupby.
+    """
+    import pyarrow.compute as pc
+
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    # driver-side tiny-dimension resolve: region -> set of nationkeys + names
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nat_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    if not nat_names:
+        return pd.DataFrame({"n_name": [], "revenue": []})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nat_names)]
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nat_names)]
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+
+    def orders_slim(df: pd.DataFrame) -> pa.Table:
+        cmap = ray.get(cust_ref)
+        df = df[(df["o_orderdate"] >= t_from) & (df["o_orderdate"] < t_to)]
+        cn = df["o_custkey"].map(cmap)
+        out = pd.DataFrame(
+            {"l_orderkey": df["o_orderkey"], "cust_nation": cn}
+        ).dropna(subset=["cust_nation"])
+        out["cust_nation"] = out["cust_nation"].astype("int64")
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema([("l_orderkey", pa.int64()), ("cust_nation", pa.int64())]),
+            preserve_index=False,
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_slim, batch_format="pandas")
+
+    def items_slim(df: pd.DataFrame) -> pa.Table:
+        smap = ray.get(supp_ref)
+        sn = df["l_suppkey"].map(smap)
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "supp_nation": sn,
+                "revenue": df["l_extendedprice"] * (1.0 - df["l_discount"]),
+            }
+        ).dropna(subset=["supp_nation"])
+        out["supp_nation"] = out["supp_nation"].astype("int64")
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [
+                    ("l_orderkey", pa.int64()),
+                    ("supp_nation", pa.int64()),
+                    ("revenue", pa.float64()),
+                ]
+            ),
+            preserve_index=False,
+        )
+
+    items = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(items_slim, batch_format="pandas")
+
+    joined = bucketed_hash_join(items, orders, on="l_orderkey", num_buckets=16)
+    local = joined.map_batches(
+        lambda t: t.filter(pc.equal(t["supp_nation"], t["cust_nation"])),
+        batch_format="pyarrow",
+    )
+    agg = grouped_sum(local, ["supp_nation"], None, ["revenue"]).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"n_name": [], "revenue": []})
+    agg["n_name"] = agg["supp_nation"].map(nat_names)
+    agg["revenue"] = agg["revenue"].round(2)
+    return agg.sort_values(["revenue", "n_name"], ascending=[False, True], ignore_index=True)[
+        ["n_name", "revenue"]
+    ]
