@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": textops.train_test_split,
         "stratified_sample": textops.stratified_sample,
         "md5_fingerprints": textops.md5_fingerprints,
+        "normalized_text_fps": textops.normalized_text_fps,
+        "orders_rollup": rel.orders_rollup,
         # --- text analysis (rolling fp: rows-only; langid: SQL-checked) ---
         "rolling_fingerprints": textops.rolling_fingerprints,
         "langid_heuristic": textops.langid_heuristic,
@@ -387,6 +389,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "md5_fingerprints": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        # normalization chain order (control-strip → ws-collapse → trim
+        # → lower) mirrors stages/text_stats.normalize_text_batch exactly
+        "normalized_text_fps": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(
+                       regexp_replace(text, '[\\x00-\\x1f\\x7f]', '', 'g'),
+                       '\\s+', ' ', 'g')))) AS norm_fp
+            FROM documents
+        """,
+        "orders_rollup": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   ROUND(SUM(o_totalprice), 2) AS sum_totalprice,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority, o_orderstatus
         """,
         "stopword_stats": _STOPWORD_SQL,
         "langid_heuristic": _langid_sql(),

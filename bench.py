@@ -205,6 +205,9 @@ def bench_queries() -> dict[str, float]:
         "text_embeddings",
         "minhash_near_dups",
         "ngram_jaccard_near_dups",
+        "simhash_near_dups",
+        "embedding_near_dups_lsh",
+        "q5_local_supplier_volume",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

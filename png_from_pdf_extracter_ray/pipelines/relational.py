@@ -748,3 +748,41 @@ def q5_local_supplier_volume(
     return agg.sort_values(["revenue", "n_name"], ascending=[False, True], ignore_index=True)[
         ["n_name", "revenue"]
     ]
+
+
+def orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP(o_orderpriority, o_orderstatus): finest-level groups plus
+    per-priority subtotals plus the grand total (labels 'ALL').
+
+    At scale only the FINEST level aggregates distributed (pre-aggregated
+    partials + small groupby); the subtotal/total levels re-aggregate the
+    tiny finest-level result on the driver — the standard rollup-from-
+    partials plan, no second pass over the data.
+    """
+    finest = grouped_sum(
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]),
+        ["o_orderpriority", "o_orderstatus"],
+        None,
+        ["o_totalprice"],
+        count_col="n_orders",
+    ).to_pandas()
+    finest = finest.rename(columns={"o_totalprice": "sum_totalprice"})
+    sub = (
+        finest.groupby("o_orderpriority", as_index=False)[["sum_totalprice", "n_orders"]]
+        .sum()
+        .assign(o_orderstatus="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "o_orderpriority": ["ALL"],
+            "o_orderstatus": ["ALL"],
+            "sum_totalprice": [finest["sum_totalprice"].sum()],
+            "n_orders": [finest["n_orders"].sum()],
+        }
+    )
+    out = pd.concat([finest, sub, total], ignore_index=True)
+    out["sum_totalprice"] = out["sum_totalprice"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(
+        ["o_orderpriority", "o_orderstatus"], ignore_index=True
+    )[["o_orderpriority", "o_orderstatus", "sum_totalprice", "n_orders"]]

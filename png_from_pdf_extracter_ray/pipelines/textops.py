@@ -422,3 +422,14 @@ def pages_frame_sample(sf_dir: str, stride: int = 2) -> rd.Dataset:
         )
 
     return sampled.map_batches(summarize, batch_format="pyarrow")
+
+
+def normalized_text_fps(sf_dir: str) -> rd.Dataset:
+    """Normalize (control-strip → whitespace-collapse → trim → lower)
+    and fingerprint every document — the cleaning pass of a training
+    pipeline, SQL-checked via md5 of the normalized text."""
+    from ..stages.text_stats import normalize_text_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        normalize_text_batch, batch_format="pandas"
+    ).select_columns(["doc_id", "norm_fp"])

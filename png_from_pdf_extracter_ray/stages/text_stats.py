@@ -183,3 +183,29 @@ class LangId:
 
 def langid_dataset(ds: rd.Dataset, concurrency: int | tuple[int, int] = (1, 4)) -> rd.Dataset:
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=concurrency)
+
+
+_CTRL = re.compile(r"[\x00-\x1f\x7f]")
+_WS_COLLAPSE = re.compile(r"\s+")
+
+
+def normalize_text_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Training-data text cleaning: strip control chars, collapse all
+    whitespace runs to one space, trim, lowercase.  Emits the md5 of the
+    normalized text (``norm_fp``) so the op is SQL-checkable without
+    shipping normalized bodies around: the fingerprint IS the dedup key
+    a cleaning pipeline would use downstream.
+
+    Op order (control-strip → collapse → trim → lower) is part of the
+    contract — the DuckDB oracle applies the identical chain.
+    """
+    s = (
+        df[text_col]
+        .fillna("")
+        .str.replace(_CTRL, "", regex=True)
+        .str.replace(_WS_COLLAPSE, " ", regex=True)
+        .str.strip()
+        .str.lower()
+    )
+    fp = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in s]
+    return df.assign(norm_fp=fp)
