@@ -42,8 +42,15 @@ def _register_pickle_by_value() -> None:
     for info in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
         try:
             importlib.import_module(info.name)
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001
+            # LOUD skip: an unregistered module ships by reference and
+            # fails much later on foreign-cwd workers with an unrelated
+            # ModuleNotFoundError — surface the real cause here
+            print(
+                f"[__ray_entry__] WARNING: {info.name} failed to import and "
+                f"will not pickle by value: {exc!r}",
+                file=sys.stderr,
+            )
     for name, mod in list(sys.modules.items()):
         if name.startswith("png_from_pdf_extracter_ray") and mod is not None:
             try:
@@ -390,13 +397,15 @@ def oracle_sql() -> dict[str, str]:
         "md5_fingerprints": """
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
-        # normalization chain order (control-strip → ws-collapse → trim
-        # → lower) mirrors stages/text_stats.normalize_text_batch exactly
+        # normalization chain order (ws-collapse → control-strip → trim
+        # → lower) and the EXPLICIT whitespace class mirror
+        # stages/text_stats.normalize_text_batch exactly (Python \s and
+        # RE2 \s disagree on \x0b, so neither side uses \s here)
         "normalized_text_fps": """
             SELECT doc_id,
                    md5(lower(trim(regexp_replace(
-                       regexp_replace(text, '[\\x00-\\x1f\\x7f]', '', 'g'),
-                       '\\s+', ' ', 'g')))) AS norm_fp
+                       regexp_replace(text, '[ \\t\\n\\r\\f\\v]+', ' ', 'g'),
+                       '[\\x00-\\x1f\\x7f]', '', 'g')))) AS norm_fp
             FROM documents
         """,
         "orders_rollup": """

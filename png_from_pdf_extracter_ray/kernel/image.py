@@ -197,8 +197,13 @@ def _decode_pnm(data: bytes) -> np.ndarray:
     w, h, maxval = vals
     if maxval > 255:
         raise UnsupportedImageError("16-bit PNM not supported")
+    if maxval <= 0:
+        raise ValueError("PNM maxval must be positive")
     ch = 1 if magic == b"P5" else 3
     px = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=pos)
+    if maxval != 255:
+        # PNM samples are proportional to maxval — rescale to full range
+        px = (px.astype(np.uint16) * 255 // maxval).clip(0, 255).astype(np.uint8)
     if ch == 1:
         return px.reshape(h, w).copy()
     return _to_gray(px.reshape(h, w, 3))

@@ -36,6 +36,23 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+# Per-worker-process cache of broadcast small sides (keyed by ObjectRef
+# hex, bounded — same policy as dedup._WINNER_CACHE): without it every
+# batch of a map_batches TASK pays a plasma fetch + deserialization of
+# the broadcast dict/set.
+_BCAST_CACHE: dict = {}
+
+
+def _cached_broadcast(ref):  # noqa: ANN001, ANN202
+    v = _BCAST_CACHE.get(ref.hex())
+    if v is None:
+        if len(_BCAST_CACHE) > 8:
+            _BCAST_CACHE.clear()
+        v = ray.get(ref)
+        _BCAST_CACHE[ref.hex()] = v
+    return v
+
+
 def grouped_sum(
     ds: rd.Dataset,
     keys: list[str],
@@ -466,7 +483,7 @@ def q3_shipping_priority(
     keys_ref = ray.put(cust_keys)
 
     def orders_filter(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(keys_ref)
+        keys = _cached_broadcast(keys_ref)
         df = df[(df["o_orderdate"] < cut) & df["o_custkey"].isin(keys)]
         return pd.DataFrame(
             {
@@ -691,7 +708,7 @@ def q5_local_supplier_volume(
     supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
 
     def orders_slim(df: pd.DataFrame) -> pa.Table:
-        cmap = ray.get(cust_ref)
+        cmap = _cached_broadcast(cust_ref)
         df = df[(df["o_orderdate"] >= t_from) & (df["o_orderdate"] < t_to)]
         cn = df["o_custkey"].map(cmap)
         out = pd.DataFrame(
@@ -709,7 +726,7 @@ def q5_local_supplier_volume(
     ).map_batches(orders_slim, batch_format="pandas")
 
     def items_slim(df: pd.DataFrame) -> pa.Table:
-        smap = ray.get(supp_ref)
+        smap = _cached_broadcast(supp_ref)
         sn = df["l_suppkey"].map(smap)
         out = pd.DataFrame(
             {

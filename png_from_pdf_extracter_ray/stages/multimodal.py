@@ -168,10 +168,20 @@ class GeneralImageDecoder:
         means = np.zeros(n, dtype=np.float64)
         stds = np.zeros(n, dtype=np.float64)
         feats: list[list[float] | None] = [None] * n
+        import struct
+        import zlib
+
         for i, b in enumerate(batch["png"].to_pylist()):
             try:
                 arr = decode_image(b or b"")
-            except (ValueError, NotImplementedError) as exc:
+            except (
+                ValueError,  # covers UnsupportedImageError
+                NotImplementedError,
+                zlib.error,  # corrupt deflate stream in a valid-signature PNG
+                struct.error,  # truncated header fields
+                IndexError,  # malformed offsets (palette/BMP)
+                OverflowError,
+            ) as exc:
                 errs[i] = f"{type(exc).__name__}: {exc}"
                 continue
             ok[i] = True

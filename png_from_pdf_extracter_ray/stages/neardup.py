@@ -702,22 +702,11 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _simhash_batch(texts: list[str]) -> np.ndarray:
-    """Vectorized 64-bit SimHash per text (uint64 array).
-
-    One ``pd.util.hash_array`` call over the CONCATENATED token stream of
-    the whole batch (the MinHash r2 fix applied here: a per-token Python
-    ``hashlib.blake2b`` loop dominated signature cost), then per-doc bit
-    vote via ``np.add.reduceat`` at the doc offsets — no per-token Python.
-    Empty docs get signature 0.
-    """
-    tok_lists = [(t or "").lower().split() for t in texts]
-    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
-    n_docs = len(tok_lists)
-    sigs = np.zeros(n_docs, dtype=np.uint64)
+def _simhash_chunk(tok_lists: list[list[str]], counts: np.ndarray, out: np.ndarray) -> None:
+    """Signatures for one doc-group; writes into ``out`` (len == docs)."""
     total = int(counts.sum())
     if total == 0:
-        return sigs
+        return
     all_toks = np.empty(total, dtype=object)
     pos = 0
     for toks in tok_lists:
@@ -727,6 +716,7 @@ def _simhash_batch(texts: list[str]) -> np.ndarray:
     # (total, 64) ±1 votes; reduceat sums per doc segment.
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int8)
     votes = (2 * bits - 1).astype(np.int32)
+    n_docs = len(tok_lists)
     offsets = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
     nonempty = counts > 0
@@ -734,7 +724,40 @@ def _simhash_batch(texts: list[str]) -> np.ndarray:
     if nonempty.any():
         acc = np.add.reduceat(votes, offsets[nonempty], axis=0)
         bitvals = (acc >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
-        sigs[nonempty] = bitvals.sum(axis=1, dtype=np.uint64)
+        out[nonempty] = bitvals.sum(axis=1, dtype=np.uint64)
+
+
+# Peak vote-matrix memory is ~(token_budget × 64 × 5) bytes ≈ 80 MB;
+# without the cap a batch of long documents would expand EVERY token of
+# the batch into the 64-column vote matrix at once.
+_SIMHASH_TOKEN_BUDGET = 1 << 18
+
+
+def _simhash_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized 64-bit SimHash per text (uint64 array).
+
+    One ``pd.util.hash_array`` call over the CONCATENATED token stream of
+    a doc group (the MinHash r2 fix applied here: a per-token Python
+    ``hashlib.blake2b`` loop dominated signature cost), then per-doc bit
+    vote via ``np.add.reduceat`` at the doc offsets — no per-token
+    Python.  Groups are capped at ``_SIMHASH_TOKEN_BUDGET`` tokens (doc
+    granularity) so the transient (tokens × 64) vote matrix is bounded
+    regardless of batch size; a single doc larger than the budget is
+    processed alone, matching the old per-doc peak.  Empty docs get
+    signature 0.
+    """
+    tok_lists = [(t or "").lower().split() for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    n_docs = len(tok_lists)
+    sigs = np.zeros(n_docs, dtype=np.uint64)
+    i = 0
+    while i < n_docs:
+        j, tot = i, 0
+        while j < n_docs and (j == i or tot + counts[j] <= _SIMHASH_TOKEN_BUDGET):
+            tot += int(counts[j])
+            j += 1
+        _simhash_chunk(tok_lists[i:j], counts[i:j], sigs[i:j])
+        i = j
     return sigs
 
 
@@ -965,6 +988,16 @@ def embedding_near_dup_pairs_lsh(
     from .similarity import srp_planes
 
     def signature_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # np.asarray([]) would be 1-D and break the matmul below
+            return pa.Table.from_pydict(
+                {
+                    id_col: pa.array([], id_type),
+                    "table": pa.array([], pa.int32()),
+                    "sig": pa.array([], pa.int64()),
+                    "__bucket": pa.array([], pa.int32()),
+                }
+            )
         mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
         planes = srp_planes(dim, n_tables * n_planes, seed)  # deterministic
         bits = (mat @ planes.T) >= 0  # (n, tables*planes)

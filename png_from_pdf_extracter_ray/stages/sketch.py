@@ -61,6 +61,12 @@ def quantile_sketch_by_key(
     key (tiny rows ``(key, value, weight)``); one low-cardinality Ray
     groupby merges the grids and reads off the weighted quantiles.
     """
+    # key type captured from the DATASET schema at build time: an empty
+    # batch's pa.array([]) would infer null type and degrade downstream
+    # schema unification (the typed-empty rule, stages/neardup._typed_table)
+    from .neardup import _schema_type
+
+    key_type = _schema_type(ds, key_col)
 
     def partial(df: pd.DataFrame) -> pa.Table:
         keys_out: list = []
@@ -73,7 +79,7 @@ def quantile_sketch_by_key(
             wts_out.append(w)
         return pa.Table.from_pydict(
             {
-                key_col: pa.array(keys_out),
+                key_col: pa.array(keys_out, key_type),
                 "value": pa.array(
                     np.concatenate(vals_out) if vals_out else np.empty(0), pa.float64()
                 ),

@@ -186,24 +186,30 @@ def langid_dataset(ds: rd.Dataset, concurrency: int | tuple[int, int] = (1, 4)) 
 
 
 _CTRL = re.compile(r"[\x00-\x1f\x7f]")
-_WS_COLLAPSE = re.compile(r"\s+")
+# explicit ASCII whitespace class (NOT \s): Python's \s and RE2's \s
+# disagree on \x0b, and the oracle must collapse the identical set
+_WS_COLLAPSE = re.compile(r"[ \t\n\r\f\v]+")
+WS_COLLAPSE_SQL = "[ \\t\\n\\r\\f\\v]+"
 
 
 def normalize_text_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    """Training-data text cleaning: strip control chars, collapse all
-    whitespace runs to one space, trim, lowercase.  Emits the md5 of the
-    normalized text (``norm_fp``) so the op is SQL-checkable without
-    shipping normalized bodies around: the fingerprint IS the dedup key
-    a cleaning pipeline would use downstream.
+    """Training-data text cleaning: collapse every whitespace run to one
+    space FIRST (so 'foo\\nbar' → 'foo bar', not 'foobar'), then strip
+    the remaining (non-whitespace) control chars, trim, lowercase.
+    Emits the md5 of the normalized text (``norm_fp``) so the op is
+    SQL-checkable without shipping normalized bodies around: the
+    fingerprint IS the dedup key a cleaning pipeline would use
+    downstream.
 
-    Op order (control-strip → collapse → trim → lower) is part of the
-    contract — the DuckDB oracle applies the identical chain.
+    Op order (ws-collapse → control-strip → trim → lower) is part of the
+    contract — the DuckDB oracle applies the identical chain with the
+    same explicit ASCII whitespace class.
     """
     s = (
         df[text_col]
         .fillna("")
-        .str.replace(_CTRL, "", regex=True)
         .str.replace(_WS_COLLAPSE, " ", regex=True)
+        .str.replace(_CTRL, "", regex=True)
         .str.strip()
         .str.lower()
     )

@@ -197,3 +197,36 @@ def test_entropy_coded_formats_rejected() -> None:
             decode_image(magic)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"garbage bytes here")
+
+
+def test_pnm_maxval_rescaled(gray) -> None:  # noqa: ANN001
+    """PNM samples are proportional to maxval: full-scale at maxval=15
+    must decode as full white, not near-black."""
+    pgm = b"P5\n2 2\n15\n" + bytes([15, 0, 7, 15])
+    out = decode_image(pgm)
+    assert out[0, 0] == 255 and out[0, 1] == 0
+    assert out[1, 0] == 7 * 255 // 15
+    with pytest.raises(ValueError):
+        decode_image(b"P5\n2 2\n0\n" + bytes(4))
+
+
+def test_truncated_and_corrupt_pngs_raise_catchable_errors() -> None:
+    """Malformed PNGs with a valid signature must raise exceptions the
+    decoder stage dead-letters (ValueError family or zlib/struct errors),
+    never succeed silently."""
+    import struct as _struct
+    import zlib as _zlib
+
+    valid = write_png_gray(np.zeros((4, 4), dtype=np.uint8))
+    cases = [
+        valid[:20],                      # truncated mid-IHDR
+        valid[:50],                      # truncated mid-IDAT
+        valid.replace(b"IDAT", b"IDAT", 1)[:33] + b"\x00" * 8,  # garbage body
+    ]
+    # corrupt the deflate stream inside an otherwise-valid IDAT
+    i = valid.index(b"IDAT")
+    corrupted = valid[: i + 8] + b"\xff\xff\xff\xff" + valid[i + 12 :]
+    cases.append(corrupted)
+    for c in cases:
+        with pytest.raises((ValueError, _zlib.error, _struct.error, IndexError)):
+            decode_image(c)

@@ -80,3 +80,18 @@ def test_general_decoder_real_png_and_dead_letters(page_rows) -> None:  # noqa: 
     assert out_bad["image_ok"].to_pylist() == [False, False]
     assert "jpeg" in out_bad["image_error"][0].as_py()
     assert out_bad["image_feat"].null_count == 2
+
+
+def test_general_decoder_dead_letters_truncated_png() -> None:
+    """A valid-signature but truncated/corrupt PNG must dead-letter per
+    row (zlib/struct errors are caught), not kill the batch."""
+    from png_from_pdf_extracter_ray.kernel.png import write_png_gray
+    import numpy as np
+
+    valid = write_png_gray(np.zeros((4, 4), dtype=np.uint8))
+    i = valid.index(b"IDAT")
+    corrupted = valid[: i + 8] + b"\xff\xff\xff\xff" + valid[i + 12 :]
+    batch = pa.Table.from_pydict({"png": [valid[:20], corrupted, valid]})
+    out = GeneralImageDecoder()(batch)
+    assert out["image_ok"].to_pylist() == [False, False, True]
+    assert all(e for e in out["image_error"].to_pylist()[:2])

@@ -85,3 +85,28 @@ def test_nested_multipart_part_is_skipped_not_recursed() -> None:
     assert r["n_payloads"] == 1  # only the plain html part; nested container skipped
     assert "outer paragraph" in r["extracted_text"]
     assert "inner paragraph" not in r["extracted_text"]
+
+
+def test_normalize_text_whitespace_semantics() -> None:
+    """Newline-separated words must normalize identically to
+    space-separated ones (collapse BEFORE control-strip), and differently
+    from concatenated ones."""
+    import pandas as pd
+
+    from png_from_pdf_extracter_ray.stages.text_stats import normalize_text_batch
+
+    df = pd.DataFrame(
+        {
+            "text": [
+                "foo\nbar",
+                "foo bar",
+                "foobar",
+                "  Foo\t\tBAR  ",
+                "foo\x01bar",
+            ]
+        }
+    )
+    fp = normalize_text_batch(df)["norm_fp"]
+    assert fp[0] == fp[1] == fp[3]  # \n, space, tabs+case+padding all agree
+    assert fp[2] != fp[0]  # concatenation stays distinct
+    assert fp[4] == fp[2]  # non-ws control chars strip to concatenation
