@@ -71,6 +71,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from png_from_pdf_extracter_ray.pipelines import corpus_stats
+    from png_from_pdf_extracter_ray.pipelines import data_quality as dq
     from png_from_pdf_extracter_ray.pipelines import relational as rel
     from png_from_pdf_extracter_ray.pipelines import textops
     from png_from_pdf_extracter_ray.pipelines.extract_pipeline import flagship
@@ -152,6 +153,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (rolling fp: rows-only; langid: SQL-checked) ---
         "rolling_fingerprints": textops.rolling_fingerprints,
         "langid_heuristic": textops.langid_heuristic,
+        # --- data quality (all SQL-checked) ---
+        "duplicate_span_stats": dq.duplicate_span_stats,
+        "repetition_stats": dq.repetition_stats,
+        "events_props_json": dq.events_props_json,
+        "pii_scrub": dq.pii_scrub,
+        # --- TPC-H-shaped correlated subquery / HAVING (SQL-checked) ---
+        "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
+        "q18_large_orders": rel.q18_large_orders,
         # --- corpus statistics (all SQL-checked) ---
         "vocab_top_tokens": corpus_stats.vocab_top_tokens,
         "token_doc_frequency": corpus_stats.token_doc_frequency,
@@ -246,9 +255,24 @@ def oracle_sql() -> dict[str, str]:
         HIST_BIN_CHARS as _HIST_BIN,
     )
     from png_from_pdf_extracter_ray.pipelines.summary import oracle_summary_path
+    from png_from_pdf_extracter_ray.pipelines.data_quality import (
+        DUP_SPAN_K as _DUP_SPAN_K,
+    )
+    from png_from_pdf_extracter_ray.pipelines.data_quality import (
+        PII_EMAIL as _PII_EMAIL,
+    )
+    from png_from_pdf_extracter_ray.pipelines.data_quality import (
+        PII_IP as _PII_IP,
+    )
+    from png_from_pdf_extracter_ray.pipelines.data_quality import (
+        PII_PHONE as _PII_PHONE,
+    )
+    from png_from_pdf_extracter_ray.pipelines.data_quality import _augmented_text_sql
     from png_from_pdf_extracter_ray.pipelines.textops import (
         NGRAM_MAX_DF as _NGRAM_MAX_DF,
     )
+
+    _pii_aug_sql = _augmented_text_sql()
 
     _STOPWORD_SQL = _stopword_sql()
 
@@ -635,6 +659,101 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+        """,
+        # span universe, df count, and zero-fill mirror
+        # pipelines/data_quality.duplicate_span_stats (K shared via
+        # DUP_SPAN_K; the engine compares span hashes, the oracle span
+        # text — 64-bit collision odds are negligible at check scale)
+        "duplicate_span_stats": f"""
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents WHERE trim(text) <> ''
+            ),
+            spans AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[CAST(i AS BIGINT)+1:CAST(i AS BIGINT)+{_DUP_SPAN_K}], ' ') AS span
+                FROM t CROSS JOIN unnest(range(len(toks) - {_DUP_SPAN_K} + 1)) AS u(i)
+                WHERE len(toks) >= {_DUP_SPAN_K}
+            ),
+            df AS (SELECT span, COUNT(*) AS df FROM spans GROUP BY span),
+            per AS (
+                SELECT s.doc_id, COUNT(*) AS n_spans,
+                       COALESCE(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END), 0) AS n_dup
+                FROM spans s JOIN df USING (span) GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup_spans
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "repetition_stats": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents WHERE trim(text) <> ''
+            ),
+            base AS (SELECT doc_id, toks, len(toks) AS n,
+                            length(array_to_string(toks, '')) AS sumlen FROM t),
+            big AS (SELECT doc_id, toks[CAST(i AS BIGINT)+1] || ' ' || toks[CAST(i AS BIGINT)+2] AS g
+                    FROM base CROSS JOIN unnest(range(n - 1)) AS u(i) WHERE n >= 2),
+            bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g),
+            topb AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bc GROUP BY doc_id),
+            tri AS (SELECT doc_id, toks[CAST(i AS BIGINT)+1] || ' ' || toks[CAST(i AS BIGINT)+2]
+                               || ' ' || toks[CAST(i AS BIGINT)+3] AS g
+                    FROM base CROSS JOIN unnest(range(n - 2)) AS u(i) WHERE n >= 3),
+            tc AS (SELECT doc_id, COUNT(*) AS ct, COUNT(DISTINCT g) AS cd FROM tri GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(b.n, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(topb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+                   CAST(COALESCE(tc.ct, 0) AS BIGINT) AS n_trigrams,
+                   CAST(COALESCE(tc.cd, 0) AS BIGINT) AS n_distinct_trigrams,
+                   CAST(COALESCE(b.sumlen, 0) AS BIGINT) AS sum_token_chars
+            FROM documents d
+            LEFT JOIN base b USING (doc_id)
+            LEFT JOIN topb USING (doc_id)
+            LEFT JOIN tc USING (doc_id)
+        """,
+        # integer-only aggregates → exact compare (no ROUND-half drift)
+        "events_props_json": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        # patterns interpolated from the SAME module constants the engine
+        # compiles (data_quality.PII_*); injection expression shared via
+        # _augmented_text_sql; redaction order email → IP → phone
+        "pii_scrub": f"""
+            WITH t AS (
+                SELECT doc_id, {_pii_aug_sql} AS aug FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(aug, '{_PII_IP}')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       aug, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                            '{_PII_IP}', '<IP>', 'g'),
+                            '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp
+            FROM t
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT ROUND(COALESCE(SUM(l_extendedprice), 0) / 7.0, 2) AS avg_yearly
+            FROM lineitem l JOIN part p ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#1' AND p_size <= 15
+              AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                                FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "q18_large_orders": """
+            SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+                   ROUND(sq, 2) AS sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, SUM(l_quantity) AS sq FROM lineitem
+                  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) lq
+              ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

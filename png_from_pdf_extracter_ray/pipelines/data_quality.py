@@ -1,0 +1,469 @@
+"""Data-quality operators for a web-scale training-data pipeline:
+substring-level duplicate-span detection, Gopher-style repetition
+statistics, JSON property extraction, and PII detect/redact — each
+SQL-checkable against a DuckDB recomputation (``__ray_entry__``).
+
+Scale shapes (the same discipline as corpus_stats / neardup):
+
+- **duplicate spans** is the exact-substring-dedup building block
+  ("Deduplicating Training Data Makes Language Models Better", Lee et
+  al. 2022, expressed at span granularity): per-doc distinct k-token
+  span HASHES (one ``pd.util.hash_array`` pass + a wrapping-uint64
+  window polynomial — no per-span Python strings), hash-bucketed into B
+  groups for the document-frequency count (never one Ray group per
+  span), per-doc partials re-bucketed by doc hash for the final sum,
+  and a bucketed left join to zero-fill docs with no spans.  Three
+  bounded shuffles, all over (int64, int64) rows — the raw text never
+  shuffles.
+- **repetition stats** is per-batch vectorized end to end: tokens are
+  flattened across the batch with doc offsets, hashed once, and every
+  per-doc statistic (top-bigram count, duplicate-trigram fraction,
+  mean word length) is a pandas/numpy grouped reduction — no per-doc
+  Python loop.
+- **PII scrub** is a stateless compiled-regex ``map_batches`` — the
+  patterns are module constants shared verbatim with the DuckDB oracle
+  (one source of truth; only RE2∩Python syntax: explicit ``[0-9]``
+  classes, never ``\\d``/``\\s``).
+
+Token semantics shared with the text-stats oracles: trim → lower →
+split on ``\\s+``; blank docs contribute nothing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..stages.dedup import stable_bucket_ids
+from ..stages.joins import bucketed_hash_join
+
+_WS = re.compile(r"\s+")
+
+# Same odd 64-bit mix constant as stages/neardup (the span-hash family
+# is shared infrastructure, not a correctness coupling — the oracle
+# compares span TEXT, the engine compares span hashes).
+_SPAN_P = np.uint64(0x9E3779B97F4A7C15)
+
+# Span length for duplicate-span detection: long enough that a shared
+# span means real duplication, short enough to catch partial overlap
+# (Lee et al. use 50 BPE tokens at full scale; 8 word tokens keeps the
+# synthetic corpora non-degenerate).  Shared with the DuckDB oracle.
+DUP_SPAN_K = 8
+
+# PII patterns — shared verbatim between the engine and the DuckDB
+# oracle (RE2∩Python subset: no \d, \s, or lookaround).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate k-token spans (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def _batch_span_rows(df: pd.DataFrame, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_id, span_hash) rows for a batch — distinct spans per doc.
+
+    Docs with < k tokens emit nothing (the relational-oracle shingle
+    convention, NOT the neardup whole-doc fallback: this operator's
+    contract is exact-k spans only).
+    """
+    s = df["text"].fillna("").str.strip().str.lower()
+    toks = s.str.split(_WS)
+    n = toks.map(len).to_numpy(dtype=np.int64)
+    n[s.to_numpy() == ""] = 0
+    keep = n >= k
+    if not keep.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ids = df["doc_id"].to_numpy(dtype=np.int64)[keep]
+    tok_lists = toks[keep]
+    n = n[keep]
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+    th = pd.util.hash_array(flat)
+    # per-doc sliding k-windows over the flat hash array: windows that
+    # straddle a doc boundary are masked out, then each doc's window
+    # hashes are deduplicated
+    pows = np.ones(k, dtype=np.uint64)
+    np.cumprod(np.full(k - 1, _SPAN_P, dtype=np.uint64), out=pows[1:])
+    win = np.lib.stride_tricks.sliding_window_view(th, k)
+    wh = (win * pows[::-1]).sum(axis=1, dtype=np.uint64)
+    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+    doc_idx = np.repeat(np.arange(len(n)), n)[: wh.size]
+    # a window starting at flat position p belongs to doc doc_idx[p] iff
+    # p + k - 1 is still inside the same doc
+    ends = starts + n  # exclusive
+    pos = np.arange(wh.size)
+    ok = pos + k - 1 < ends[doc_idx]
+    d = doc_idx[ok]
+    h = wh[ok].view(np.int64)
+    # distinct per doc
+    order = np.lexsort((h, d))
+    d, h = d[order], h[order]
+    first = np.ones(d.size, dtype=bool)
+    first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    return ids[d[first]], h[first]
+
+
+def duplicate_span_stats(
+    sf_dir: str, span_k: int = DUP_SPAN_K, num_buckets: int = 32
+) -> pd.DataFrame:
+    """Per-document duplicate-span statistics: of a doc's distinct
+    ``span_k``-token spans, how many also occur in at least one OTHER
+    document (``n_dup_spans``), alongside the distinct-span total
+    (``n_spans``).  Docs below ``span_k`` tokens report zeros.
+
+    This is the marking pass of exact substring dedup: at full scale the
+    same (doc, span-hash) rows feed span removal instead of a count.
+    """
+
+    def span_rows(df: pd.DataFrame) -> pa.Table:
+        ids, hashes = _batch_span_rows(df, span_k)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(hashes, pa.int64()),
+                "__bucket": pa.array(
+                    (hashes.view(np.uint64) % num_buckets).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    spans = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        span_rows, batch_format="pandas"
+    )
+
+    def mark_bucket(g: pd.DataFrame) -> pa.Table:
+        # all rows of a span hash land in one bucket; rows are distinct
+        # per (doc, hash), so the hash's row count IS its document
+        # frequency
+        df_per_hash = g.groupby("h")["h"].transform("size")
+        dup = (df_per_hash >= 2).to_numpy()
+        out = (
+            pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "dup": dup.astype(np.int64)})
+            .groupby("doc_id", as_index=False, sort=False)
+            .agg(n_spans=("dup", "size"), n_dup=("dup", "sum"))
+        )
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("n_spans", pa.int64()), ("n_dup", pa.int64())]
+            ),
+            preserve_index=False,
+        )
+
+    partials = spans.groupby("__bucket").map_groups(mark_bucket, batch_format="pandas")
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        b = (
+            stable_bucket_ids(t["doc_id"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__docb", pa.array(b, pa.int32()))
+
+    def sum_doc(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("doc_id", as_index=False, sort=False)[["n_spans", "n_dup"]].sum()
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("n_spans", pa.int64()), ("n_dup", pa.int64())]
+            ),
+            preserve_index=False,
+        )
+
+    # guard: a corpus where EVERY doc is below span_k tokens produces an
+    # empty partials dataset, and map_groups over an empty dataset yields
+    # schema()=None (ROUND_NOTES lesson 12) — materialize the per-doc
+    # partials (bounded by docs × num_buckets, far smaller than the span
+    # stream) and early-return zeros
+    partials = partials.materialize()
+    all_ids = _docs(sf_dir, ["doc_id"])
+    if partials.count() == 0:
+        out = all_ids.to_pandas()
+        out["n_spans"] = np.int64(0)
+        out["n_dup_spans"] = np.int64(0)
+        return out.sort_values("doc_id", ignore_index=True)
+
+    sums = (
+        partials.map_batches(rebucket, batch_format="pyarrow")
+        .groupby("__docb")
+        .map_groups(sum_doc, batch_format="pandas")
+    )
+
+    # zero-fill: every document appears in the output (bucketed left join
+    # — the doc-id stream and the per-doc sums shuffle by the same key)
+    joined = bucketed_hash_join(all_ids, sums, on="doc_id", how="left")
+    out = joined.to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"doc_id": [], "n_spans": [], "n_dup": []})
+    out["n_spans"] = out["n_spans"].fillna(0).astype(np.int64)
+    out["n_dup_spans"] = out["n_dup"].fillna(0).astype(np.int64)
+    return out.sort_values("doc_id", ignore_index=True)[
+        ["doc_id", "n_spans", "n_dup_spans"]
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition statistics
+# ---------------------------------------------------------------------------
+
+
+def _repetition_batch(df: pd.DataFrame) -> pa.Table:
+    """Vectorized per-doc repetition metrics for one batch.
+
+    All statistics reduce over ONE flattened token array: tokens are
+    hashed once, n-gram identities are window polynomials over the
+    hashes, and per-doc reductions are pandas C-level groupbys — no
+    Python loop over docs or tokens (the Gopher repetition-filter shape:
+    Rae et al. 2021, §A1.1).
+    """
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    s = df["text"].fillna("").str.strip().str.lower()
+    toks = s.str.split(_WS)
+    n = toks.map(len).to_numpy(dtype=np.int64)
+    n[s.to_numpy() == ""] = 0
+
+    n_docs = len(ids)
+    top_big = np.zeros(n_docs, dtype=np.int64)
+    n_tri = np.zeros(n_docs, dtype=np.int64)
+    n_tri_dist = np.zeros(n_docs, dtype=np.int64)
+    sum_chars = np.zeros(n_docs, dtype=np.int64)
+
+    nz = n > 0
+    if nz.any():
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks[nz]]
+        )
+        th = pd.util.hash_array(flat)
+        doc_idx_nz = np.repeat(np.flatnonzero(nz), n[nz])
+        # summed token chars per doc (downstream mean-word-length is
+        # sum/count — kept as integers so the oracle compare is exact,
+        # with no ROUND-half-even vs half-away drift)
+        tok_len = pd.Series(flat).str.len().to_numpy(dtype=np.float64)
+        sum_chars[:] = np.bincount(
+            doc_idx_nz, weights=tok_len, minlength=n_docs
+        ).astype(np.int64)
+
+        # bigrams: adjacent-hash polynomial, windows crossing a doc
+        # boundary masked out
+        if th.size >= 2:
+            bh = th[:-1] * _SPAN_P + th[1:]
+            same = doc_idx_nz[:-1] == doc_idx_nz[1:]
+            bd = doc_idx_nz[:-1][same]
+            bg = bh[same]
+            if bd.size:
+                c = (
+                    pd.DataFrame({"d": bd, "g": bg})
+                    .groupby(["d", "g"], sort=False)
+                    .size()
+                )
+                mx = c.groupby(level=0).max()
+                top_big[mx.index.to_numpy()] = mx.to_numpy(dtype=np.int64)
+        # trigrams: total and distinct counts per doc (duplicate fraction
+        # = 1 - distinct/total, left to the consumer)
+        if th.size >= 3:
+            tg = th[:-2] * (_SPAN_P * _SPAN_P) + th[1:-1] * _SPAN_P + th[2:]
+            same3 = (doc_idx_nz[:-2] == doc_idx_nz[1:-1]) & (
+                doc_idx_nz[1:-1] == doc_idx_nz[2:]
+            )
+            td = doc_idx_nz[:-2][same3]
+            tv = tg[same3]
+            if td.size:
+                grp = pd.DataFrame({"d": td, "g": tv}).groupby("d", sort=False)["g"]
+                total = grp.size()
+                dist = grp.nunique()
+                n_tri[total.index.to_numpy()] = total.to_numpy(np.int64)
+                n_tri_dist[dist.index.to_numpy()] = dist.to_numpy(np.int64)
+
+    out = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "n_tokens": n,
+            "top_bigram_n": top_big,
+            "n_trigrams": n_tri,
+            "n_distinct_trigrams": n_tri_dist,
+            "sum_token_chars": sum_chars,
+        }
+    )
+    return pa.Table.from_pandas(
+        out,
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("top_bigram_n", pa.int64()),
+                ("n_trigrams", pa.int64()),
+                ("n_distinct_trigrams", pa.int64()),
+                ("sum_token_chars", pa.int64()),
+            ]
+        ),
+        preserve_index=False,
+    )
+
+
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Per-document repetition/quality metrics (Gopher-style): token
+    count, highest bigram occurrence count, total/distinct trigram
+    counts (duplicate-trigram fraction = 1 - distinct/total), summed
+    token chars (mean word length = sum/count).  Integer counts rather
+    than ratios so the oracle compare is exact.  Pure per-batch map —
+    no shuffle."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _repetition_batch, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (events.props)
+# ---------------------------------------------------------------------------
+
+
+def events_props_json(sf_dir: str) -> pd.DataFrame:
+    """Extract the integer ``k`` property from the JSON ``props`` column
+    and aggregate per event type (sum/min/max/count — all integers, so
+    the oracle compare is exact).
+
+    The extraction is a vectorized regex over the documented
+    ``{"k": <int>}`` shape with a per-row ``json.loads`` fallback for
+    anything the fast path misses — the hot path never parses JSON in
+    Python row-by-row.
+    """
+    fast = re.compile(r'"k"[ ]*:[ ]*(-?[0-9]+)')
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        props = df["props"].fillna("")
+        k = props.str.extract(fast, expand=False)
+        missed = k.isna() & (props != "")
+        if missed.any():
+            import json
+
+            def slow(p: str):  # noqa: ANN202
+                try:
+                    v = json.loads(p).get("k")
+                    return v if isinstance(v, int) else None
+                except Exception:  # noqa: BLE001
+                    return None
+
+            k[missed] = props[missed].map(slow)
+        kv = pd.to_numeric(k, errors="coerce")
+        out = (
+            pd.DataFrame({"event_type": df["event_type"], "k": kv})
+            .groupby("event_type", as_index=False, sort=False)
+            .agg(
+                sum_k=("k", "sum"),
+                min_k=("k", "min"),
+                max_k=("k", "max"),
+                n_events=("k", "size"),
+            )
+        )
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("sum_k", pa.float64()),
+                    ("min_k", pa.float64()),
+                    ("max_k", pa.float64()),
+                    ("n_events", pa.int64()),
+                ]
+            ),
+            preserve_index=False,
+        )
+
+    partials = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    ).map_batches(partial, batch_format="pandas")
+    merged = (
+        partials.to_pandas()
+        .groupby("event_type", as_index=False, sort=False)
+        .agg(
+            sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"),
+            max_k=("max_k", "max"),
+            n_events=("n_events", "sum"),
+        )
+    )
+    for c in ("sum_k", "min_k", "max_k"):
+        merged[c] = merged[c].astype(np.int64)
+    merged["n_events"] = merged["n_events"].astype(np.int64)
+    return merged.sort_values("event_type", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# PII detect / redact
+# ---------------------------------------------------------------------------
+
+
+def _augmented_text_sql(text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    """SQL expression for the deterministic PII injection — the oracle
+    side of the shared contract (the engine side is ``_augment``)."""
+    return (
+        f"{text_expr} || ' contact doc' || CAST({id_expr} AS VARCHAR) || "
+        f"'@example.com from 10.1.' || CAST({id_expr} % 256 AS VARCHAR) || "
+        f"'.7 call 555-' || lpad(CAST({id_expr} % 10000 AS VARCHAR), 4, '0')"
+    )
+
+
+def _augment(ids: pd.Series, text: pd.Series) -> pd.Series:
+    """Deterministic synthetic-PII injection (engine side): the corpora
+    are PII-free word soup, so the operator contract includes a derived
+    column with one email, one IPv4, and one phone-like token per doc —
+    making counts and redaction non-trivially checkable with no external
+    data."""
+    i = ids.astype(str)
+    return (
+        text.fillna("")
+        + " contact doc"
+        + i
+        + "@example.com from 10.1."
+        + (ids % 256).astype(str)
+        + ".7 call 555-"
+        + (ids % 10000).astype(str).str.zfill(4)
+    )
+
+
+def pii_scrub(sf_dir: str) -> rd.Dataset:
+    """PII detection + redaction: per-doc counts of email / IPv4 /
+    phone-like matches and the md5 fingerprint of the redacted text
+    (replacement order email → IP → phone, mirrored in the oracle).
+    Compiled patterns, vectorized counts/replaces — stateless map."""
+    email, ip, phone = (
+        re.compile(PII_EMAIL),
+        re.compile(PII_IP),
+        re.compile(PII_PHONE),
+    )
+
+    def scrub(df: pd.DataFrame) -> pa.Table:
+        aug = _augment(df["doc_id"], df["text"])
+        n_emails = aug.str.count(PII_EMAIL).to_numpy(dtype=np.int64)
+        n_ips = aug.str.count(PII_IP).to_numpy(dtype=np.int64)
+        n_phones = aug.str.count(PII_PHONE).to_numpy(dtype=np.int64)
+        red = (
+            aug.str.replace(email, "<EMAIL>", regex=True)
+            .str.replace(ip, "<IP>", regex=True)
+            .str.replace(phone, "<PHONE>", regex=True)
+        )
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in red]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "n_emails": pa.array(n_emails, pa.int64()),
+                "n_ips": pa.array(n_ips, pa.int64()),
+                "n_phones": pa.array(n_phones, pa.int64()),
+                "redacted_fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(scrub, batch_format="pandas")

@@ -803,3 +803,187 @@ def orders_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["o_orderpriority", "o_orderstatus"], ignore_index=True
     )[["o_orderpriority", "o_orderstatus", "sum_totalprice", "n_orders"]]
+
+
+def q17_small_quantity_revenue(
+    sf_dir: str, brand: str = "Brand#1", max_size: int = 15
+) -> pd.DataFrame:
+    """TPC-H Q17 shape: correlated average subquery — yearly revenue
+    from small-quantity lineitems of one brand's small parts.
+
+    Scale plan (the classic Q17 plan, Ray-Data-first): the selective
+    part filter yields a SMALL key set → broadcast it; lineitem streams
+    through an ``isin`` semi-join filter; per-part (sum, count) partials
+    combine per batch and the per-part averages — bounded by the
+    filtered part count — return to the driver and broadcast as the
+    0.2·avg threshold map; a second lineitem pass applies the
+    correlated predicate vectorized and reduces to one revenue sum.
+    lineitem itself never shuffles.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["p_brand"], brand), pc.less_equal(t["p_size"], max_size))
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    pdf = parts.to_pandas()
+    keys = set(pdf["p_partkey"]) if len(pdf) else set()
+    if not keys:
+        return pd.DataFrame({"avg_yearly": [0.0]})
+    keys_ref = ray.put(keys)
+
+    def qty_partials(df: pd.DataFrame) -> pa.Table:
+        ks = _cached_broadcast(keys_ref)
+        df = df[df["l_partkey"].isin(ks)]
+        out = (
+            df.assign(n=1)
+            .groupby("l_partkey", as_index=False, sort=False)
+            .agg(sum_qty=("l_quantity", "sum"), n=("n", "sum"))
+        )
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [("l_partkey", pa.int64()), ("sum_qty", pa.float64()), ("n", pa.int64())]
+            ),
+            preserve_index=False,
+        )
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    partials = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .map_batches(qty_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    if partials.empty:
+        return pd.DataFrame({"avg_yearly": [0.0]})
+    per_part = partials.groupby("l_partkey", as_index=False)[["sum_qty", "n"]].sum()
+    thr = dict(
+        zip(per_part["l_partkey"], 0.2 * per_part["sum_qty"] / per_part["n"])
+    )
+    thr_ref = ray.put(thr)
+
+    def rev_partial(df: pd.DataFrame) -> pa.Table:
+        t = _cached_broadcast(thr_ref)
+        lim = df["l_partkey"].map(t)
+        m = lim.notna() & (df["l_quantity"] < lim)
+        return pa.Table.from_pydict(
+            {"rev": pa.array([float(df.loc[m, "l_extendedprice"].sum())], pa.float64())}
+        )
+
+    rev = (
+        _read(sf_dir, "lineitem", li_cols)
+        .map_batches(rev_partial, batch_format="pandas")
+        .to_pandas()["rev"]
+        .sum()
+    )
+    return pd.DataFrame({"avg_yearly": [round(rev / 7.0, 2)]})
+
+
+def q18_large_orders(
+    sf_dir: str, min_qty: float = 150.0, k: int = 100, num_buckets: int = 32
+) -> pd.DataFrame:
+    """TPC-H Q18 shape: HAVING over a high-cardinality groupby, then a
+    semi-join back to orders/customer and a top-k.
+
+    Per-orderkey quantity sums follow the bucket doctrine (ROUND_NOTES
+    #10): batch-local partials → hash-bucket shuffle into B groups →
+    vectorized sum per bucket → HAVING filter.  Survivors are small by
+    construction (the whole point of the predicate), so they broadcast;
+    orders and customer stream through ``isin`` filters — neither big
+    table shuffles.
+    """
+    import numpy as np
+
+    from ..stages.dedup import stable_bucket_ids
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = df.groupby("l_orderkey", as_index=False, sort=False).agg(
+            sq=("l_quantity", "sum")
+        )
+        t = pa.Table.from_pandas(
+            out,
+            schema=pa.schema([("l_orderkey", pa.int64()), ("sq", pa.float64())]),
+            preserve_index=False,
+        )
+        b = (
+            stable_bucket_ids(t["l_orderkey"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def having(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("l_orderkey", as_index=False, sort=False)["sq"].sum()
+        out = out[out["sq"] > min_qty]
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema([("l_orderkey", pa.int64()), ("sq", pa.float64())]),
+            preserve_index=False,
+        )
+
+    surv = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(having, batch_format="pandas")
+        .to_pandas()
+    )
+    cols = ["c_custkey", "o_orderkey", "o_totalprice", "sum_qty"]
+    if surv.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="float64") for c in cols})
+    sq_map = dict(zip(surv["l_orderkey"], surv["sq"]))
+    sq_ref = ray.put(sq_map)
+
+    def orders_filter(df: pd.DataFrame) -> pa.Table:
+        m = _cached_broadcast(sq_ref)
+        sq = df["o_orderkey"].map(m)
+        df = df[sq.notna()].assign(sum_qty=sq.dropna())
+        return pa.Table.from_pandas(
+            df[["o_orderkey", "o_custkey", "o_totalprice", "sum_qty"]],
+            schema=pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("o_custkey", pa.int64()),
+                    ("o_totalprice", pa.float64()),
+                    ("sum_qty", pa.float64()),
+                ]
+            ),
+            preserve_index=False,
+        )
+
+    hits = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(orders_filter, batch_format="pandas")
+        .to_pandas()
+    )
+    # survivors are top-k-bounded and tiny — the customer attach is a
+    # driver-side merge over a streamed isin filter
+    hits = hits.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(k)
+    ck = set(hits["o_custkey"])
+    ck_ref = ray.put(ck)
+
+    def cust_filter(df: pd.DataFrame) -> pa.Table:
+        ks = _cached_broadcast(ck_ref)
+        out = df[df["c_custkey"].isin(ks)][["c_custkey"]]
+        return pa.Table.from_pandas(
+            out, schema=pa.schema([("c_custkey", pa.int64())]), preserve_index=False
+        )
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(cust_filter, batch_format="pandas")
+        .to_pandas()
+    )
+    out = hits.merge(
+        cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey", how="inner"
+    ).rename(columns={"o_custkey": "c_custkey"})
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], ignore_index=True
+    )[cols]
