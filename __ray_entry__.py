@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": dq.repetition_stats,
         "events_props_json": dq.events_props_json,
         "pii_scrub": dq.pii_scrub,
+        "count_distinct_texts": dq.count_distinct_texts,
+        "clean_corpus_ids": dq.clean_corpus_ids,
+        "nation_balance_full_outer": rel.nation_balance_full_outer,
         # --- TPC-H-shaped correlated subquery / HAVING (SQL-checked) ---
         "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
         "q18_large_orders": rel.q18_large_orders,
@@ -737,6 +740,59 @@ def oracle_sql() -> dict[str, str]:
                             '{_PII_IP}', '<IP>', 'g'),
                             '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp
             FROM t
+        """,
+        "count_distinct_texts": """
+            SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct FROM documents
+        """,
+        "nation_balance_full_outer": """
+            WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+                       FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+                 s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+                       FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+            SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+                   CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+                   CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
+            FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        """,
+        # the composed cleaning funnel — every predicate mirrors the
+        # engine's clean_corpus_ids defaults (lang ^(?:en|de), >=10
+        # tokens, top-bigram <= 4, exact-dup winner, benchmark slice
+        # doc_id % MOD == 0 excluded, 3-gram contamination excluded)
+        "clean_corpus_ids": f"""
+            WITH tk AS (
+                SELECT doc_id, lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tokens
+                FROM documents
+            ),
+            t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                  FROM documents WHERE trim(text) <> ''),
+            big AS (SELECT doc_id, toks[CAST(i AS BIGINT)+1] || ' ' || toks[CAST(i AS BIGINT)+2] AS g
+                    FROM t CROSS JOIN unnest(range(len(toks) - 1)) AS u(i) WHERE len(toks) >= 2),
+            bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g),
+            topb AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bc GROUP BY doc_id),
+            win AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+            toks3 AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+                       unnest(range(len(regexp_split_to_array(trim(lower(text)), '\\s+')))) AS pos
+                FROM documents WHERE trim(text) <> ''
+            ),
+            sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                   FROM toks3 a
+                   JOIN toks3 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   JOIN toks3 c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+            contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle)
+                       WHERE s.doc_id % {_BENCH_MOD} <> 0)
+            SELECT tk.doc_id FROM tk
+            JOIN win ON tk.doc_id = win.doc_id
+            LEFT JOIN topb ON tk.doc_id = topb.doc_id
+            WHERE regexp_matches(tk.lang, '^(?:en|de)')
+              AND tk.n_tokens >= 10
+              AND COALESCE(topb.top_bigram_n, 0) <= 4
+              AND tk.doc_id % {_BENCH_MOD} <> 0
+              AND tk.doc_id NOT IN (SELECT doc_id FROM contam)
         """,
         "q17_small_quantity_revenue": """
             SELECT ROUND(COALESCE(SUM(l_extendedprice), 0) / 7.0, 2) AS avg_yearly

@@ -44,6 +44,11 @@ import ray.data as rd
 from ..stages.dedup import stable_bucket_ids
 from ..stages.joins import bucketed_hash_join
 
+# module-level (NOT function-local) so worker-executed closures don't run
+# a relative import on the worker (ROUND_NOTES lesson: foreign-cwd
+# workers have no package on sys.path — everything must ship by value)
+from .relational import _cached_broadcast
+
 _WS = re.compile(r"\s+")
 
 # Same odd 64-bit mix constant as stages/neardup (the span-hash family
@@ -467,3 +472,133 @@ def pii_scrub(sf_dir: str) -> rd.Dataset:
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(scrub, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Scale-safe exact count-distinct over a heavy column
+# ---------------------------------------------------------------------------
+
+
+def count_distinct_texts(sf_dir: str, num_buckets: int = 32) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT text) without ever shuffling text: each batch
+    reduces to its distinct 64-bit text hashes, the (hash, bucket) rows
+    shuffle into B groups, each bucket counts its distinct hashes
+    vectorized, and the driver sums B partial counts.  (Engine identity
+    is the hash — a 64-bit collision would undercount by 1; negligible
+    against the oracle at check scale and the standard trade at 10^12.)
+    """
+
+    def hashes(df: pd.DataFrame) -> pa.Table:
+        h = np.unique(pd.util.hash_array(df["text"].fillna("").to_numpy(dtype=object)))
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "__bucket": pa.array((h % num_buckets).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def count_bucket(g: pd.DataFrame) -> pa.Table:
+        n = int(g["h"].nunique())
+        return pa.Table.from_pydict({"n": pa.array([n], pa.int64())})
+
+    parts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(hashes, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(count_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    total = int(parts["n"].sum()) if len(parts) else 0
+    return pd.DataFrame({"n_distinct": pd.Series([total], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Composed cleaning pipeline: the training-data funnel in ONE pass
+# ---------------------------------------------------------------------------
+
+
+def clean_corpus_ids(
+    sf_dir: str,
+    lang_pattern: str = "^(?:en|de)",
+    min_tokens: int = 10,
+    max_top_bigram: int = 4,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """The composed training-data cleaning funnel: survivors must pass
+    language whitelist, minimum length, repetition cap, exact-dup
+    winner selection, benchmark exclusion, AND decontamination — the
+    end-to-end shape a real corpus-prep job runs, checked as one query.
+
+    Scale plan: the two global facts (exact-dup winner per text hash,
+    contaminated-doc id set) are computed first — the winner map from
+    batch-local partial mins (broadcast-dedup envelope: the map must fit
+    worker memory; ``stages/dedup.dedup_keep_first`` is the beyond-memory
+    route), the contamination ids from the existing broadcast
+    shingle-set scan (output-sized).  Both broadcast via ``ray.put``;
+    the corpus then streams ONCE through a vectorized filter chain — no
+    shuffle at all in the final pass.
+    """
+    from .corpus_stats import BENCHMARK_MOD, benchmark_contamination
+
+    lang_re = re.compile(lang_pattern)
+
+    # (1) exact-dup winners: min doc_id per text hash, merged from
+    # batch-local partials on the driver
+    def win_partial(df: pd.DataFrame) -> pa.Table:
+        h = pd.util.hash_array(df["text"].fillna("").to_numpy(dtype=object))
+        out = (
+            pd.DataFrame({"h": h.view(np.int64), "doc_id": df["doc_id"].to_numpy()})
+            .groupby("h", as_index=False, sort=False)["doc_id"]
+            .min()
+        )
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema([("h", pa.int64()), ("doc_id", pa.int64())]),
+            preserve_index=False,
+        )
+
+    wp = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(win_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    winners = wp.groupby("h", sort=False)["doc_id"].min()
+    win_map = dict(zip(winners.index.to_numpy(), winners.to_numpy()))
+
+    # (2) contaminated non-benchmark docs (3-gram overlap with the
+    # benchmark slice) — reuses the SQL-green decontamination operator
+    contam_ids = set(benchmark_contamination(sf_dir)["doc_id"].to_numpy())
+
+    import ray
+
+    win_ref = ray.put(win_map)
+    contam_ref = ray.put(frozenset(contam_ids))
+
+    def funnel(df: pd.DataFrame) -> pa.Table:
+        wm = _cached_broadcast(win_ref)
+        cset = _cached_broadcast(contam_ref)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        # language whitelist
+        keep = df["lang"].fillna("").str.match(lang_re).to_numpy(dtype=bool)
+        # length + repetition caps (vectorized repetition kernel)
+        rep = _repetition_batch(df).to_pandas()
+        keep &= rep["n_tokens"].to_numpy() >= min_tokens
+        keep &= rep["top_bigram_n"].to_numpy() <= max_top_bigram
+        # exact-dup winner
+        h = pd.util.hash_array(df["text"].fillna("").to_numpy(dtype=object)).view(
+            np.int64
+        )
+        keep &= np.array([wm.get(hh) == i for hh, i in zip(h, ids)], dtype=bool)
+        # benchmark exclusion + decontamination
+        keep &= (ids % BENCHMARK_MOD) != 0
+        keep &= ~np.isin(ids, np.fromiter(cset, dtype=np.int64, count=len(cset)))
+        return pa.Table.from_pydict({"doc_id": pa.array(ids[keep], pa.int64())})
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(funnel, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id", ignore_index=True)

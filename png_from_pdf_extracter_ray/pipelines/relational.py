@@ -987,3 +987,57 @@ def q18_large_orders(
     return out.sort_values(
         ["o_totalprice", "o_orderkey"], ascending=[False, True], ignore_index=True
     )[cols]
+
+
+def nation_balance_full_outer(
+    sf_dir: str, min_acctbal: float = 9000.0, num_buckets: int = 8
+) -> pd.DataFrame:
+    """FULL OUTER join: high-balance customer counts vs high-balance
+    supplier counts per nation — nations present on only one side
+    survive with a zero on the other (the reconciliation-report shape).
+
+    Both sides pre-aggregate to (nationkey, count) partials before the
+    join, so the bucketed outer join moves one row per nation per side.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def counted(table: str, key: str, bal: str, out_col: str) -> rd.Dataset:
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t[bal], min_acctbal))
+            return pa.table({"nationkey": pc.cast(t[key], pa.int64())})
+
+        return grouped_sum_arrow(
+            _read(sf_dir, table, [key, bal]), ["nationkey"], prep, [], count_col=out_col
+        )
+
+    # materialize + count: an all-filtered side yields an EMPTY dataset
+    # whose schema() is None (ROUND_NOTES lesson 12) — the join can't
+    # build its combined schema from it, and FULL OUTER with an empty
+    # side is just the other side anyway.  Both sides are nation-
+    # cardinality tiny post-aggregation, so the materialize is free.
+    cust = counted("customer", "c_nationkey", "c_acctbal", "n_cust").materialize()
+    supp = counted("supplier", "s_nationkey", "s_acctbal", "n_supp").materialize()
+    n_c, n_s = cust.count(), supp.count()
+    if n_c == 0 or n_s == 0:
+        if n_c == 0 and n_s == 0:
+            out = pd.DataFrame(
+                {
+                    "nationkey": pd.Series([], dtype="int64"),
+                    "n_cust": pd.Series([], dtype="int64"),
+                    "n_supp": pd.Series([], dtype="int64"),
+                }
+            )
+        elif n_c == 0:
+            out = supp.to_pandas().assign(n_cust=np.int64(0))
+        else:
+            out = cust.to_pandas().assign(n_supp=np.int64(0))
+    else:
+        out = bucketed_hash_join(
+            cust, supp, on="nationkey", num_buckets=num_buckets, how="outer"
+        ).to_pandas()
+    out["n_cust"] = out["n_cust"].fillna(0).astype("int64")
+    out["n_supp"] = out["n_supp"].fillna(0).astype("int64")
+    return out.sort_values("nationkey", ignore_index=True)[
+        ["nationkey", "n_cust", "n_supp"]
+    ]

@@ -52,9 +52,11 @@ def bucketed_hash_join(
     """Explicit partitioned hash join — one bucket shuffle, merge per bucket.
 
     ``how``: "inner", "left" (unmatched left rows keep typed nulls on the
-    right columns), or "anti" (left rows with NO match — the NOT-IN /
+    right columns), "outer" (FULL OUTER — unmatched rows of EITHER side
+    survive with typed nulls on the other side's columns; the key column
+    is total), or "anti" (left rows with NO match — the NOT-IN /
     NOT-EXISTS shape; output carries only the left columns)."""
-    if how not in ("inner", "left", "anti"):
+    if how not in ("inner", "left", "outer", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     ls, rs = left.schema(), right.schema()
     lcols, rcols = list(ls.names), list(rs.names)

@@ -94,3 +94,21 @@ def test_anti_join_returns_only_unmatched_left(ray_session) -> None:  # noqa: AN
     )
     assert list(out["k"]) == [1, 3]
     assert list(out.columns) == ["k", "l"]
+
+
+def test_full_outer_join_keeps_both_sides_typed(ray_session) -> None:  # noqa: ANN001
+    left = _ds({"k": [1, 2, 5], "l": [10, 20, 50]})
+    right = _ds({"k": [2, 7], "r": [200, 700]})
+    got = (
+        bucketed_hash_join(left, right, on="k", how="outer")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    # every key of either side survives exactly once
+    assert got["k"].tolist() == [1, 2, 5, 7]
+    assert pd.api.types.is_integer_dtype(got["k"])
+    # matched row carries both values; unmatched carry typed nulls
+    row2 = got[got["k"] == 2].iloc[0]
+    assert row2["l"] == 20 and row2["r"] == 200
+    assert got[got["k"] == 7]["l"].isna().all()
+    assert got[got["k"] == 1]["r"].isna().all()
