@@ -161,6 +161,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct_texts": dq.count_distinct_texts,
         "clean_corpus_ids": dq.clean_corpus_ids,
         "nation_balance_full_outer": rel.nation_balance_full_outer,
+        "remove_duplicate_spans": dq.remove_duplicate_spans,
+        # --- URL/domain operators over the pages corpus (SQL-checked
+        # against the per-doc oracle parquet's url universe) ---
+        "pages_domain_counts": dq.pages_domain_counts,
+        "pages_domain_capped": dq.pages_domain_capped,
         # --- TPC-H-shaped correlated subquery / HAVING (SQL-checked) ---
         "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
         "q18_large_orders": rel.q18_large_orders,
@@ -271,6 +276,12 @@ def oracle_sql() -> dict[str, str]:
         PII_PHONE as _PII_PHONE,
     )
     from png_from_pdf_extracter_ray.pipelines.data_quality import _augmented_text_sql
+    from png_from_pdf_extracter_ray.pipelines.data_quality import (
+        DOMAIN_CAP as _DOMAIN_CAP,
+    )
+    from png_from_pdf_extracter_ray.pipelines.data_quality import (
+        DOMAIN_RE as _DOMAIN_RE,
+    )
     from png_from_pdf_extracter_ray.pipelines.textops import (
         NGRAM_MAX_DF as _NGRAM_MAX_DF,
     )
@@ -743,6 +754,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "count_distinct_texts": """
             SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct FROM documents
+        """,
+        # symmetric exact substring dedup (Lee et al. shape): every token
+        # position covered by a span occurring in >= 2 docs is removed;
+        # span K shared via DUP_SPAN_K, fingerprint = md5 of kept tokens
+        "remove_duplicate_spans": f"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                       FROM documents WHERE trim(text) <> ''),
+            w AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                         array_to_string(toks[CAST(i AS BIGINT)+1:CAST(i AS BIGINT)+{_DUP_SPAN_K}], ' ') AS span
+                  FROM t CROSS JOIN unnest(range(len(toks) - {_DUP_SPAN_K} + 1)) AS u(i)
+                  WHERE len(toks) >= {_DUP_SPAN_K}),
+            df AS (SELECT span, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY span),
+            dup AS (SELECT w.doc_id, w.i FROM w JOIN df USING (span) WHERE df.df >= 2),
+            cover AS (SELECT DISTINCT doc_id, i + CAST(j AS BIGINT) AS pos
+                      FROM dup CROSS JOIN unnest(range({_DUP_SPAN_K})) AS v(j)),
+            tokpos AS (SELECT doc_id, unnest(toks) AS tok,
+                              unnest(range(len(toks))) AS pos FROM t),
+            kept AS (SELECT p.doc_id, p.pos, p.tok FROM tokpos p
+                     ANTI JOIN cover c ON p.doc_id = c.doc_id AND p.pos = c.pos),
+            agg AS (SELECT doc_id, COUNT(*) AS n, string_agg(tok, ' ' ORDER BY pos) AS joined
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens_kept,
+                   md5(COALESCE(a.joined, '')) AS kept_fp
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        "pages_domain_counts": f"""
+            SELECT regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain, COUNT(*) AS n_docs
+            FROM read_parquet('{_docs_oracle}') GROUP BY domain
+        """,
+        "pages_domain_capped": f"""
+            SELECT domain, url FROM (
+                SELECT regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain, url,
+                       row_number() OVER (
+                           PARTITION BY regexp_extract(url, '{_DOMAIN_RE}', 1)
+                           ORDER BY md5(url), url) AS rn
+                FROM read_parquet('{_docs_oracle}')
+            ) WHERE rn <= {_DOMAIN_CAP}
         """,
         "nation_balance_full_outer": """
             WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust

@@ -602,3 +602,286 @@ def clean_corpus_ids(
     if out.empty:
         out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
     return out.sort_values("doc_id", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# URL / domain operators over the pages corpus (Common Crawl shapes)
+# ---------------------------------------------------------------------------
+
+# Shared with the DuckDB oracle (RE2∩Python subset).
+DOMAIN_RE = r"^https?://([^/]+)/"
+DOMAIN_CAP = 8
+
+
+def _deduped_pages(sf_dir: str) -> "rd.Dataset":
+    """Synthesized pages corpus deduped to one row per url — the same
+    chain the single-process oracle runs (synthesize → keep-first by
+    warc_ts), so the url universe matches the per-doc oracle parquet."""
+    from ..sources.pages_source import synthesize_pages
+    from ..stages.dedup import dedup_keep_first
+
+    pages = synthesize_pages(sf_dir, expand=2).select_columns(["url", "warc_ts"])
+    return dedup_keep_first(pages, key="url", order_col="warc_ts").drop_columns(
+        ["warc_ts"]
+    )
+
+
+def pages_domain_counts(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """Docs per domain over the deduped pages corpus — the domain-mix
+    diagnostic every crawl pipeline runs.  Batch-local partial counts →
+    hash-bucket sum (domains are high-cardinality at web scale — never
+    one Ray group per domain)."""
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        dom = df["url"].str.extract(DOMAIN_RE, expand=False).fillna("")
+        out = dom.value_counts().rename_axis("domain").reset_index(name="n")
+        t = pa.Table.from_pandas(
+            out,
+            schema=pa.schema([("domain", pa.string()), ("n", pa.int64())]),
+            preserve_index=False,
+        )
+        b = (
+            stable_bucket_ids(t["domain"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def sum_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("domain", as_index=False, sort=False)["n"].sum()
+        return pa.Table.from_pandas(
+            out.rename(columns={"n": "n_docs"}),
+            schema=pa.schema([("domain", pa.string()), ("n_docs", pa.int64())]),
+            preserve_index=False,
+        )
+
+    out = (
+        _deduped_pages(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(sum_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame(
+            {"domain": pd.Series([], dtype=object), "n_docs": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values("domain", ignore_index=True)
+
+
+def pages_domain_capped(
+    sf_dir: str, cap: int = DOMAIN_CAP, num_buckets: int = 16
+) -> pd.DataFrame:
+    """Per-domain document cap: keep at most ``cap`` urls per domain,
+    selected deterministically by (md5(url), url) — the standard
+    anti-domination sampling step before training.  Domains hash-bucket
+    into B groups; each bucket ranks its domains vectorized (one pandas
+    groupby-cumcount per bucket, never a Ray group per domain)."""
+    import hashlib as _hl
+
+    def keyed(df: pd.DataFrame) -> pa.Table:
+        dom = df["url"].str.extract(DOMAIN_RE, expand=False).fillna("")
+        md5s = [_hl.md5(u.encode("utf-8")).hexdigest() for u in df["url"]]
+        t = pa.Table.from_pydict(
+            {
+                "domain": pa.array(dom.to_numpy(dtype=object), pa.string()),
+                "url": pa.array(df["url"].to_numpy(dtype=object), pa.string()),
+                "__md5": pa.array(md5s, pa.string()),
+            }
+        )
+        b = (
+            stable_bucket_ids(t["domain"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def cap_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["domain", "__md5", "url"])
+        rank = g.groupby("domain", sort=False).cumcount()
+        out = g[rank < cap][["domain", "url"]]
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema([("domain", pa.string()), ("url", pa.string())]),
+            preserve_index=False,
+        )
+
+    out = (
+        _deduped_pages(sf_dir)
+        .map_batches(keyed, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(cap_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame(
+            {"domain": pd.Series([], dtype=object), "url": pd.Series([], dtype=object)}
+        )
+    return out.sort_values(["domain", "url"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span REMOVAL (the Lee et al. 2022 transform, not just marking)
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicate_spans(
+    sf_dir: str, span_k: int = DUP_SPAN_K, num_buckets: int = 32
+) -> pd.DataFrame:
+    """Exact substring dedup as a TRANSFORM: every token position covered
+    by a ``span_k``-token span that occurs in ≥ 2 documents is removed
+    (symmetric removal — both copies go; the conservative variant of
+    Lee et al. 2022), and each document reports its kept-token count and
+    the md5 of the kept text.
+
+    Scale plan: span windows (doc, start, hash) bucket by span hash;
+    each bucket computes distinct-doc df vectorized and emits only the
+    DUPLICATED window starts (dup-bounded output).  Those (doc, start)
+    rows and the raw docs then co-shuffle ONCE by doc hash (union with a
+    side tag — the text moves through exactly one exchange), and each
+    bucket rebuilds its docs' kept text with a numpy coverage-delta
+    sweep per doc.
+    """
+
+    def span_rows(df: pd.DataFrame) -> pa.Table:
+        # like _batch_span_rows but KEEPING window start positions
+        s = df["text"].fillna("").str.strip().str.lower()
+        toks = s.str.split(_WS)
+        n = toks.map(len).to_numpy(dtype=np.int64)
+        n[s.to_numpy() == ""] = 0
+        keep = n >= span_k
+        empty = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "i": pa.array([], pa.int64()),
+                "h": pa.array([], pa.int64()),
+                "__bucket": pa.array([], pa.int32()),
+            }
+        )
+        if not keep.any():
+            return empty
+        ids = df["doc_id"].to_numpy(dtype=np.int64)[keep]
+        tok_lists = toks[keep]
+        nk = n[keep]
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+        th = pd.util.hash_array(flat)
+        pows = np.ones(span_k, dtype=np.uint64)
+        np.cumprod(np.full(span_k - 1, _SPAN_P, dtype=np.uint64), out=pows[1:])
+        win = np.lib.stride_tricks.sliding_window_view(th, span_k)
+        wh = (win * pows[::-1]).sum(axis=1, dtype=np.uint64)
+        starts = np.concatenate([[0], np.cumsum(nk)[:-1]])
+        doc_idx = np.repeat(np.arange(len(nk)), nk)[: wh.size]
+        ends = starts + nk
+        pos = np.arange(wh.size)
+        ok = pos + span_k - 1 < ends[doc_idx]
+        d = doc_idx[ok]
+        h = wh[ok]
+        i_in_doc = pos[ok] - starts[d]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[d], pa.int64()),
+                "i": pa.array(i_in_doc, pa.int64()),
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "__bucket": pa.array((h % num_buckets).astype(np.int32), pa.int32()),
+            }
+        )
+
+    spans = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        span_rows, batch_format="pandas"
+    )
+
+    def dup_starts(g: pd.DataFrame) -> pa.Table:
+        # df per hash over DISTINCT docs (a span repeated within one doc
+        # does not make it corpus-duplicated)
+        df_per_hash = g.drop_duplicates(["h", "doc_id"]).groupby("h")["h"].transform(
+            "size"
+        )
+        dup_h = set(g.loc[df_per_hash.index[df_per_hash >= 2], "h"])
+        out = g[g["h"].isin(dup_h)][["doc_id", "i"]]
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema([("doc_id", pa.int64()), ("i", pa.int64())]),
+            preserve_index=False,
+        )
+
+    starts = spans.groupby("__bucket").map_groups(dup_starts, batch_format="pandas")
+
+    # union docs + dup starts, co-bucketed by doc hash: ONE text exchange
+    def tag_docs(t: pa.Table) -> pa.Table:
+        b = stable_bucket_ids(t["doc_id"], num_buckets) if t.num_rows else np.empty(0, np.int32)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc_cast_i64(t["doc_id"]),
+                "text": t["text"].cast(pa.string()) if t.num_rows else pa.array([], pa.string()),
+                "i": pa.nulls(t.num_rows, pa.int64()),
+                "__side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+                "__docb": pa.array(b, pa.int32()),
+            }
+        )
+
+    def tag_starts(t: pa.Table) -> pa.Table:
+        b = stable_bucket_ids(t["doc_id"], num_buckets) if t.num_rows else np.empty(0, np.int32)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc_cast_i64(t["doc_id"]),
+                "text": pa.nulls(t.num_rows, pa.string()),
+                "i": pc_cast_i64(t["i"]),
+                "__side": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+                "__docb": pa.array(b, pa.int32()),
+            }
+        )
+
+    both = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tag_docs, batch_format="pyarrow"
+    ).union(starts.map_batches(tag_starts, batch_format="pyarrow"))
+
+    def rebuild(g: pd.DataFrame) -> pa.Table:
+        docs = g[g["__side"] == 0]
+        st = g[g["__side"] == 1]
+        st_by_doc: dict = {
+            k: v["i"].to_numpy(dtype=np.int64) for k, v in st.groupby("doc_id")
+        }
+        ids_out, n_out, fp_out = [], [], []
+        for did, text in zip(docs["doc_id"], docs["text"]):
+            toks = (text or "").strip().lower().split()
+            dup_i = st_by_doc.get(did)
+            if dup_i is None or not len(toks):
+                kept = toks
+            else:
+                delta = np.zeros(len(toks) + 1, dtype=np.int64)
+                np.add.at(delta, dup_i, 1)
+                np.add.at(delta, np.minimum(dup_i + span_k, len(toks)), -1)
+                covered = np.cumsum(delta[:-1]) > 0
+                kept = [t for t, c in zip(toks, covered) if not c]
+            joined = " ".join(kept)
+            ids_out.append(did)
+            n_out.append(len(kept))
+            fp_out.append(hashlib.md5(joined.encode("utf-8")).hexdigest())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "n_tokens_kept": pa.array(n_out, pa.int64()),
+                "kept_fp": pa.array(fp_out, pa.string()),
+            }
+        )
+
+    out = (
+        both.groupby("__docb")
+        .map_groups(rebuild, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens_kept": pd.Series([], dtype="int64"),
+                "kept_fp": pd.Series([], dtype=object),
+            }
+        )
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def pc_cast_i64(arr: "pa.ChunkedArray | pa.Array") -> "pa.ChunkedArray | pa.Array":
+    import pyarrow.compute as pc
+
+    return pc.cast(arr, pa.int64())

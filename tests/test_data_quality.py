@@ -175,3 +175,60 @@ class TestDuplicateSpanStats:
         # doc 3: "solo w w w w w w w w w w" = 11 tokens → 4 spans, but
         # repeated-w windows collapse: spans are distinct-per-doc
         assert out.loc[3, "n_dup_spans"] == 0
+
+
+class TestRemoveDuplicateSpans:
+    def _write(self, tmp_path, texts):  # noqa: ANN001, ANN202
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t_) for t_ in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        return str(tmp_path)
+
+    def test_shared_span_removed_from_both_docs(self, ray_session, tmp_path) -> None:
+        import hashlib
+
+        from png_from_pdf_extracter_ray.pipelines.data_quality import (
+            remove_duplicate_spans,
+        )
+
+        shared = "one two three four five six seven eight"
+        texts = [f"aa {shared} bb", f"cc {shared} dd", "solo text here stays intact"]
+        out = remove_duplicate_spans(self._write(tmp_path, texts), span_k=8).set_index(
+            "doc_id"
+        )
+        # the shared 8-token span is covered in both docs; only the
+        # unshared edges stay.  Doc1 keeps "aa bb"? NO — windows: with
+        # 10 tokens there are 3 windows; only the middle window (the
+        # shared span) is duplicated, so its 8 tokens go, keeping aa/bb.
+        assert out.loc[1, "n_tokens_kept"] == 2
+        assert out.loc[1, "kept_fp"] == hashlib.md5(b"aa bb").hexdigest()
+        assert out.loc[2, "kept_fp"] == hashlib.md5(b"cc dd").hexdigest()
+        # untouched doc keeps everything verbatim (lowered)
+        assert out.loc[3, "n_tokens_kept"] == 5
+        assert (
+            out.loc[3, "kept_fp"]
+            == hashlib.md5(b"solo text here stays intact").hexdigest()
+        )
+
+    def test_within_doc_repeat_is_not_corpus_duplicate(
+        self, ray_session, tmp_path
+    ) -> None:
+        from png_from_pdf_extracter_ray.pipelines.data_quality import (
+            remove_duplicate_spans,
+        )
+
+        # one doc repeating its own span — df counts DISTINCT docs, so
+        # nothing is removed
+        t = "p q r s t u v w " * 2 + "tail"
+        out = remove_duplicate_spans(self._write(tmp_path, [t]), span_k=8)
+        assert out["n_tokens_kept"].iloc[0] == 17
