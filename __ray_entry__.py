@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest asserts the documented rank-error bound vs exact)
         "quantity_quantiles_sketch": rel.quantity_quantiles_sketch,
         "distinct_users_per_event_type": rel.distinct_users_per_event_type,
+        # bounded-state approximate count-distinct (mergeable HLL —
+        # rows-only; a pytest asserts the documented error bound)
+        "distinct_users_per_event_type_hll": rel.distinct_users_per_event_type_hll,
         "events_sessionize": rel.events_sessionize,
         "events_sliding_window": rel.events_sliding_window,
         "cumulative_order_value": rel.cumulative_order_value,
@@ -169,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- TPC-H-shaped correlated subquery / HAVING (SQL-checked) ---
         "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
         "q18_large_orders": rel.q18_large_orders,
+        "top_orders_per_customer": rel.top_orders_per_customer,
         # --- corpus statistics (all SQL-checked) ---
         "vocab_top_tokens": corpus_stats.vocab_top_tokens,
         "token_doc_frequency": corpus_stats.token_doc_frequency,
@@ -849,6 +853,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_brand = 'Brand#1' AND p_size <= 15
               AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
                                 FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        """,
+        # per-group top-k window (ROW_NUMBER <= k over a high-cardinality
+        # partition key — bucketed rank in the engine)
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+                   CAST(rn AS BIGINT) AS rn
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn <= 2
         """,
         "q18_large_orders": """
             SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,

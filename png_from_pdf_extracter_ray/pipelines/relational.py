@@ -1041,3 +1041,96 @@ def nation_balance_full_outer(
     return out.sort_values("nationkey", ignore_index=True)[
         ["nationkey", "n_cust", "n_supp"]
     ]
+
+
+def top_orders_per_customer(
+    sf_dir: str, k: int = 2, num_buckets: int = 32
+) -> pd.DataFrame:
+    """Per-group top-k (the ROW_NUMBER() <= k window shape): each
+    customer's k most expensive orders.
+
+    Customers are high-cardinality, so the partition-by key hash-buckets
+    into B groups and each bucket ranks vectorized (ONE pandas
+    sort+cumcount per bucket — never a Ray group per customer).  A
+    batch-local pre-prune keeps at most k rows per (batch, customer)
+    before the shuffle, so the exchange is k-bounded per key.
+    """
+    import numpy as np
+
+    from ..stages.dedup import stable_bucket_ids
+
+    def prune(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        out = df[df.groupby("o_custkey", sort=False).cumcount() < k]
+        t = pa.Table.from_pandas(
+            out[["o_custkey", "o_orderkey", "o_totalprice"]],
+            schema=pa.schema(
+                [
+                    ("o_custkey", pa.int64()),
+                    ("o_orderkey", pa.int64()),
+                    ("o_totalprice", pa.float64()),
+                ]
+            ),
+            preserve_index=False,
+        )
+        b = (
+            stable_bucket_ids(t["o_custkey"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        rn = g.groupby("o_custkey", sort=False).cumcount() + 1
+        out = g[rn <= k].assign(rn=rn[rn <= k].astype(np.int64))
+        return pa.Table.from_pandas(
+            out[["o_custkey", "o_orderkey", "o_totalprice", "rn"]],
+            schema=pa.schema(
+                [
+                    ("o_custkey", pa.int64()),
+                    ("o_orderkey", pa.int64()),
+                    ("o_totalprice", pa.float64()),
+                    ("rn", pa.int64()),
+                ]
+            ),
+            preserve_index=False,
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(prune, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "o_custkey": pd.Series([], dtype="int64"),
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "o_totalprice": pd.Series([], dtype="float64"),
+                "rn": pd.Series([], dtype="int64"),
+            }
+        )
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out.sort_values(["o_custkey", "rn"], ignore_index=True)
+
+
+def distinct_users_per_event_type_hll(sf_dir: str) -> pd.DataFrame:
+    """APPROXIMATE count-distinct via mergeable HyperLogLog
+    (stages/sketch.py) — the bounded-state path where the exact
+    ``distinct_users_per_event_type`` would gather per-key distinct sets
+    that grow with the data.  ~1.6% standard error at 4096 registers; a
+    pytest asserts closeness to exact.  Rows-only oracle (approximate
+    by construction)."""
+    from ..stages.sketch import hll_count_distinct_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_count_distinct_by_key(ds, key_col="event_type", val_col="user_id")

@@ -104,3 +104,100 @@ def quantile_sketch_by_key(
         .to_pandas()
     )
     return out.sort_values(key_col, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — mergeable approximate count-distinct
+# ---------------------------------------------------------------------------
+
+HLL_P = 12  # 2^12 = 4096 registers → ~1.6% standard error
+_HLL_M = 1 << HLL_P
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_partial(values: np.ndarray) -> np.ndarray:
+    """One batch → a 2^p register array (uint8), fully vectorized.
+
+    Register index = top p bits of the 64-bit value hash; register value
+    = position of the first 1-bit in the remaining 64-p bits (ρ), via a
+    float64 log2 (exact for powers of two below 2^53, and 64-p = 52 here
+    — no precision cliff)."""
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    if values.size == 0:
+        return regs
+    h = pd.util.hash_array(values)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = h & np.uint64((1 << (64 - HLL_P)) - 1)
+    width = 64 - HLL_P
+    rho = np.full(h.size, width + 1, dtype=np.uint8)
+    nz = rest > 0
+    # ρ = leading-zero count within the (64-p)-bit word, +1
+    rho[nz] = (width - np.floor(np.log2(rest[nz].astype(np.float64)))).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Standard HLL estimate with the small-range linear-counting
+    correction (Flajolet et al. 2007)."""
+    m = regs.size
+    est = _hll_alpha(m) * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def hll_count_distinct_by_key(
+    ds: rd.Dataset, key_col: str, val_col: str
+) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT val) per key with O(keys × 4 KiB)
+    total state — the bounded-memory alternative to the exact
+    ``distinct_users_per_event_type`` (whose per-key distinct sets grow
+    with the data).
+
+    Per batch: one register array per key present in the batch (rows:
+    key + 4096-byte register blob).  Partials stream to the driver and
+    merge by elementwise max — mergeability is the point: partials from
+    any partitioning of the data combine associatively, so this extends
+    to a bucketed reduce for high-cardinality keys unchanged.
+    Low-cardinality keys only in this wrapper (the engine's standing
+    groupby rule).
+    """
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        keys, blobs = [], []
+        for key, vals in df.groupby(key_col, sort=False)[val_col]:
+            keys.append(key)
+            blobs.append(hll_partial(vals.to_numpy()).tobytes())
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(keys, pa.string()),
+                "regs": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_keys, out_est = [], []
+    for key, blobs in parts.groupby("key", sort=False)["regs"]:
+        regs = np.zeros(_HLL_M, dtype=np.uint8)
+        for b in blobs:
+            regs = hll_merge(regs, np.frombuffer(b, dtype=np.uint8))
+        out_keys.append(key)
+        out_est.append(hll_estimate(regs))
+    return pd.DataFrame(
+        {key_col: out_keys, "n_distinct_est": pd.Series(out_est, dtype="int64")}
+    ).sort_values(key_col, ignore_index=True)

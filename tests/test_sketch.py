@@ -61,3 +61,55 @@ def test_sketch_close_to_exact_on_lineitem(ray_session, sf_dir) -> None:  # noqa
     # l_quantity spans 1..50; a 1/128 rank slack is ~±1 in value
     for col in ("p50_qty", "p90_qty"):
         assert (approx[col] - exact[col]).abs().max() <= 1.5, (col, approx, exact)
+
+
+def test_hll_partial_merge_estimate_accuracy() -> None:
+    import numpy as np
+
+    from png_from_pdf_extracter_ray.stages.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    rng = np.random.default_rng(7)
+    for true_n in (50, 1_000, 20_000, 300_000):
+        vals = rng.choice(true_n * 3, size=true_n, replace=False).astype(np.int64)
+        # split into 4 partials and merge — mergeability must not change
+        # the estimate vs one-shot
+        parts = np.array_split(vals, 4)
+        regs = hll_partial(parts[0])
+        for p in parts[1:]:
+            regs = hll_merge(regs, hll_partial(p))
+        est = hll_estimate(regs)
+        assert est == hll_estimate(hll_partial(vals))
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_hll_duplicates_do_not_inflate() -> None:
+    import numpy as np
+
+    from png_from_pdf_extracter_ray.stages.sketch import hll_estimate, hll_partial
+
+    vals = np.repeat(np.arange(500, dtype=np.int64), 100)  # 50k rows, 500 distinct
+    est = hll_estimate(hll_partial(vals))
+    assert abs(est - 500) / 500 < 0.05, est
+
+
+def test_hll_query_close_to_exact(ray_session, sf_dir) -> None:  # noqa: ANN001
+    from png_from_pdf_extracter_ray.pipelines.relational import (
+        distinct_users_per_event_type,
+        distinct_users_per_event_type_hll,
+    )
+
+    exact = distinct_users_per_event_type(sf_dir).set_index("event_type")["n_users"]
+    approx = distinct_users_per_event_type_hll(sf_dir).set_index("event_type")[
+        "n_distinct_est"
+    ]
+    assert set(exact.index) == set(approx.index)
+    for k in exact.index:
+        assert abs(int(approx[k]) - int(exact[k])) / max(int(exact[k]), 1) < 0.05, (
+            k,
+            int(exact[k]),
+            int(approx[k]),
+        )
