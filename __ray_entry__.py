@@ -173,6 +173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
         "q18_large_orders": rel.q18_large_orders,
         "top_orders_per_customer": rel.top_orders_per_customer,
+        # EXISTS semi-join and CASE-WHEN-over-join shapes (SQL-checked)
+        "q4_priority_exists": rel.q4_priority_exists,
+        "q12_priority_by_returnflag": rel.q12_priority_by_returnflag,
         # --- corpus statistics (all SQL-checked) ---
         "vocab_top_tokens": corpus_stats.vocab_top_tokens,
         "token_doc_frequency": corpus_stats.token_doc_frequency,
@@ -865,6 +868,29 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
                 FROM orders
             ) WHERE rn <= 2
+        """,
+        # EXISTS semi-join: bucketed how="semi" in the engine
+        "q4_priority_exists": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        # conditional aggregation over a join (TPC-H Q12 shape)
+        "q12_priority_by_returnflag": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "q18_large_orders": """
             SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,

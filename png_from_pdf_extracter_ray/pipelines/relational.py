@@ -1134,3 +1134,99 @@ def distinct_users_per_event_type_hll(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return hll_count_distinct_by_key(ds, key_col="event_type", val_col="user_id")
+
+
+def q4_priority_exists(
+    sf_dir: str,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """TPC-H Q4 shape (order-priority checking): count orders per
+    priority in a date quarter that have AT LEAST ONE lineitem matching
+    a predicate (``l_returnflag = 'R'`` here — the testdata lacks
+    commit/receipt dates, the EXISTS shape is what's exercised).
+
+    Scale shape: the EXISTS is a bucketed SEMI join (stages/joins.py
+    ``how="semi"``) — lineitem keys are pre-deduped per batch so only
+    distinct (orderkey) partials shuffle, orders rows survive at most
+    once regardless of how many lineitems match, and the final groupby
+    is over the 5-value priority column (low-cardinality, allowed).
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.joins import bucketed_hash_join
+
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    def rkeys(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.equal(t["l_returnflag"], "R"))["l_orderkey"]
+        return pa.Table.from_pydict({"o_orderkey": pc.unique(keys)})
+
+    matched = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        rkeys, batch_format="pyarrow"
+    )
+    out = (
+        bucketed_hash_join(orders, matched, on="o_orderkey", how="semi",
+                           num_buckets=num_buckets)
+        .groupby("o_orderpriority")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "order_count"})
+    )
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority", ignore_index=True)[
+        ["o_orderpriority", "order_count"]
+    ]
+
+
+def q12_priority_by_returnflag(sf_dir: str, num_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q12 shape (conditional aggregation over a join): per
+    lineitem return flag, how many lines belong to HIGH-priority orders
+    ('1-URGENT'/'2-HIGH') vs lower — the shipmode/priority CASE-WHEN
+    rollup re-expressed over the columns the testdata has.
+
+    Scale shape: bucketed hash join on the orderkey (both sides slim —
+    2 columns each), then the CASE-WHEN counts pre-aggregate per batch
+    (``grouped_sum``) so only (returnflag, high, low) partials shuffle
+    into the 3-key final groupby.
+    """
+    from ..stages.joins import bucketed_hash_join
+
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_returnflag"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = bucketed_hash_join(lines, orders, on="o_orderkey",
+                                num_buckets=num_buckets)
+
+    def compute(df: pd.DataFrame) -> pd.DataFrame:
+        high = df["o_orderpriority"].isin(("1-URGENT", "2-HIGH"))
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "high_line_count": high.astype("int64"),
+                "low_line_count": (~high).astype("int64"),
+            }
+        )
+
+    out = grouped_sum(
+        joined, ["l_returnflag"], compute, ["high_line_count", "low_line_count"]
+    ).to_pandas()
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag", ignore_index=True)[
+        ["l_returnflag", "high_line_count", "low_line_count"]
+    ]

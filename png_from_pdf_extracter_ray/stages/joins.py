@@ -54,9 +54,11 @@ def bucketed_hash_join(
     ``how``: "inner", "left" (unmatched left rows keep typed nulls on the
     right columns), "outer" (FULL OUTER — unmatched rows of EITHER side
     survive with typed nulls on the other side's columns; the key column
-    is total), or "anti" (left rows with NO match — the NOT-IN /
-    NOT-EXISTS shape; output carries only the left columns)."""
-    if how not in ("inner", "left", "outer", "anti"):
+    is total), "anti" (left rows with NO match — the NOT-IN /
+    NOT-EXISTS shape), or "semi" (left rows WITH at least one match,
+    each at most once regardless of match multiplicity — the EXISTS /
+    IN-subquery shape; output carries only the left columns)."""
+    if how not in ("inner", "left", "outer", "anti", "semi"):
         raise ValueError(f"unsupported how={how!r}")
     ls, rs = left.schema(), right.schema()
     lcols, rcols = list(ls.names), list(rs.names)
@@ -91,8 +93,9 @@ def bucketed_hash_join(
         side = group["__side"]
         l = group.filter(pc.equal(side, 0)).select(lcols).to_pandas()
         r = group.filter(pc.equal(side, 1)).select(rcols).to_pandas()
-        if how == "anti":
-            out = l[~l[on].isin(r[on])]
+        if how in ("anti", "semi"):
+            mask = l[on].isin(r[on])
+            out = l[mask] if how == "semi" else l[~mask]
             schema = pa.schema([(c, types[c]) for c in lcols])
             return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
         merged = l.merge(r, on=on, how=how)

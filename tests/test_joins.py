@@ -112,3 +112,16 @@ def test_full_outer_join_keeps_both_sides_typed(ray_session) -> None:  # noqa: A
     assert row2["l"] == 20 and row2["r"] == 200
     assert got[got["k"] == 7]["l"].isna().all()
     assert got[got["k"] == 1]["r"].isna().all()
+
+
+def test_semi_join_returns_matched_left_once(ray_session) -> None:  # noqa: ANN001
+    left = _ds({"k": [1, 2, 3, 4], "l": ["a", "b", "c", "d"]})
+    right = _ds({"k": [2, 2, 2, 4]})  # multiplicity must not duplicate rows
+    out = (
+        bucketed_hash_join(left, right, on="k", how="semi")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert list(out["k"]) == [2, 4]
+    assert list(out.columns) == ["k", "l"]
+    assert pd.api.types.is_integer_dtype(out["k"])
