@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only; a pytest asserts the documented error bound)
         "distinct_users_per_event_type_hll": rel.distinct_users_per_event_type_hll,
         "events_sessionize": rel.events_sessionize,
+        # LAG window + interval (range) self-join (both SQL-checked)
+        "events_lag_deltas": rel.events_lag_deltas,
+        "events_window_counts": rel.events_window_counts,
         "events_sliding_window": rel.events_sliding_window,
         "cumulative_order_value": rel.cumulative_order_value,
         # --- text analysis (SQL-checked) ---
@@ -621,6 +624,28 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_event_type": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # LAG window: seconds since the user's previous event (-1 for
+        # the first); microsecond-exact on both sides
+        "events_lag_deltas": """
+            SELECT event_id,
+                   ROUND(COALESCE(
+                       date_diff('microsecond',
+                                 LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id),
+                                 ts) / 1000000.0, -1.0), 6) AS delta_s
+            FROM events
+            ORDER BY event_id
+        """,
+        # interval (range) self-join: same-user events in [ts-600s, ts)
+        "events_window_counts": """
+            SELECT a.event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_prior
+            FROM events a LEFT JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts < a.ts
+             AND b.ts >= a.ts - INTERVAL 600 SECOND
+            GROUP BY a.event_id
+            ORDER BY a.event_id
         """,
         "events_sessionize": """
             WITH d AS (

@@ -1230,3 +1230,74 @@ def q12_priority_by_returnflag(sf_dir: str, num_buckets: int = 32) -> pd.DataFra
     return out.sort_values("l_returnflag", ignore_index=True)[
         ["l_returnflag", "high_line_count", "low_line_count"]
     ]
+
+
+def events_lag_deltas(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """LAG window: per event, seconds since the SAME user's previous
+    event (ts order, event_id tie-break); a user's first event → -1.
+
+    Scale shape: users hash into B buckets (all of a user's events
+    co-locate) and each bucket computes every LAG vectorized — one
+    pandas sort + grouped shift per bucket, never a Ray group per user.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id", sort=False)["ts"].shift()
+        delta = (g["ts"] - prev).dt.total_seconds()
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "delta_s": delta.fillna(-1.0).round(6)}
+        )
+
+    return (
+        _bucket_by(ds, "user_id", num_buckets)
+        .groupby("__bucket")
+        .map_groups(lag_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+
+
+def events_window_counts(
+    sf_dir: str, window_s: int = 600, num_buckets: int = 64
+) -> pd.DataFrame:
+    """Interval (range) self-join: per event, how many of the SAME
+    user's events fall in the strictly-prior window
+    ``[ts - window_s, ts)`` — the time-range join the Dataset API lacks.
+
+    Scale shape: users hash into B buckets; inside a bucket the range
+    join is ONE vectorized double-searchsorted over a composite
+    (user-ordinal << 44 | µs-offset) key — no per-user Python loop, no
+    quadratic pair expansion.  Partitioning assumption (documented): all
+    events of a user co-locate in one bucket; per-bucket spans must fit
+    the composite key (µs offset < 2^44 ≈ 557 years, < 2^19 users per
+    bucket) — guarded loudly.
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        ts_us = g["ts"].astype("int64").to_numpy()
+        u = pd.factorize(g["user_id"])[0].astype(np.int64)
+        base = ts_us - ts_us.min() if len(ts_us) else ts_us
+        if len(base) and (base.max() >= (1 << 44) or u.max() >= (1 << 19)):
+            raise ValueError("composite range-join key overflow: re-bucket finer")
+        key = (u << 44) + base
+        lo = (u << 44) + np.maximum(base - window_s * 1_000_000, 0)
+        n = np.searchsorted(key, key, side="left") - np.searchsorted(
+            key, lo, side="left"
+        )
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "n_prior": pd.Series(n, dtype="int64")}
+        )
+
+    return (
+        _bucket_by(ds, "user_id", num_buckets)
+        .groupby("__bucket")
+        .map_groups(count_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
