@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_doc_frequency": corpus_stats.token_doc_frequency,
         "doc_length_histogram": corpus_stats.doc_length_histogram,
         "benchmark_contamination": corpus_stats.benchmark_contamination,
+        "benchmark_contamination_bloom": corpus_stats.benchmark_contamination_bloom,
         # --- embedding computation (actor-pool model stage; rows-only) ---
         "text_embeddings": textops.text_embeddings,
         "text_embedding_near_dups": textops.text_embedding_near_dups,
@@ -336,7 +337,7 @@ def oracle_sql() -> dict[str, str]:
             file=sys.stderr,
         )
 
-    return {
+    sql = {
         "extract_flagship_summary": f"""
             SELECT status, content_type, n_docs, xor_digest
             FROM read_parquet('{_flagship_oracle}')
@@ -944,3 +945,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
     }
+    # Bloom-prefiltered contamination is EXACT by contract (prefilter is a
+    # superset, survivors are string-confirmed) — same oracle as the exact path.
+    sql["benchmark_contamination_bloom"] = sql["benchmark_contamination"]
+    return sql

@@ -214,3 +214,80 @@ def benchmark_contamination(sf_dir: str) -> pd.DataFrame:
     if out.empty and list(out.columns) != ["doc_id", "n_contam"]:
         out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "n_contam": pd.Series([], dtype="int64")})
     return out.sort_values("doc_id", ignore_index=True)[["doc_id", "n_contam"]]
+
+
+def benchmark_contamination_bloom(sf_dir: str) -> pd.DataFrame:
+    """Identical result to :func:`benchmark_contamination`, membership
+    test restructured for scale with a Bloom-filter PREFILTER
+    (stages/bloom.py): the benchmark side ships as a FIXED-size bitmap
+    whose broadcast cost does not grow with the benchmark, and each
+    batch tests ALL its shingles in ONE vectorized ``contains`` pass —
+    the per-doc Python set intersection of the exact path runs only on
+    the (rare) Bloom survivors, so clean batches cost k numpy gathers.
+
+    No false negatives means the survivors are a superset of the true
+    hits; the exact string-set confirm on survivors removes the false
+    positives, keeping the output exact (same oracle SQL as the exact
+    path).
+    """
+    import pyarrow.parquet as pq
+
+    from ..stages.bloom import BloomFilter
+
+    bench_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    bids = np.asarray(bench_tbl["doc_id"])
+    bench_rows = bench_tbl.filter(pa.array(bids % BENCHMARK_MOD == 0))
+    bench_shingles: set[str] = set()
+    for t in bench_rows["text"].to_pylist():
+        bench_shingles |= _doc_shingles(t)
+    sh_arr = np.asarray(sorted(bench_shingles), dtype=object)
+    bloom = BloomFilter.build(
+        pd.util.hash_array(sh_arr) if sh_arr.size else np.zeros(0, np.uint64)
+    )
+    # bitmap for the prefilter + exact set for the survivor confirm, one put
+    ref = ray.put((bloom.to_state(), frozenset(bench_shingles)))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        state = _BENCH_CACHE.get(ref.hex())
+        if state is None:
+            _BENCH_CACHE.clear()
+            blob, bset0 = ray.get(ref)
+            state = (BloomFilter.from_state(blob), bset0)
+            _BENCH_CACHE[ref.hex()] = state
+        blm, bset = state
+        empty = pa.Table.from_pydict(
+            {"doc_id": pa.array([], pa.int64()), "n_contam": pa.array([], pa.int64())}
+        )
+        shingles: list[str] = []
+        owners: list[int] = []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if i % BENCHMARK_MOD == 0:
+                continue  # benchmark docs are not checked against themselves
+            s = _doc_shingles(t)
+            shingles.extend(s)
+            owners.extend([i] * len(s))
+        if not shingles:
+            return empty
+        sh = np.asarray(shingles, dtype=object)
+        cand = blm.contains(pd.util.hash_array(sh))  # one pass, whole batch
+        if not cand.any():
+            return empty
+        surv = sh[cand]
+        hit = np.fromiter((x in bset for x in surv), dtype=bool, count=surv.size)
+        hit_own = np.asarray(owners, dtype=np.int64)[cand][hit]
+        if hit_own.size == 0:
+            return empty
+        uniq, counts = np.unique(hit_own, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "n_contam": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(scan, batch_format="pyarrow").to_pandas()
+    if out.empty and list(out.columns) != ["doc_id", "n_contam"]:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "n_contam": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id", ignore_index=True)[["doc_id", "n_contam"]]
