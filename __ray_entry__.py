@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": corpus_stats.doc_length_histogram,
         "benchmark_contamination": corpus_stats.benchmark_contamination,
         "benchmark_contamination_bloom": corpus_stats.benchmark_contamination_bloom,
+        "tfidf_top_terms": corpus_stats.tfidf_top_terms,
+        "unigram_logprob_scores": corpus_stats.unigram_logprob_scores,
+        "token_chunks": textops.token_chunks,
         # --- embedding computation (actor-pool model stage; rows-only) ---
         "text_embeddings": textops.text_embeddings,
         "text_embedding_near_dups": textops.text_embedding_near_dups,
@@ -948,4 +951,58 @@ def oracle_sql() -> dict[str, str]:
     # Bloom-prefiltered contamination is EXACT by contract (prefilter is a
     # superset, survivors are string-confirmed) — same oracle as the exact path.
     sql["benchmark_contamination_bloom"] = sql["benchmark_contamination"]
+    # TF-IDF / unigram-LM / chunking share the token_counts tokenizer
+    # (trim -> lower -> split \s+; blank docs emit nothing)
+    sql["tfidf_top_terms"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+        ),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+        df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC, tf.token
+                   ) AS rn
+            FROM tf JOIN df USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, token, tfidf FROM scored WHERE rn <= 3
+        ORDER BY doc_id, tfidf DESC, token
+    """
+    sql["unigram_logprob_scores"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+        ),
+        tot AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+        t AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM tot)
+        SELECT toks.doc_id,
+               ROUND(AVG(ln(CAST(tot.n AS DOUBLE) / t.t)), 6) AS logprob
+        FROM toks JOIN tot USING (token) CROSS JOIN t
+        GROUP BY toks.doc_id ORDER BY toks.doc_id
+    """
+    sql["token_chunks"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE trim(text) <> ''
+        ),
+        ch AS (
+            SELECT doc_id, toks,
+                   unnest(range(CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS chunk_id
+            FROM toks
+        )
+        SELECT doc_id, chunk_id,
+               len(list_slice(toks, chunk_id * 64 + 1, chunk_id * 64 + 64)) AS n_tokens,
+               md5(array_to_string(
+                   list_slice(toks, chunk_id * 64 + 1, chunk_id * 64 + 64), ' '
+               )) AS chunk_md5
+        FROM ch ORDER BY doc_id, chunk_id
+    """
     return sql

@@ -216,6 +216,115 @@ def benchmark_contamination(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)[["doc_id", "n_contam"]]
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 3, min_broadcast_df: int = 2) -> pd.DataFrame:
+    """Per-document top-k terms by TF-IDF — the keyword/topic-surfacing
+    op of a training-data pipeline.  ``tfidf = tf * ln(N / df)``, ties
+    broken by token asc; docs with no tokens emit nothing.
+
+    Two passes, both streaming: (1) the document-frequency table is
+    built by the bucketed partial-count aggregation (vocabulary-sized
+    output) and broadcast once via ``ray.put`` — only tokens with
+    ``df >= min_broadcast_df`` ship, absent tokens default to df=1
+    (identical idf, hapax legomena never pay broadcast bytes — at web
+    scale the heavy tail is most of the vocabulary); (2) the corpus
+    streams through a per-batch explode → tf count → vectorized df map
+    → batch-local top-k.  No shuffle touches the text.
+    """
+    import pyarrow.parquet as pq
+
+    from .relational import _cached_broadcast
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    dfreq = _bucketed_token_sum(_docs(sf_dir, ["text"]), distinct_per_doc=True)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n"], min_broadcast_df))
+
+    dftbl = dfreq.map_batches(keep, batch_format="pyarrow").to_pandas()
+    ref = ray.put(pd.Series(dftbl["n"].to_numpy(np.float64), index=dftbl["token"]))
+
+    def score(df_batch: pd.DataFrame) -> pa.Table:
+        dfmap = _cached_broadcast(ref)
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("token", pa.string()), ("tfidf", pa.float64())]
+        )
+        s = df_batch["text"].fillna("").str.strip().str.lower()
+        mask = s != ""
+        sub = pd.DataFrame(
+            {"doc_id": df_batch["doc_id"][mask], "token": s[mask].str.split(_WS)}
+        ).explode("token")
+        if sub.empty:
+            return schema.empty_table()
+        tf = sub.groupby(["doc_id", "token"], as_index=False, sort=False).size()
+        dfs = tf["token"].map(dfmap).fillna(1.0).to_numpy(np.float64)
+        tf["tfidf"] = np.round(
+            tf["size"].to_numpy(np.float64) * np.log(float(n_docs) / dfs), 6
+        )
+        top = (
+            tf.sort_values(["doc_id", "tfidf", "token"], ascending=[True, False, True])
+            .groupby("doc_id", sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(
+            top[["doc_id", "token", "tfidf"]], schema=schema, preserve_index=False
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(
+        ["doc_id", "tfidf", "token"], ascending=[True, False, True], ignore_index=True
+    )[["doc_id", "token", "tfidf"]]
+
+
+def unigram_logprob_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-document mean unigram log-likelihood under the corpus's own
+    unigram LM — the cheap stand-in for a perplexity quality filter
+    (docs of improbable tokens score low).  ``logprob = mean over token
+    instances of ln(count(token) / total_tokens)``, rounded to 6.
+
+    The LM is the bucketed token-total aggregation (vocabulary-sized,
+    Heaps'-law ≪ corpus) broadcast once; the corpus then streams
+    through a per-batch explode → vectorized probability map → per-doc
+    mean.  Docs with no tokens emit nothing.
+    """
+    from .relational import _cached_broadcast
+
+    totals = _bucketed_token_sum(_docs(sf_dir, ["text"]), distinct_per_doc=False).to_pandas()
+    total_tokens = float(totals["n"].sum())
+    ref = ray.put(pd.Series(totals["n"].to_numpy(np.float64), index=totals["token"]))
+
+    def score(df_batch: pd.DataFrame) -> pa.Table:
+        counts = _cached_broadcast(ref)
+        schema = pa.schema([("doc_id", pa.int64()), ("logprob", pa.float64())])
+        s = df_batch["text"].fillna("").str.strip().str.lower()
+        mask = s != ""
+        sub = pd.DataFrame(
+            {"doc_id": df_batch["doc_id"][mask], "token": s[mask].str.split(_WS)}
+        ).explode("token")
+        if sub.empty:
+            return schema.empty_table()
+        lp = np.log(sub["token"].map(counts).to_numpy(np.float64) / total_tokens)
+        out = (
+            pd.DataFrame({"doc_id": sub["doc_id"].to_numpy(np.int64), "lp": lp})
+            .groupby("doc_id", as_index=False, sort=False)["lp"]
+            .mean()
+        )
+        out["lp"] = np.round(out["lp"].to_numpy(np.float64), 6)
+        return pa.Table.from_pandas(
+            out.rename(columns={"lp": "logprob"}), schema=schema, preserve_index=False
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", ignore_index=True)[["doc_id", "logprob"]]
+
+
 def benchmark_contamination_bloom(sf_dir: str) -> pd.DataFrame:
     """Identical result to :func:`benchmark_contamination`, membership
     test restructured for scale with a Bloom-filter PREFILTER

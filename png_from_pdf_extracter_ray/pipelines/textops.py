@@ -8,6 +8,7 @@ explicitly rows-only for non-SQL-expressible ops).
 from __future__ import annotations
 
 import os
+import re
 
 import pandas as pd
 
@@ -27,6 +28,11 @@ from ..stages.text_stats import (
 
 def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# Same tokenizer as corpus_stats / the token_counts oracle: regex \s+,
+# not Python str.split() (they disagree on exotic whitespace).
+_TOKEN_WS = re.compile(r"\s+")
 
 
 def token_counts(sf_dir: str) -> rd.Dataset:
@@ -114,6 +120,49 @@ def rolling_fingerprints(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         RollingFingerprint, batch_format="pyarrow", concurrency=(1, 4)
     ).select_columns(["doc_id", "rolling_fp"])
+
+
+def token_chunks(sf_dir: str, chunk: int = 64) -> rd.Dataset:
+    """Context-window packing: split each document's token stream into
+    fixed-size windows of ``chunk`` tokens (last window ragged) — the
+    sequence-chunking step that feeds fixed-context training.  Emits
+    (doc_id, chunk_id, n_tokens, chunk_md5) where chunk_md5 fingerprints
+    the space-joined window, so the oracle checks window CONTENT, not
+    just counts.  Pure per-doc transform — embarrassingly parallel, no
+    shuffle, and deterministic under any partitioning.
+
+    Tokenizer parity with token_counts: trim → lower → split \\s+;
+    blank docs emit nothing.
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("chunk_md5", pa.string()),
+        ]
+    )
+
+    def chunkify(df: pd.DataFrame) -> pa.Table:
+        s = df["text"].fillna("").str.strip().str.lower()
+        ids, cids, ns, fps = [], [], [], []
+        for i, t in zip(df["doc_id"][s != ""], s[s != ""].str.split(_TOKEN_WS)):
+            for c in range(0, len(t), chunk):
+                w = t[c : c + chunk]
+                ids.append(i)
+                cids.append(c // chunk)
+                ns.append(len(w))
+                fps.append(hashlib.md5(" ".join(w).encode()).hexdigest())
+        return pa.Table.from_pydict(
+            {"doc_id": ids, "chunk_id": cids, "n_tokens": ns, "chunk_md5": fps},
+            schema=schema,
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(chunkify, batch_format="pandas")
 
 
 def langid_heuristic(sf_dir: str) -> rd.Dataset:
