@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # EXISTS semi-join and CASE-WHEN-over-join shapes (SQL-checked)
         "q4_priority_exists": rel.q4_priority_exists,
         "q12_priority_by_returnflag": rel.q12_priority_by_returnflag,
+        "quantity_zscore_by_returnflag": rel.quantity_zscore_by_returnflag,
+        "q10_returned_item_revenue": rel.q10_returned_item_revenue,
         # --- corpus statistics (all SQL-checked) ---
         "vocab_top_tokens": corpus_stats.vocab_top_tokens,
         "token_doc_frequency": corpus_stats.token_doc_frequency,
@@ -186,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": corpus_stats.benchmark_contamination,
         "benchmark_contamination_bloom": corpus_stats.benchmark_contamination_bloom,
         "tfidf_top_terms": corpus_stats.tfidf_top_terms,
+        "heavy_hitter_tokens": corpus_stats.heavy_hitter_tokens,
         "unigram_logprob_scores": corpus_stats.unigram_logprob_scores,
         "token_chunks": textops.token_chunks,
         # --- embedding computation (actor-pool model stage; rows-only) ---
@@ -973,6 +976,40 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, token, tfidf FROM scored WHERE rn <= 3
         ORDER BY doc_id, tfidf DESC, token
+    """
+    sql["q10_returned_item_revenue"] = """
+        SELECT c_custkey, c_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= DATE '1996-07-01'
+          AND o_orderdate < DATE '1996-10-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+        LIMIT 20
+    """
+    sql["quantity_zscore_by_returnflag"] = """
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               ROUND((l_quantity - AVG(l_quantity) OVER (PARTITION BY l_returnflag))
+                     / STDDEV_POP(l_quantity) OVER (PARTITION BY l_returnflag),
+                     6) AS zscore
+        FROM lineitem
+    """
+    sql["heavy_hitter_tokens"] = """
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks)
+        SELECT token, COUNT(*) AS n
+        FROM toks CROSS JOIN tot
+        GROUP BY token, tot.t
+        HAVING COUNT(*) >= tot.t / 200
+        ORDER BY n DESC, token
     """
     sql["unigram_logprob_scores"] = """
         WITH toks AS (

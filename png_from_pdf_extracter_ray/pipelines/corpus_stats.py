@@ -216,6 +216,65 @@ def benchmark_contamination(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)[["doc_id", "n_contam"]]
 
 
+def heavy_hitter_tokens(sf_dir: str, s: int = 200) -> pd.DataFrame:
+    """EXACT frequent-token detection (count ≥ total_tokens / s) with
+    BOUNDED per-batch state — the heavy-hitters sketch pattern.
+
+    ``vocab_top_tokens`` shuffles a partial-count row for EVERY distinct
+    token per batch; at web scale those partials are themselves big.
+    This op never ships the vocabulary: pass 1 emits only tokens whose
+    batch-local count ≥ batch_tokens / s — at most s-1 rows per batch,
+    and by pigeonhole the union over batches is a SUPERSET of the true
+    heavy hitters (a token below the local threshold everywhere sums
+    below the global threshold).  Pass 2 broadcasts the candidate set
+    (≤ s per batch, deduped) and counts ONLY candidates exactly; the
+    final filter ``n ≥ T / s`` makes the result exact, so it shares
+    semantics with a plain SQL HAVING.
+    """
+    from .relational import _cached_broadcast
+
+    part_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+
+    def candidates(df: pd.DataFrame) -> pa.Table:
+        out = _token_partials(df, distinct_per_doc=False)
+        t_b = int(out["n"].sum())
+        cand = out[out["n"].to_numpy(np.float64) >= t_b / s]
+        # sentinel row (token NULL) carries the batch token total for T
+        cand = pd.concat(
+            [cand, pd.DataFrame({"token": [None], "n": [t_b]})], ignore_index=True
+        )
+        return pa.Table.from_pandas(cand, schema=part_schema, preserve_index=False)
+
+    pass1 = (
+        _docs(sf_dir, ["text"]).map_batches(candidates, batch_format="pandas").to_pandas()
+    )
+    total = float(pass1.loc[pass1["token"].isna(), "n"].sum())
+    cand_tokens = pass1["token"].dropna().unique()
+    if cand_tokens.size == 0 or total == 0:
+        return pd.DataFrame(
+            {"token": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+        )
+    ref = ray.put(pd.Index(cand_tokens))
+
+    def confirm(df: pd.DataFrame) -> pa.Table:
+        cset = _cached_broadcast(ref)
+        out = _token_partials(df, distinct_per_doc=False)
+        out = out[out["token"].isin(cset)]
+        return pa.Table.from_pandas(out, schema=part_schema, preserve_index=False)
+
+    counts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(confirm, batch_format="pandas")
+        .to_pandas()  # candidate-bounded: ≤ |candidates| rows per batch
+        .groupby("token", as_index=False, sort=False)["n"]
+        .sum()
+    )
+    out = counts[counts["n"].to_numpy(np.float64) >= total / s]
+    return out.sort_values(
+        ["n", "token"], ascending=[False, True], ignore_index=True
+    )[["token", "n"]]
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3, min_broadcast_df: int = 2) -> pd.DataFrame:
     """Per-document top-k terms by TF-IDF — the keyword/topic-surfacing
     op of a training-data pipeline.  ``tfidf = tf * ln(N / df)``, ties

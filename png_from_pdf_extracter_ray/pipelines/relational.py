@@ -1301,3 +1301,191 @@ def events_window_counts(
         .to_pandas()
         .sort_values("event_id", ignore_index=True)
     )
+
+
+def q10_returned_item_revenue(
+    sf_dir: str,
+    date_from: str = "1996-07-01",
+    date_to: str = "1996-10-01",
+    k: int = 20,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue from RETURNED items
+    in a quarter, with customer/nation attributes attached.
+
+    Plan: lineitem streams through a returnflag filter + per-batch
+    revenue pre-agg per orderkey; orders streams through the date
+    filter; the two slim big sides meet in ONE bucketed hash join on
+    orderkey.  Per-customer revenue follows the bucket doctrine
+    (partials → B hash buckets → vectorized sum), top-k is the
+    batch-local prune, and only the k winners' attributes are fetched
+    (streamed ``isin`` over customer, driver-side nation map).
+    """
+    import numpy as np
+
+    from ..stages.dedup import stable_bucket_ids
+
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    def items_slim(df: pd.DataFrame) -> pa.Table:
+        df = df[df["l_returnflag"] == "R"]
+        out = (
+            df.assign(revenue=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+            .groupby("l_orderkey", as_index=False, sort=False)["revenue"]
+            .sum()
+        )
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema([("l_orderkey", pa.int64()), ("revenue", pa.float64())]),
+            preserve_index=False,
+        )
+
+    items = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(items_slim, batch_format="pandas")
+
+    def orders_slim(df: pd.DataFrame) -> pa.Table:
+        df = df[(df["o_orderdate"] >= t_from) & (df["o_orderdate"] < t_to)]
+        return pa.Table.from_pandas(
+            df[["o_orderkey", "o_custkey"]].rename(columns={"o_orderkey": "l_orderkey"}),
+            schema=pa.schema([("l_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+            preserve_index=False,
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_slim, batch_format="pandas")
+
+    joined = bucketed_hash_join(items, orders, on="l_orderkey", num_buckets=num_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = (
+            t.select(["o_custkey", "revenue"])
+            .group_by(["o_custkey"])
+            .aggregate([("revenue", "sum")])
+            .rename_columns(["o_custkey", "revenue"])
+        )
+        b = (
+            stable_bucket_ids(out["o_custkey"], num_buckets)
+            if out.num_rows
+            else np.empty(0, np.int32)
+        )
+        return out.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def sum_and_prune(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("o_custkey", as_index=False, sort=False)["revenue"].sum()
+        out = out.sort_values(
+            ["revenue", "o_custkey"], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema([("o_custkey", pa.int64()), ("revenue", pa.float64())]),
+            preserve_index=False,
+        )
+
+    top = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(sum_and_prune, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["revenue", "o_custkey"], ascending=[False, True])
+        .head(k)
+    )
+    cols = ["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]
+    if top.empty:
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.Series([], dtype="int64"),
+                "c_name": pd.Series([], dtype=object),
+                "revenue": pd.Series([], dtype="float64"),
+                "c_acctbal": pd.Series([], dtype="float64"),
+                "n_name": pd.Series([], dtype=object),
+            }
+        )
+    ck_ref = ray.put(set(top["o_custkey"]))
+
+    def cust_filter(df: pd.DataFrame) -> pa.Table:
+        ks = _cached_broadcast(ck_ref)
+        out = df[df["c_custkey"].isin(ks)]
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [
+                    ("c_custkey", pa.int64()),
+                    ("c_name", pa.string()),
+                    ("c_nationkey", pa.int64()),
+                    ("c_acctbal", pa.float64()),
+                ]
+            ),
+            preserve_index=False,
+        )
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+        .map_batches(cust_filter, batch_format="pandas")
+        .to_pandas()
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = top.rename(columns={"o_custkey": "c_custkey"}).merge(cust, on="c_custkey")
+    out["n_name"] = out["c_nationkey"].map(
+        dict(zip(nation["n_nationkey"], nation["n_name"]))
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True], ignore_index=True
+    )[cols]
+
+
+def quantity_zscore_by_returnflag(sf_dir: str) -> rd.Dataset:
+    """Per-group normalization: z-score of ``l_quantity`` within its
+    ``l_returnflag`` group — the feature-scaling window op
+    (``(x - AVG OVER partition) / STDDEV_POP OVER partition``).
+
+    Scale shape: the table never shuffles.  Pass 1 reduces each batch to
+    per-group moment partials (n, Σx, Σx²) — three scalars per group per
+    batch, summed on the driver (low-cardinality groups); pass 2
+    broadcasts the (mean, std) map and computes scores vectorized per
+    batch.  A window-function formulation would shuffle every row by
+    group key.
+    """
+    import numpy as np
+
+    import pyarrow as pa
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(__sq=df["l_quantity"] ** 2)
+        return (
+            df.groupby("l_returnflag", sort=False)
+            .agg(n=("l_quantity", "count"), s=("l_quantity", "sum"), sq=("__sq", "sum"))
+            .reset_index()
+        )
+
+    parts = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    stats = parts.groupby("l_returnflag").sum()
+    mean = stats["s"] / stats["n"]
+    std = np.sqrt(stats["sq"] / stats["n"] - mean**2)
+    ref = ray.put((mean.to_dict(), std.to_dict()))
+
+    def score(t: pa.Table) -> pa.Table:
+        means, stds = _cached_broadcast(ref)
+        df = t.to_pandas()
+        m = df["l_returnflag"].map(means).to_numpy(np.float64)
+        sd = df["l_returnflag"].map(stds).to_numpy(np.float64)
+        z = np.round((df["l_quantity"].to_numpy(np.float64) - m) / sd, 6)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pa.array(df["l_orderkey"], pa.int64()),
+                "l_linenumber": pa.array(
+                    df["l_linenumber"].astype("int64"), pa.int64()
+                ),
+                "zscore": pa.array(z, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
