@@ -208,6 +208,8 @@ def bench_queries() -> dict[str, float]:
         "simhash_near_dups",
         "embedding_near_dups_lsh",
         "q5_local_supplier_volume",
+        "tfidf_top_terms",
+        "heavy_hitter_tokens",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

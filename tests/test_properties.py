@@ -110,3 +110,42 @@ def test_normalize_text_whitespace_semantics() -> None:
     assert fp[0] == fp[1] == fp[3]  # \n, space, tabs+case+padding all agree
     assert fp[2] != fp[0]  # concatenation stays distinct
     assert fp[4] == fp[2]  # non-ws control chars strip to concatenation
+
+
+class TestHeavyHitterSuperset:
+    """The pigeonhole guarantee behind heavy_hitter_tokens: the union of
+    per-batch local-threshold candidates is a superset of the true
+    global heavy hitters, for ANY batch split."""
+
+    @given(
+        st.lists(st.integers(0, 20), min_size=1, max_size=400),
+        st.integers(2, 10),
+        st.integers(1, 7),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_local_candidates_cover_global(self, stream, s, n_batches) -> None:
+        import numpy as np
+
+        arr = np.asarray(stream)
+        batches = np.array_split(arr, n_batches)
+        cands: set = set()
+        for b in batches:
+            if b.size == 0:
+                continue
+            vals, cnts = np.unique(b, return_counts=True)
+            cands.update(vals[cnts >= b.size / s])
+        vals, cnts = np.unique(arr, return_counts=True)
+        heavy = set(vals[cnts >= arr.size / s])
+        assert heavy <= cands
+
+
+class TestTokenChunkInvariants:
+    @given(st.lists(st.text(alphabet="ab", min_size=1, max_size=3), max_size=200))
+    @settings(max_examples=100, deadline=None)
+    def test_chunks_partition_the_token_stream(self, toks) -> None:
+        chunk = 64
+        windows = [toks[i : i + chunk] for i in range(0, len(toks), chunk)]
+        assert sum(len(w) for w in windows) == len(toks)
+        assert all(len(w) == chunk for w in windows[:-1])
+        if windows:
+            assert 1 <= len(windows[-1]) <= chunk
