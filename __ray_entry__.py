@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_by_returnflag": rel.q12_priority_by_returnflag,
         "quantity_zscore_by_returnflag": rel.quantity_zscore_by_returnflag,
         "q10_returned_item_revenue": rel.q10_returned_item_revenue,
+        "events_funnel_counts": rel.events_funnel_counts,
         # --- corpus statistics (all SQL-checked) ---
         "vocab_top_tokens": corpus_stats.vocab_top_tokens,
         "token_doc_frequency": corpus_stats.token_doc_frequency,
@@ -189,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination_bloom": corpus_stats.benchmark_contamination_bloom,
         "tfidf_top_terms": corpus_stats.tfidf_top_terms,
         "heavy_hitter_tokens": corpus_stats.heavy_hitter_tokens,
+        "token_postings": corpus_stats.token_postings,
         "unigram_logprob_scores": corpus_stats.unigram_logprob_scores,
         "token_chunks": textops.token_chunks,
         # --- embedding computation (actor-pool model stage; rows-only) ---
@@ -976,6 +978,38 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, token, tfidf FROM scored WHERE rn <= 3
         ORDER BY doc_id, tfidf DESC, token
+    """
+    sql["events_funnel_counts"] = """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_view_click,
+               (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """
+    sql["token_postings"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+        ),
+        dt AS (SELECT DISTINCT doc_id, token FROM toks)
+        SELECT token, COUNT(*) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM dt GROUP BY token
+        HAVING COUNT(*) BETWEEN 5 AND 390
+        ORDER BY token
     """
     sql["q10_returned_item_revenue"] = """
         SELECT c_custkey, c_name,

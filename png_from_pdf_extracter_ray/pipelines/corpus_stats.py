@@ -216,6 +216,70 @@ def benchmark_contamination(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)[["doc_id", "n_contam"]]
 
 
+def token_postings(
+    sf_dir: str, min_df: int = 5, max_df: int = 390, num_buckets: int = 32
+) -> pd.DataFrame:
+    """Inverted-index build: per token, the sorted comma-joined posting
+    list of documents containing it, for mid-frequency tokens
+    (``min_df ≤ df ≤ max_df`` — below is noise, above is stopwords).
+
+    Scale shape: the index build is the one corpus op that MUST shuffle
+    (token, doc_id) pairs — that shuffle IS the index; each batch emits
+    its distinct pairs (never raw text), tokens hash into B buckets,
+    and each bucket assembles its tokens' postings vectorized.  The df
+    band bounds every posting list and the output.
+    """
+    pair_schema = pa.schema([("doc_id", pa.int64()), ("token", pa.string())])
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        s = df["text"].fillna("").str.strip().str.lower()
+        mask = s != ""
+        sub = (
+            pd.DataFrame({"doc_id": df["doc_id"][mask], "token": s[mask].str.split(_WS)})
+            .explode("token")
+            .dropna()
+            .drop_duplicates()
+        )
+        t = pa.Table.from_pandas(sub, schema=pair_schema, preserve_index=False)
+        b = (
+            stable_bucket_ids(t["token"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def build(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["token", "doc_id"])
+        agg = g.groupby("token", sort=False).agg(
+            df=("doc_id", "size"), postings=("doc_id", lambda v: ",".join(map(str, v)))
+        )
+        agg = agg[(agg["df"] >= min_df) & (agg["df"] <= max_df)].reset_index()
+        return pa.Table.from_pandas(
+            agg[["token", "df", "postings"]],
+            schema=pa.schema(
+                [("token", pa.string()), ("df", pa.int64()), ("postings", pa.string())]
+            ),
+            preserve_index=False,
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pairs, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(build, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty and list(out.columns) != ["token", "df", "postings"]:
+        out = pd.DataFrame(
+            {
+                "token": pd.Series([], dtype=object),
+                "df": pd.Series([], dtype="int64"),
+                "postings": pd.Series([], dtype=object),
+            }
+        )
+    return out.sort_values("token", ignore_index=True)[["token", "df", "postings"]]
+
+
 def heavy_hitter_tokens(sf_dir: str, s: int = 200) -> pd.DataFrame:
     """EXACT frequent-token detection (count ≥ total_tokens / s) with
     BOUNDED per-batch state — the heavy-hitters sketch pattern.

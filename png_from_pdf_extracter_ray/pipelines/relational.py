@@ -1438,6 +1438,61 @@ def q10_returned_item_revenue(
     )[cols]
 
 
+def events_funnel_counts(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Ordered funnel analysis: how many users did view → click →
+    purchase IN THAT ORDER (each later step strictly after the earlier
+    step's FIRST occurrence) — the conversion-funnel op sessionization
+    doesn't cover.
+
+    Scale shape: users hash into B buckets (the standing partitioning
+    key for events), each bucket resolves its users' funnel stages with
+    three vectorized per-type min/merge passes, and only a 3-integer
+    partial per bucket reaches the driver.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def funnel_bucket(g: pd.DataFrame) -> pa.Table:
+        v = (
+            g[g["event_type"] == "view"].groupby("user_id")["ts"].min().rename("t1")
+        )
+        c = (
+            g[g["event_type"] == "click"]
+            .merge(v, left_on="user_id", right_index=True)
+            .query("ts > t1")
+            .groupby("user_id")["ts"]
+            .min()
+            .rename("t2")
+        )
+        p = (
+            g[g["event_type"] == "purchase"]
+            .merge(c, left_on="user_id", right_index=True)
+            .query("ts > t2")
+            .groupby("user_id")["ts"]
+            .min()
+        )
+        return pa.Table.from_pydict(
+            {
+                "n_view": pa.array([len(v)], pa.int64()),
+                "n_view_click": pa.array([len(c)], pa.int64()),
+                "n_full_funnel": pa.array([len(p)], pa.int64()),
+            }
+        )
+
+    parts = (
+        _bucket_by(ds, "user_id", num_buckets)
+        .groupby("__bucket")
+        .map_groups(funnel_bucket, batch_format="pandas")
+        .to_pandas()  # B rows of 3 ints
+    )
+    return pd.DataFrame(
+        {
+            "n_view": [int(parts["n_view"].sum())],
+            "n_view_click": [int(parts["n_view_click"].sum())],
+            "n_full_funnel": [int(parts["n_full_funnel"].sum())],
+        }
+    )
+
+
 def quantity_zscore_by_returnflag(sf_dir: str) -> rd.Dataset:
     """Per-group normalization: z-score of ``l_quantity`` within its
     ``l_returnflag`` group — the feature-scaling window op
