@@ -346,12 +346,12 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame
     from ..stages.neardup import embedding_near_dup_pairs_lsh
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    # moderate-threshold regime (0.4 ≈ 66° angle) needs SHORT signatures
-    # and MANY tables for recall: P[collide ≥1 table] = 1-(1-(1-θ/π)^4)^32
-    # ≈ 0.996 at cos 0.4 — vs the near-dup default (6 planes × 16 tables)
-    # tuned for cos ≥ 0.9.
+    # adaptive params (stages/similarity.srp_lsh_params): the moderate
+    # 0.4 regime resolves to short signatures × many tables (k=4, T≈31,
+    # recall ≥ 0.995 at the threshold), the near-dup 0.95 regime to
+    # long signatures × moderate tables — one dial, no hand-tuning.
     return embedding_near_dup_pairs_lsh(
-        ds, threshold=threshold, n_planes=4, n_tables=32
+        ds, threshold=threshold, n_planes=None, n_tables=None
     )
 
 

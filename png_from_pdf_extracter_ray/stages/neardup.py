@@ -945,8 +945,8 @@ def embedding_near_dup_pairs_lsh(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_tables: int = 16,
-    n_planes: int = 6,
+    n_tables: int | None = 16,
+    n_planes: int | None = 6,
     seed: int = 42,
     num_buckets: int = 64,
     max_sig_group: int | None = None,
@@ -985,7 +985,14 @@ def embedding_near_dup_pairs_lsh(
         return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
     dim = len(probe[0][vec_col])
     id_type = _schema_type(ds, id_col)
-    from .similarity import srp_planes
+    from .similarity import srp_lsh_params, srp_planes
+
+    if n_planes is None or n_tables is None:
+        # adaptive: derive the recall/cost point from the threshold
+        # (srp_lsh_params docstring) instead of hand-tuning per regime
+        auto_k, auto_t = srp_lsh_params(threshold)
+        n_planes = auto_k if n_planes is None else n_planes
+        n_tables = auto_t if n_tables is None else n_tables
 
     def signature_rows(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -174,6 +174,42 @@ def srp_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float32)
 
 
+def srp_lsh_params(
+    threshold: float,
+    target_recall: float = 0.995,
+    max_tables: int = 32,
+    max_planes: int = 16,
+) -> tuple[int, int]:
+    """Derive ``(n_planes, n_tables)`` from the cosine threshold — the
+    recall/cost dial made explicit instead of hand-tuned per regime.
+
+    For a pair at cosine exactly ``threshold`` the per-plane agreement
+    probability is ``p1 = 1 - acos(threshold)/π``; a table of k planes
+    collides with ``p1^k`` and T tables reach ``1-(1-p1^k)^T``.  Longer
+    signatures cut false candidates geometrically (random pairs collide
+    at ~0.5^k per table) but demand more tables for the same recall, so
+    the chooser picks the LARGEST k whose required
+    ``T = ceil(ln(1-target)/ln(1-p1^k))`` fits ``max_tables`` — the
+    sharpest filter affordable.  Pairs above the threshold have higher
+    p1, so ``target_recall`` is the floor of the whole accepted range.
+    """
+    p1 = 1.0 - float(np.arccos(np.clip(threshold, -1.0, 1.0))) / np.pi
+    best = None
+    for k in range(1, max_planes + 1):
+        p_table = p1**k
+        if p_table >= 1.0:
+            best = (k, 1)
+            continue
+        t = int(np.ceil(np.log(1.0 - target_recall) / np.log(1.0 - p_table)))
+        if t <= max_tables:
+            best = (k, max(t, 1))
+    if best is None:
+        # even 1-plane tables can't reach the target within max_tables —
+        # take the best available recall at the cap rather than failing
+        best = (1, max_tables)
+    return best
+
+
 def srp_signature(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """Signed-random-projection bucket id per row (uint32)."""
     bits = (mat @ planes.T) >= 0

@@ -62,3 +62,33 @@ def test_lsh_returns_subset_of_plausible_neighbors(ray_session) -> None:  # noqa
     out = ann_topk_lsh(ds, query, k=10, n_planes=4, seed=11)
     # every returned neighbor really is close (cos computed exactly)
     assert (out["cos"] > 0.8).all()
+
+
+class TestSrpLshParams:
+    def test_reaches_target_recall_at_threshold(self) -> None:
+        import numpy as np
+
+        from png_from_pdf_extracter_ray.stages.similarity import srp_lsh_params
+
+        for th in (0.3, 0.4, 0.8, 0.9, 0.95, 0.99):
+            k, t = srp_lsh_params(th, target_recall=0.995)
+            p1 = 1.0 - np.arccos(th) / np.pi
+            recall = 1.0 - (1.0 - p1**k) ** t
+            assert recall >= 0.995, (th, k, t, recall)
+
+    def test_respects_caps_and_sharpens_with_threshold(self) -> None:
+        from png_from_pdf_extracter_ray.stages.similarity import srp_lsh_params
+
+        ks = []
+        for th in (0.2, 0.5, 0.8, 0.95):
+            k, t = srp_lsh_params(th, max_tables=32, max_planes=16)
+            assert 1 <= k <= 16 and 1 <= t <= 32
+            ks.append(k)
+        # higher thresholds afford longer (sharper) signatures
+        assert ks == sorted(ks)
+
+    def test_moderate_regime_matches_hand_tuned_point(self) -> None:
+        from png_from_pdf_extracter_ray.stages.similarity import srp_lsh_params
+
+        k, t = srp_lsh_params(0.4)
+        assert k == 4 and 24 <= t <= 32
