@@ -182,6 +182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_zscore_by_returnflag": rel.quantity_zscore_by_returnflag,
         "q10_returned_item_revenue": rel.q10_returned_item_revenue,
         "events_funnel_counts": rel.events_funnel_counts,
+        "events_type_hour_pivot": rel.events_type_hour_pivot,
+        # sketch-CDF percentile-rank transform (rows-only; bounded-error pytest)
+        "order_value_percentile_ranks": rel.order_value_percentile_ranks,
         # --- corpus statistics (all SQL-checked) ---
         "vocab_top_tokens": corpus_stats.vocab_top_tokens,
         "token_doc_frequency": corpus_stats.token_doc_frequency,
@@ -978,6 +981,15 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, token, tfidf FROM scored WHERE rn <= 3
         ORDER BY doc_id, tfidf DESC, token
+    """
+    sql["events_type_hour_pivot"] = """
+        SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+        FROM events GROUP BY hour ORDER BY hour
     """
     sql["events_funnel_counts"] = """
         WITH v AS (

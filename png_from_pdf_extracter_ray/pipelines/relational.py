@@ -1438,6 +1438,54 @@ def q10_returned_item_revenue(
     )[cols]
 
 
+def order_value_percentile_ranks(sf_dir: str) -> rd.Dataset:
+    """Approximate global percentile rank of every order's totalprice
+    (sketch CDF broadcast + vectorized searchsorted — rows-only; a
+    pytest asserts the ≤ ~1/grid rank-error bound vs the exact rank)."""
+    from ..stages.sketch import global_percentile_ranks
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return global_percentile_ranks(ds, id_col="o_orderkey", val_col="o_totalprice")
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_hour_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot/crosstab: events per (hour-of-day × event_type), one column
+    per type — the wide-format report op.  Per-batch vectorized
+    crosstab partials (24×|types| ints), a tiny low-cardinality groupby
+    sums them; the driver only ever sees the 24-row result."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        hours = df["ts"].dt.hour.astype("int64")
+        ct = pd.crosstab(hours, df["event_type"])
+        for t in _PIVOT_TYPES:
+            if t not in ct.columns:
+                ct[t] = 0
+        out = ct[list(_PIVOT_TYPES)].reset_index().rename(columns={"ts": "hour"})
+        out.columns = ["hour"] + [f"n_{t}" for t in _PIVOT_TYPES]
+        return pa.Table.from_pandas(
+            out.astype("int64"),
+            schema=pa.schema(
+                [("hour", pa.int64())] + [(f"n_{t}", pa.int64()) for t in _PIVOT_TYPES]
+            ),
+            preserve_index=False,
+        )
+
+    cols = [f"n_{t}" for t in _PIVOT_TYPES]
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("hour")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+    )
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("hour", ignore_index=True)[["hour", *cols]]
+
+
 def events_funnel_counts(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     """Ordered funnel analysis: how many users did view → click →
     purchase IN THAT ORDER (each later step strictly after the earlier

@@ -106,6 +106,69 @@ def quantile_sketch_by_key(
     return out.sort_values(key_col, ignore_index=True)
 
 
+def global_percentile_ranks(
+    ds: rd.Dataset,
+    id_col: str,
+    val_col: str,
+    grid: int = 128,
+) -> rd.Dataset:
+    """Approximate percentile rank of every row's value within the WHOLE
+    dataset — the per-row feature-scaling transform an exact
+    ``percent_rank()`` window cannot do at scale (it needs a global sort
+    or an N-sized rank map).
+
+    Two streaming passes: (1) each batch contributes a weighted-grid
+    summary (``_batch_grid``; ≤ grid rows per batch), merged into one
+    global CDF on the driver — the sketch, not the data; (2) the CDF's
+    (sorted values, cumulative weights) arrays broadcast via ``ray.put``
+    and each batch assigns ranks with ONE vectorized ``searchsorted``.
+    Rank = (approx weight strictly below value) / total ∈ [0, 1); the
+    sketch rank error is ≤ ~1/grid of the total weight (each batch
+    contributes ≤ n_b/grid slack), asserted by a pytest vs the exact
+    rank.
+    """
+    import ray
+
+    grid_schema = pa.schema([("value", pa.float64()), ("weight", pa.float64())])
+
+    def grid_partial(df: pd.DataFrame) -> pa.Table:
+        v = df[val_col].to_numpy(dtype=np.float64)
+        if v.size == 0:
+            return grid_schema.empty_table()
+        gv, gw = _batch_grid(v, grid)
+        return pa.Table.from_pydict(
+            {"value": pa.array(gv, pa.float64()), "weight": pa.array(gw, pa.float64())}
+        )
+
+    parts = ds.map_batches(grid_partial, batch_format="pandas").to_pandas()
+    v = parts["value"].to_numpy()
+    w = parts["weight"].to_numpy()
+    order = np.argsort(v, kind="stable")
+    vals, cumw = v[order], np.cumsum(w[order])
+    total = float(cumw[-1]) if len(cumw) else 0.0
+    ref = ray.put((vals, cumw, total))
+
+    from ..pipelines.relational import _cached_broadcast
+    from .neardup import _schema_type
+
+    id_type = _schema_type(ds, id_col)
+
+    def assign(df: pd.DataFrame) -> pa.Table:
+        cvals, ccum, ctotal = _cached_broadcast(ref)
+        x = df[val_col].to_numpy(dtype=np.float64)
+        idx = np.searchsorted(cvals, x, side="left")
+        below = np.where(idx > 0, ccum[np.maximum(idx - 1, 0)], 0.0)
+        pct = np.round(below / ctotal, 6) if ctotal else np.zeros_like(x)
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(df[id_col], id_type),
+                "pct_rank": pa.array(pct, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog — mergeable approximate count-distinct
 # ---------------------------------------------------------------------------

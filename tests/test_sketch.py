@@ -113,3 +113,24 @@ def test_hll_query_close_to_exact(ray_session, sf_dir) -> None:  # noqa: ANN001
             int(exact[k]),
             int(approx[k]),
         )
+
+
+def test_percentile_rank_error_bounded(ray_session, sf_dir) -> None:  # noqa: ANN001
+    import numpy as np
+    import pandas as pd
+
+    from png_from_pdf_extracter_ray.pipelines.relational import (
+        order_value_percentile_ranks,
+    )
+
+    approx = order_value_percentile_ranks(sf_dir).to_pandas()
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    x = orders["o_totalprice"].to_numpy()
+    exact = np.searchsorted(np.sort(x), x, side="left") / len(x)
+    merged = orders.assign(exact=exact).merge(approx, on="o_orderkey")
+    assert len(merged) == len(orders)
+    # documented bound: ~1/grid (=1/128) of total weight, plus slack
+    err = (merged["pct_rank"] - merged["exact"]).abs().max()
+    assert err <= 0.02, err
