@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_hour_pivot": rel.events_type_hour_pivot,
         # sketch-CDF percentile-rank transform (rows-only; bounded-error pytest)
         "order_value_percentile_ranks": rel.order_value_percentile_ranks,
+        "lineitem_correlations": rel.lineitem_correlations,
+        "event_type_cooccurrence": rel.event_type_cooccurrence,
         # --- corpus statistics (all SQL-checked) ---
         "vocab_top_tokens": corpus_stats.vocab_top_tokens,
         "token_doc_frequency": corpus_stats.token_doc_frequency,
@@ -982,6 +984,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, token, tfidf FROM scored WHERE rn <= 3
         ORDER BY doc_id, tfidf DESC, token
     """
+    sql["event_type_cooccurrence"] = """
+        WITH dt AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_users
+        FROM dt a JOIN dt b ON a.user_id = b.user_id
+                           AND a.event_type < b.event_type
+        GROUP BY type_a, type_b ORDER BY type_a, type_b
+    """
+    _corr_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    sql["lineitem_correlations"] = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"ROUND(corr({a}, {b}), 6) AS pearson_r FROM lineitem"
+        for i, a in enumerate(_corr_cols)
+        for b in _corr_cols[i + 1 :]
+    )
     sql["events_type_hour_pivot"] = """
         SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
                SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,

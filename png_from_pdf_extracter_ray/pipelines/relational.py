@@ -1438,6 +1438,88 @@ def q10_returned_item_revenue(
     )[cols]
 
 
+def event_type_cooccurrence(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, how many users performed BOTH — the association-mining shape.
+
+    Users co-locate in hash buckets (the standing events partitioning);
+    each bucket reduces to ≤ |types|² pair-count partials via distinct →
+    self-merge → vectorized groupby, so only tiny count rows leave the
+    workers."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pairs_bucket(g: pd.DataFrame) -> pa.Table:
+        dt = g[["user_id", "event_type"]].drop_duplicates()
+        m = dt.merge(dt, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        out = m.groupby(["event_type_x", "event_type_y"], as_index=False).size()
+        return pa.Table.from_pandas(
+            out.rename(
+                columns={"event_type_x": "type_a", "event_type_y": "type_b", "size": "n_users"}
+            ),
+            schema=pa.schema(
+                [("type_a", pa.string()), ("type_b", pa.string()), ("n_users", pa.int64())]
+            ),
+            preserve_index=False,
+        )
+
+    out = (
+        _bucket_by(ds, "user_id", num_buckets)
+        .groupby("__bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby(["type_a", "type_b"], as_index=False)["n_users"]
+        .sum()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["type_a", "type_b"], ignore_index=True)
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def lineitem_correlations(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation matrix over lineitem's numeric measures in
+    ONE streaming pass: each batch reduces to the sufficient-statistic
+    partials (n, Σx per column, ΣxᵀX cross-product matrix — a handful of
+    floats regardless of batch size), summed on the driver.  Output:
+    (col_a, col_b, pearson_r) for each unordered pair.
+    """
+    import numpy as np
+
+    cols = list(_CORR_COLS)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        m = df[cols].to_numpy(dtype=np.float64)
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([float(len(m))], pa.float64()),
+                "sums": pa.array([m.sum(axis=0).tolist()]),
+                "cross": pa.array([(m.T @ m).reshape(-1).tolist()]),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", cols)
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    n = float(parts["n"].sum())
+    sums = np.sum([np.asarray(s) for s in parts["sums"]], axis=0)
+    cross = np.sum([np.asarray(c) for c in parts["cross"]], axis=0).reshape(
+        len(cols), len(cols)
+    )
+    cov = cross / n - np.outer(sums / n, sums / n)
+    sd = np.sqrt(np.diag(cov))
+    corr = cov / np.outer(sd, sd)
+    rows = [
+        (cols[i], cols[j], round(float(corr[i, j]), 6))
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    return pd.DataFrame(rows, columns=["col_a", "col_b", "pearson_r"])
+
+
 def order_value_percentile_ranks(sf_dir: str) -> rd.Dataset:
     """Approximate global percentile rank of every order's totalprice
     (sketch CDF broadcast + vectorized searchsorted — rows-only; a
