@@ -7,8 +7,13 @@ here (nor in the library code) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` exposes one callable per implemented operator/pipeline
 (SURVEY.md §2 + the training-data ops); ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for every SQL-expressible entry — column names
-match exactly.  Non-SQL entries (extraction, langid, rolling hash, LSH
-ANN) are intentionally absent from ``oracle_sql`` → rows-only check.
+match exactly.  Non-relational-but-deterministic entries (extraction,
+MinHash/SimHash/SRP-LSH near-dups, rolling fingerprints, HLL, LSH ANN,
+image features) are checked against SINGLE-PROCESS no-Ray recompute
+parquets (pipelines/summary.py, pipelines/rowsonly_oracles.py).  Only
+genuinely batch-variant entries (grid-quantile / percentile-rank
+sketches, IVF ANN with its live-Dataset k-means sample, raw list-typed
+vector outputs) stay rows-only.
 """
 
 from __future__ import annotations
@@ -198,25 +203,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": corpus_stats.token_postings,
         "unigram_logprob_scores": corpus_stats.unigram_logprob_scores,
         "token_chunks": textops.token_chunks,
-        # --- embedding computation (actor-pool model stage; rows-only) ---
+        # --- embedding computation (actor-pool model stage; the raw
+        # vectors entry is rows-only, its digest + LSH composition are
+        # SQL-checked) ---
         "text_embeddings": textops.text_embeddings,
-        "text_embedding_near_dups": textops.text_embedding_near_dups,
-        # --- similarity search ---
+        "text_embedding_near_dups": textops.text_embedding_near_dups,  # SQL-checked
+        # --- similarity search (IVF stays rows-only: its k-means sample
+        # comes from the live Dataset) ---
         "similarity_topk": textops.similarity_topk,
-        "similarity_topk_lsh": textops.similarity_topk_lsh,
+        "similarity_topk_lsh": textops.similarity_topk_lsh,  # SQL-checked
         "similarity_topk_ivf": textops.similarity_topk_ivf,
-        # --- near-duplicate detection ---
-        "embedding_near_dups": textops.embedding_near_dups,  # SQL-checked
-        "embedding_near_dups_lsh": textops.embedding_near_dups_lsh,  # rows-only
-        "ngram_jaccard_near_dups": textops.ngram_jaccard_near_dups,  # SQL-checked
-        "minhash_near_dups": textops.minhash_near_dups,  # rows-only
-        "minhash_dedup_groups": textops.minhash_dedup_groups,  # rows-only
-        "simhash_near_dups": textops.simhash_near_dups,  # rows-only
-        # --- multimodal page operations (rows-only) ---
+        # --- near-duplicate detection (all SQL-checked: relational
+        # oracles for the exact modes, single-process recompute oracles
+        # for the sketch/LSH modes — rowsonly_oracles.py) ---
+        "embedding_near_dups": textops.embedding_near_dups,
+        "embedding_near_dups_lsh": textops.embedding_near_dups_lsh,
+        "ngram_jaccard_near_dups": textops.ngram_jaccard_near_dups,
+        "minhash_near_dups": textops.minhash_near_dups,
+        "minhash_dedup_groups": textops.minhash_dedup_groups,
+        "simhash_near_dups": textops.simhash_near_dups,
+        # --- multimodal page operations ---
         "pages_page_meta": textops.pages_page_meta,
-        "pages_resized_thumbs": textops.pages_resized_thumbs,
+        "pages_resized_thumbs": textops.pages_resized_thumbs,  # digest-checked
         "pages_frame_sample": textops.pages_frame_sample,
-        "pages_image_features": textops.pages_image_features,
+        "pages_image_features": textops.pages_image_features,  # rows-only (list col)
+        "pages_image_features_summary": textops.pages_image_features_summary,
     }
 
 
@@ -350,6 +361,39 @@ def oracle_sql() -> dict[str, str]:
             file=sys.stderr,
         )
 
+    # Single-process oracles for the deterministic sketch/LSH family —
+    # these queries' outputs are batch-invariant sets, so a flat no-Ray
+    # recompute (pipelines/rowsonly_oracles.py) pins them exactly; only
+    # the batch-boundary-dependent sketches stay rows-only.
+    from png_from_pdf_extracter_ray.pipelines import rowsonly_oracles as _rro
+    from png_from_pdf_extracter_ray.pipelines.summary import (
+        image_features_oracle_path,
+    )
+
+    _mh_pairs_oracle = _rro._oracle_path(_oracle_sf, "minhash_pairs")
+    _mh_groups_oracle = _rro._oracle_path(_oracle_sf, "minhash_groups")
+    _sh_pairs_oracle = _rro._oracle_path(_oracle_sf, "simhash_pairs")
+    _rfp_oracle = _rro._oracle_path(_oracle_sf, "rolling_fp")
+    _hll_oracle = _rro._oracle_path(_oracle_sf, "hll_users")
+    _emb_lsh_oracle = _rro._oracle_path(_oracle_sf, "embedding_lsh_pairs")
+    _txt_lsh_oracle = _rro._oracle_path(_oracle_sf, "text_embedding_lsh_pairs")
+    _sim_lsh_oracle = _rro._oracle_path(_oracle_sf, "similarity_lsh_topk")
+    _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
+    try:
+        _rro.write_minhash_oracles(_oracle_sf)
+        _rro.write_simhash_oracle(_oracle_sf)
+        _rro.write_rolling_fp_oracle(_oracle_sf)
+        _rro.write_hll_oracle(_oracle_sf)
+        _rro.write_embedding_lsh_oracle(_oracle_sf)
+        _rro.write_text_embedding_lsh_oracle(_oracle_sf)
+        _rro.write_similarity_lsh_oracle(_oracle_sf)
+    except Exception as exc:  # noqa: BLE001
+        print(
+            f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
+            "the affected read_parquet oracles will not find their files",
+            file=sys.stderr,
+        )
+
     sql = {
         "extract_flagship_summary": f"""
             SELECT status, content_type, n_docs, xor_digest
@@ -386,6 +430,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, n_pages,
                    CAST((n_pages + 1) // 2 AS INTEGER) AS n_pages_sampled
             FROM read_parquet('{_docs_oracle}')
+        """,
+        # --- single-process oracles for the deterministic sketch/LSH
+        # family (pipelines/rowsonly_oracles.py): the distributed
+        # composition must reproduce the flat recompute exactly ---
+        "minhash_near_dups": f"""
+            SELECT id_a, id_b, jaccard FROM read_parquet('{_mh_pairs_oracle}')
+        """,
+        "minhash_dedup_groups": f"""
+            SELECT url, group_id FROM read_parquet('{_mh_groups_oracle}')
+        """,
+        "simhash_near_dups": f"""
+            SELECT id_a, id_b, hamming FROM read_parquet('{_sh_pairs_oracle}')
+        """,
+        "rolling_fingerprints": f"""
+            SELECT doc_id, rolling_fp FROM read_parquet('{_rfp_oracle}')
+        """,
+        "distinct_users_per_event_type_hll": f"""
+            SELECT event_type, n_distinct_est FROM read_parquet('{_hll_oracle}')
+        """,
+        "embedding_near_dups_lsh": f"""
+            SELECT id_a, id_b, cos FROM read_parquet('{_emb_lsh_oracle}')
+        """,
+        "text_embedding_near_dups": f"""
+            SELECT id_a, id_b, cos FROM read_parquet('{_txt_lsh_oracle}')
+        """,
+        "similarity_topk_lsh": f"""
+            SELECT vec_id, cos FROM read_parquet('{_sim_lsh_oracle}')
+        """,
+        "pages_image_features_summary": f"""
+            SELECT url, page_number, image_ok, image_error, img_width,
+                   img_height, img_mean, img_std, feat_md5
+            FROM read_parquet('{_imgfeat_oracle}')
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

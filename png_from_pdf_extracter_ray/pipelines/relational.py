@@ -1128,8 +1128,10 @@ def distinct_users_per_event_type_hll(sf_dir: str) -> pd.DataFrame:
     (stages/sketch.py) — the bounded-state path where the exact
     ``distinct_users_per_event_type`` would gather per-key distinct sets
     that grow with the data.  ~1.6% standard error at 4096 registers; a
-    pytest asserts closeness to exact.  Rows-only oracle (approximate
-    by construction)."""
+    pytest asserts closeness to exact.  SQL-checked: register merge is
+    an elementwise max (order-independent), so a single-process HLL
+    over the same values is bit-identical
+    (pipelines/rowsonly_oracles.py)."""
     from ..stages.sketch import hll_count_distinct_by_key
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])

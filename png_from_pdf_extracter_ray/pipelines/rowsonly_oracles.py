@@ -1,0 +1,404 @@
+"""Single-process, no-Ray oracles for the deterministic sketch/LSH
+query family — upgrades to SQL-checked what was previously rows-only.
+
+Each writer recomputes a query's full result with plain numpy/pandas in
+THIS process, sharing only the per-document kernels (hash families,
+signatures, fingerprints) with the distributed path, and commits a
+parquet via atomic rename for DuckDB's ``read_parquet``.  Candidate
+generation, dedup, components and verification are re-derived here with
+flat pandas merges / a driver union-find — deliberately NOT the Ray
+composition — so any distribution bug (bucketing, shuffles, joins,
+broadcast semi-filters, label propagation, lost or duplicated blocks)
+makes the engine output diverge from these parquets.  Same pattern as
+the flagship extraction oracle (pipelines/summary.py).
+
+Only BATCH-INVARIANT queries qualify: their output is a deterministic
+set regardless of how Ray partitions the input (per-doc signatures +
+exact key-equality candidates + per-pair verification).  The
+grid-quantile / percentile-rank sketches summarize per BATCH, so their
+output depends on block boundaries — those stay rows-only by nature,
+as does IVF ANN (its k-means sample is taken from the live Dataset).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ORACLE_ROOT = "/tmp/graft_rowsonly_oracles"
+
+
+def _oracle_path(sf_dir: str, name: str, expand: int = 2) -> str:
+    """Versioned, abs-path-keyed cache path (the extraction-cache
+    protocol: two corpora sharing a leaf dir name must not share an
+    entry, and any engine-behavior change invalidates via __version__)."""
+    from .. import __version__ as ENGINE_VERSION
+    from ..corpus.synth import CORPUS_VERSION
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    tag = f"{h}_x{expand}_v{CORPUS_VERSION}_e{ENGINE_VERSION}"
+    return os.path.join(ORACLE_ROOT, f"{name}_{tag}.parquet")
+
+
+def _commit(table: pa.Table, path: str) -> str:
+    """Atomic write: process-unique tmp + one rename (no torn reads for
+    a concurrent DuckDB, losing writer's rename just overwrites with
+    identical deterministic content)."""
+    os.makedirs(ORACLE_ROOT, exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def _from_pandas(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
+    return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# MinHash pairs + components (over the unique-pages corpus)
+# ---------------------------------------------------------------------------
+
+
+def _union_find_min_labels(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Connected components of (id_a, id_b) with label = min member —
+    a driver union-find, deliberately unlike the engine's distributed
+    min-label propagation (stages/neardup.min_label_components)."""
+    parent: dict = {}
+
+    def find(x):  # noqa: ANN001, ANN202
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = {x: find(x) for x in parent}
+    # find() with union-by-min roots already yields the component min
+    out = pd.DataFrame({"url": list(labels), "group_id": list(labels.values())})
+    return out.sort_values("url", ignore_index=True)
+
+
+def write_minhash_oracles(
+    sf_dir: str, threshold: float = 0.8, k_shingle: int = 3, expand: int = 2
+) -> tuple[str, str]:
+    """Pairs + groups oracles for ``minhash_near_dups`` /
+    ``minhash_dedup_groups`` (engine path: pipelines/textops.py)."""
+    from ..stages.neardup import MinHasher, _jaccard_from_hashes, _token_hashes
+    from .summary import oracle_unique_pages
+
+    pairs_path = _oracle_path(sf_dir, "minhash_pairs", expand)
+    groups_path = _oracle_path(sf_dir, "minhash_groups", expand)
+    if os.path.exists(pairs_path) and os.path.exists(groups_path):
+        return pairs_path, groups_path
+
+    pages = oracle_unique_pages(sf_dir, expand=expand)
+    urls = pages["url"].to_pylist()
+    texts = pages["text"].to_pylist()
+
+    # band rows via the engine's own per-doc signature kernel (shared by
+    # necessity: the hash family IS the contract), candidates via one
+    # flat self-merge — no bucketing, no shuffle
+    bands = MinHasher(id_col="url", text_col="text")(
+        pages.select(["url", "text"])
+    ).to_pandas()
+    m = bands.merge(bands, on=["band_id", "band_hash"])
+    m = m[m["url_x"] < m["url_y"]]
+    cand = m[["url_x", "url_y"]].drop_duplicates()
+
+    text_of = dict(zip(urls, texts))
+    memo: dict = {}
+
+    def hashes(u):  # noqa: ANN001, ANN202
+        h = memo.get(u)
+        if h is None:
+            h = _token_hashes(text_of[u] or "", k_shingle)
+            memo[u] = h
+        return h
+
+    ia, ib, ja = [], [], []
+    for a, b in zip(cand["url_x"], cand["url_y"]):
+        j = _jaccard_from_hashes(hashes(a), hashes(b))
+        if j >= threshold:
+            ia.append(a)
+            ib.append(b)
+            ja.append(round(j, 4))
+    pairs = pd.DataFrame({"id_a": ia, "id_b": ib, "jaccard": ja})
+    _commit(
+        _from_pandas(
+            pairs,
+            pa.schema(
+                [("id_a", pa.string()), ("id_b", pa.string()), ("jaccard", pa.float64())]
+            ),
+        ),
+        pairs_path,
+    )
+    _commit(
+        _from_pandas(
+            _union_find_min_labels(pairs),
+            pa.schema([("url", pa.string()), ("group_id", pa.string())]),
+        ),
+        groups_path,
+    )
+    return pairs_path, groups_path
+
+
+# ---------------------------------------------------------------------------
+# SimHash pairs
+# ---------------------------------------------------------------------------
+
+
+def write_simhash_oracle(
+    sf_dir: str, max_hamming: int = 3, expand: int = 2
+) -> str:
+    """Oracle for ``simhash_near_dups``: 16-bit block probing + exact
+    hamming, one flat merge instead of the engine's bucketed shuffle."""
+    from ..stages.neardup import _popcount64, _simhash_batch
+    from .summary import oracle_unique_pages
+
+    path = _oracle_path(sf_dir, "simhash_pairs", expand)
+    if os.path.exists(path):
+        return path
+
+    pages = oracle_unique_pages(sf_dir, expand=expand)
+    urls = np.asarray(pages["url"].to_pylist(), dtype=object)
+    sigs = _simhash_batch(pages["text"].to_pylist())  # uint64, per-doc kernel
+    n = len(urls)
+    rows = pd.DataFrame(
+        {
+            "url": np.repeat(urls, 4),
+            "block": np.tile(np.arange(4, dtype=np.int32), n),
+            "block_key": (
+                (sigs[:, None] >> (16 * np.arange(4, dtype=np.uint64))[None, :])
+                & np.uint64(0xFFFF)
+            )
+            .astype(np.int32)
+            .ravel(),
+            "sig": np.repeat(sigs.view(np.int64), 4),
+        }
+    )
+    m = rows.merge(rows, on=["block", "block_key"])
+    m = m[m["url_x"] < m["url_y"]]
+    out = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    if not m.empty:
+        d = _popcount64(
+            np.bitwise_xor(
+                m["sig_x"].to_numpy(dtype=np.int64).view(np.uint64),
+                m["sig_y"].to_numpy(dtype=np.int64).view(np.uint64),
+            )
+        )
+        out = pd.DataFrame(
+            {"id_a": m["url_x"].to_numpy(), "id_b": m["url_y"].to_numpy(), "hamming": d}
+        )
+        out = out[out["hamming"] <= max_hamming].drop_duplicates(subset=["id_a", "id_b"])
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [("id_a", pa.string()), ("id_b", pa.string()), ("hamming", pa.int32())]
+            ),
+        ),
+        path,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling fingerprints (per-doc transform — oracle is the same kernel,
+# single-process, which pins the DISTRIBUTED run's row coverage)
+# ---------------------------------------------------------------------------
+
+
+def write_rolling_fp_oracle(sf_dir: str) -> str:
+    from ..stages.text_stats import RollingFingerprint
+
+    path = _oracle_path(sf_dir, "rolling_fp")
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return _commit(
+        RollingFingerprint()(docs).select(["doc_id", "rolling_fp"]), path
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog count-distinct (register merge is an elementwise max —
+# order-independent, so the single-process registers equal any
+# partitioning's merged registers exactly)
+# ---------------------------------------------------------------------------
+
+
+def write_hll_oracle(sf_dir: str) -> str:
+    from ..stages.sketch import hll_estimate, hll_partial
+
+    path = _oracle_path(sf_dir, "hll_users")
+    if os.path.exists(path):
+        return path
+    ev = (
+        pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+        )
+        .to_pandas()
+    )
+    keys, ests = [], []
+    for key, vals in ev.groupby("event_type", sort=True)["user_id"]:
+        keys.append(key)
+        ests.append(hll_estimate(hll_partial(vals.to_numpy())))
+    return _commit(
+        _from_pandas(
+            pd.DataFrame({"event_type": keys, "n_distinct_est": ests}),
+            pa.schema([("event_type", pa.string()), ("n_distinct_est", pa.int64())]),
+        ),
+        path,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH embedding near-dup pairs (candidates from deterministic
+# hyperplane signatures; exact float32 cosine verify — both recomputed
+# flat here)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_pairs_singleproc(
+    ids: np.ndarray,
+    mat: np.ndarray,
+    threshold: float,
+    n_planes: int,
+    n_tables: int,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Mirror of stages/neardup.embedding_near_dup_pairs_lsh semantics:
+    same planes, same signature packing, same float32 cosine and
+    rounding — with flat pandas candidate generation."""
+    from ..stages.similarity import srp_planes
+
+    n, dim = mat.shape
+    planes = srp_planes(dim, n_tables * n_planes, seed)
+    bits = (mat @ planes.T) >= 0
+    weights = 1 << np.arange(n_planes, dtype=np.uint64)
+    sigs = (
+        bits.reshape(n, n_tables, n_planes).astype(np.uint64) @ weights
+    ).astype(np.int64)
+    rows = pd.DataFrame(
+        {
+            "id": np.repeat(ids, n_tables),
+            "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
+            "sig": sigs.ravel(),
+        }
+    )
+    m = rows.merge(rows, on=["table", "sig"])
+    m = m[m["id_x"] < m["id_y"]]
+    cand = m[["id_x", "id_y"]].drop_duplicates()
+    if cand.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+    pos = {int(v): i for i, v in enumerate(ids)}
+    va = mat[cand["id_x"].map(pos).to_numpy()]
+    vb = mat[cand["id_y"].map(pos).to_numpy()]
+    na = np.linalg.norm(va, axis=1)
+    nb = np.linalg.norm(vb, axis=1)
+    na[na == 0] = 1.0
+    nb[nb == 0] = 1.0
+    cos = np.einsum("ij,ij->i", va, vb) / (na * nb)
+    keep = cos >= threshold
+    return pd.DataFrame(
+        {
+            "id_a": cand["id_x"].to_numpy()[keep],
+            "id_b": cand["id_y"].to_numpy()[keep],
+            "cos": np.round(cos[keep].astype(np.float64), 3),
+        }
+    )
+
+
+_PAIR_SCHEMA_I64 = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("cos", pa.float64())]
+)
+
+
+def write_embedding_lsh_oracle(sf_dir: str, threshold: float = 0.4) -> str:
+    """Oracle for ``embedding_near_dups_lsh`` (adaptive plane/table
+    count from the threshold, stages/similarity.srp_lsh_params)."""
+    from ..stages.similarity import srp_lsh_params
+
+    path = _oracle_path(sf_dir, "embedding_lsh_pairs")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"].to_pylist())
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+    k, tables = srp_lsh_params(threshold)
+    out = _lsh_pairs_singleproc(ids, mat, threshold, k, tables)
+    return _commit(_from_pandas(out, _PAIR_SCHEMA_I64), path)
+
+
+def write_text_embedding_lsh_oracle(sf_dir: str, threshold: float = 0.9) -> str:
+    """Oracle for ``text_embedding_near_dups``: the engine's own
+    embedder (single-process — already pinned bit-level by the
+    embedding digest oracle) feeding the fixed 16-table × 6-plane LSH
+    pair path."""
+    from ..stages.embed import TextEmbedder
+
+    path = _oracle_path(sf_dir, "text_embedding_lsh_pairs")
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    emb = TextEmbedder()(docs)
+    ids = np.asarray(emb["doc_id"].to_pylist())
+    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float32)
+    out = _lsh_pairs_singleproc(ids, mat, threshold, n_planes=6, n_tables=16)
+    return _commit(_from_pandas(out, _PAIR_SCHEMA_I64), path)
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH ANN top-k (single bucket probe of a deterministic signature)
+# ---------------------------------------------------------------------------
+
+
+def write_similarity_lsh_oracle(
+    sf_dir: str, k: int = 10, n_planes: int = 6, seed: int = 42
+) -> str:
+    """Oracle for ``similarity_topk_lsh``: candidates = rows whose SRP
+    signature equals the query's; ranking by (rounded cos desc, id asc)
+    — identical to the engine's global sort.  (The engine's per-batch
+    top-k prune selects by unrounded cos; at any scale where a batch
+    holds > k candidates with rounding ties at rank k the prune could
+    differ — not reachable at the oracle scales, noted for honesty.)"""
+    from ..stages.similarity import load_query_vector, srp_planes, srp_signature
+
+    path = _oracle_path(sf_dir, "similarity_lsh_topk")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"].to_pylist())
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+    q = load_query_vector(sf_dir, 0)
+    planes = srp_planes(mat.shape[1], n_planes, seed)
+    qsig = int(srp_signature(q[None, :], planes)[0])
+    qn = q / (np.linalg.norm(q) or 1.0)
+    mask = srp_signature(mat, planes) == qsig
+    sub, sids = mat[mask], ids[mask]
+    norms = np.linalg.norm(sub, axis=1)
+    norms[norms == 0] = 1.0
+    cos = np.round(((sub @ qn) / norms).astype(np.float64), 3)
+    out = (
+        pd.DataFrame({"vec_id": sids, "cos": cos})
+        .sort_values(["cos", "vec_id"], ascending=[False, True])
+        .head(k)
+    )
+    return _commit(
+        _from_pandas(out, pa.schema([("vec_id", pa.int64()), ("cos", pa.float64())])),
+        path,
+    )

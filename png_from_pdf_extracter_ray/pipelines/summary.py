@@ -231,6 +231,33 @@ def page_meta_oracle_path(sf_dir: str, expand: int = 2) -> str:
     return oracle_summary_path(sf_dir, expand).replace(".parquet", "_pagemeta.parquet")
 
 
+def image_features_oracle_path(sf_dir: str, expand: int = 2) -> str:
+    """Per-page general-image-decode feature rows (decode + feature
+    grid + digest run single-process on the oracle extraction)."""
+    return oracle_summary_path(sf_dir, expand).replace(".parquet", "_imgfeat.parquet")
+
+
+def oracle_unique_pages(sf_dir: str, expand: int = 2) -> pa.Table:
+    """Single-process corpus build: synthesized pages exact-deduped to
+    one row per url (min ``warc_ts`` wins — the flagship's semantics),
+    all in this process with no Ray.  Shared by the flagship oracle and
+    the rows-only-upgrade oracles (pipelines/rowsonly_oracles.py) so the
+    two families can never drift on corpus construction."""
+    import pyarrow.parquet as pq
+
+    from ..corpus.synth import pages_from_documents_batch
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    pages = pages_from_documents_batch(docs, expand=expand)
+    df = pages.select(["url", "warc_ts"]).to_pandas()
+    keep = df.sort_values(["url", "warc_ts"]).groupby("url", sort=False).head(1).index
+    mask = np.zeros(len(df), dtype=bool)
+    mask[keep.to_numpy()] = True
+    return pages.filter(pa.array(mask))
+
+
 def write_oracle_summary(sf_dir: str, expand: int = 2) -> str:
     """Single-process oracle: synthesize → dedup → extract → summarize,
     all sequentially in this process (no Ray), committed via atomic
@@ -239,7 +266,6 @@ def write_oracle_summary(sf_dir: str, expand: int = 2) -> str:
     digest from one extraction pass."""
     import pyarrow.parquet as pq
 
-    from ..corpus.synth import pages_from_documents_batch
     from ..stages.extract_stage import oracle_extract_table
     from ..stages.multimodal import explode_pages
 
@@ -249,24 +275,23 @@ def write_oracle_summary(sf_dir: str, expand: int = 2) -> str:
     meta_path = page_meta_oracle_path(sf_dir, expand)
     resized_path = resized_digest_oracle_path(sf_dir, expand)
     emb_path = embeddings_digest_oracle_path(sf_dir, expand)
+    feat_path = image_features_oracle_path(sf_dir, expand)
     if all(
         os.path.exists(p)
-        for p in (path, pages_path, docs_path, meta_path, resized_path, emb_path)
+        for p in (
+            path,
+            pages_path,
+            docs_path,
+            meta_path,
+            resized_path,
+            emb_path,
+            feat_path,
+        )
     ):
         return path
     os.makedirs(ORACLE_SUMMARY_ROOT, exist_ok=True)
 
-    docs = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
-    )
-    pages = pages_from_documents_batch(docs, expand=expand)
-    # keep-first dedup: min warc_ts per url (the flagship's semantics)
-    df = pages.select(["url", "warc_ts"]).to_pandas()
-    keep = df.sort_values(["url", "warc_ts"]).groupby("url", sort=False).head(1).index
-    mask = np.zeros(len(df), dtype=bool)
-    mask[keep.to_numpy()] = True
-    deduped = pages.filter(pa.array(mask))
-
+    deduped = oracle_unique_pages(sf_dir, expand=expand)
     extracted = oracle_extract_table(deduped)
     summary = summarize_extracted_table(extracted)
     tmp = path + ".tmp"
@@ -319,6 +344,14 @@ def write_oracle_summary(sf_dir: str, expand: int = 2) -> str:
     tmp6 = emb_path + ".tmp"
     pq.write_table(pa.Table.from_pandas(emb_summary, preserve_index=False), tmp6)
     os.replace(tmp6, emb_path)
+
+    # image-feature oracle rows: the same GeneralImageDecoder + scalar
+    # projection the Ray path runs, single-process over the same rasters
+    from ..stages.multimodal import GeneralImageDecoder, image_feature_summary
+
+    tmp7 = feat_path + ".tmp"
+    pq.write_table(image_feature_summary(GeneralImageDecoder()(exploded)), tmp7)
+    os.replace(tmp7, feat_path)
     return path
 
 

@@ -116,7 +116,8 @@ def md5_fingerprints(sf_dir: str) -> rd.Dataset:
 
 
 def rolling_fingerprints(sf_dir: str) -> rd.Dataset:
-    """Rolling-hash fingerprint (non-SQL — rows-only oracle)."""
+    """Rolling-hash fingerprint — SQL-checked against a single-process
+    recompute parquet (pipelines/rowsonly_oracles.py)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         RollingFingerprint, batch_format="pyarrow", concurrency=(1, 4)
     ).select_columns(["doc_id", "rolling_fp"])
@@ -178,7 +179,9 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
 
 def similarity_topk_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """LSH-bucketed ANN (approximate — rows-only oracle)."""
+    """LSH-bucketed ANN — approximate by design, but deterministic, so
+    SQL-checked against a single-process recompute of the same bucket
+    probe (pipelines/rowsonly_oracles.py)."""
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return ann_topk_lsh(ds, load_query_vector(sf_dir, 0), k=k, n_planes=6)
 
@@ -231,7 +234,8 @@ def minhash_near_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     recrawl-drift near-dups).  Exact-dedup runs first (unique ids); the
     verification is fully distributed (semi-join filter + bucket-joins
     in stages/neardup.py) — the corpus never lands on the driver.
-    Non-SQL → rows-only oracle."""
+    SQL-checked: a single-process flat recompute with the same hash
+    family writes the oracle parquet (pipelines/rowsonly_oracles.py)."""
     from ..stages.neardup import minhash_near_dup_pairs
 
     return minhash_near_dup_pairs(
@@ -240,7 +244,9 @@ def minhash_near_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 
 
 def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
-    """SimHash near-dup pairs over synthesized pages (rows-only)."""
+    """SimHash near-dup pairs over synthesized pages — SQL-checked
+    against a single-process flat block-probe recompute
+    (pipelines/rowsonly_oracles.py)."""
     from ..stages.neardup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(
@@ -252,7 +258,10 @@ def minhash_dedup_groups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     """Near-dup GROUPS: connected components over the verified MinHash
     pair graph by iterated min-label propagation — every labeling step
     is a Dataset op (stages/neardup.min_label_components), no driver
-    union-find.  Rows-only oracle (non-SQL).
+    union-find.  SQL-checked: the oracle parquet is produced by a
+    DRIVER union-find over the single-process pair oracle
+    (pipelines/rowsonly_oracles.py) — the opposite architecture must
+    yield identical components.
 
     Output: one row per document that belongs to a near-dup group,
     ``(url, group_id)`` where group_id is the lexicographic min url of
@@ -300,9 +309,10 @@ def text_embedding_near_dups(sf_dir: str, threshold: float = 0.9) -> pd.DataFram
     Round-3 rework: the embedding matrix is never materialized on the
     driver and never broadcast whole — candidate pairs come from the
     SRP-LSH bucket self-merge and only bucket-joined vector pairs are
-    scored (stages/neardup.embedding_near_dup_pairs_lsh).  Rows-only
-    oracle (LSH recall is probabilistic by design; verification is
-    exact cosine, so output ⊆ the exact pair set).
+    scored (stages/neardup.embedding_near_dup_pairs_lsh).  SQL-checked:
+    signatures are deterministic, so a single-process flat recompute
+    pins the exact output set (pipelines/rowsonly_oracles.py);
+    verification is exact cosine, so output ⊆ the exact pair set.
     """
     from ..stages.neardup import embedding_near_dup_pairs_lsh
 
@@ -340,9 +350,10 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame
     """SRP-LSH-bucketed embedding near-dup pairs — the 100 TB path: no
     driver matrix, no full broadcast; candidates from bucketed signature
     self-merge, verification by exact cosine on bucket-joined vectors.
-    Rows-only oracle (recall is the documented LSH tradeoff; at this
-    corpus/threshold the pair set matches the exact mode — asserted by
-    a pytest recall check at threshold 0.95)."""
+    SQL-checked: the signatures are deterministic, so a single-process
+    flat recompute pins the exact output set
+    (pipelines/rowsonly_oracles.py); recall vs the exact mode is also
+    asserted by a pytest check at threshold 0.95."""
     from ..stages.neardup import embedding_near_dup_pairs_lsh
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -356,7 +367,8 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame
 
 
 # ---------------------------------------------------------------------------
-# Multimodal page operations (rows-only oracles)
+# Multimodal page operations (SQL-checked via per-page / digest /
+# feature oracles; only the raw binary-column outputs stay rows-only)
 # ---------------------------------------------------------------------------
 
 
@@ -448,6 +460,18 @@ def pages_image_features(sf_dir: str) -> rd.Dataset:
             batch_size=32,
             concurrency=(1, 4),
         )
+    )
+
+
+def pages_image_features_summary(sf_dir: str) -> rd.Dataset:
+    """SQL-checked projection of ``pages_image_features``: every scalar
+    feature column plus an md5 over the repr of the rounded feature
+    vector — compared against the single-process decode of the same
+    rasters (pipelines/summary.write_oracle_summary)."""
+    from ..stages.multimodal import image_feature_summary
+
+    return pages_image_features(sf_dir).map_batches(
+        image_feature_summary, batch_format="pyarrow"
     )
 
 

@@ -201,6 +201,34 @@ class GeneralImageDecoder:
         )
 
 
+def image_feature_summary(batch: pa.Table) -> pa.Table:
+    """Scalar projection of ``GeneralImageDecoder`` output for the SQL
+    oracle: the list<double> feature vector is folded into an md5 over
+    the repr of its rounded doubles (both sides compute the identical
+    doubles, so the digest is deterministic), failed decodes digest to
+    the empty string.  Keeps the SQL-checked entry free of list-typed
+    columns while still pinning every feature value bit-for-bit."""
+    import hashlib
+
+    feats = batch["image_feat"].to_pylist()
+    digests = [
+        "" if f is None else hashlib.md5(",".join(repr(x) for x in f).encode()).hexdigest()
+        for f in feats
+    ]
+    return batch.select(
+        [
+            "url",
+            "page_number",
+            "image_ok",
+            "image_error",
+            "img_width",
+            "img_height",
+            "img_mean",
+            "img_std",
+        ]
+    ).append_column("feat_md5", pa.array(digests, pa.string()))
+
+
 def sample_pages(ds: rd.Dataset, stride: int = 2) -> rd.Dataset:
     """Frame sampling: keep pages where (page_number-1) % stride == 0.
 
