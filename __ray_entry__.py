@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # for the sketch/LSH modes — rowsonly_oracles.py) ---
         "embedding_near_dups": textops.embedding_near_dups,
         "embedding_near_dups_lsh": textops.embedding_near_dups_lsh,
+        "semantic_dedup": textops.semantic_dedup_embeddings,
         "ngram_jaccard_near_dups": textops.ngram_jaccard_near_dups,
         "minhash_near_dups": textops.minhash_near_dups,
         "minhash_dedup_groups": textops.minhash_dedup_groups,
@@ -378,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
     _emb_lsh_oracle = _rro._oracle_path(_oracle_sf, "embedding_lsh_pairs")
     _txt_lsh_oracle = _rro._oracle_path(_oracle_sf, "text_embedding_lsh_pairs")
     _sim_lsh_oracle = _rro._oracle_path(_oracle_sf, "similarity_lsh_topk")
+    _semded_oracle = _rro._oracle_path(_oracle_sf, "semantic_dedup")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -387,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_embedding_lsh_oracle(_oracle_sf)
         _rro.write_text_embedding_lsh_oracle(_oracle_sf)
         _rro.write_similarity_lsh_oracle(_oracle_sf)
+        _rro.write_semantic_dedup_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -457,6 +460,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_topk_lsh": f"""
             SELECT vec_id, cos FROM read_parquet('{_sim_lsh_oracle}')
+        """,
+        "semantic_dedup": f"""
+            SELECT vec_id, cluster, keep, dup_of
+            FROM read_parquet('{_semded_oracle}')
         """,
         "pages_image_features_summary": f"""
             SELECT url, page_number, image_ok, image_error, img_width,

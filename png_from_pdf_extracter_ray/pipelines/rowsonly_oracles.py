@@ -362,6 +362,35 @@ def write_text_embedding_lsh_oracle(sf_dir: str, threshold: float = 0.9) -> str:
     return _commit(_from_pandas(out, _PAIR_SCHEMA_I64), path)
 
 
+def write_semantic_dedup_oracle(sf_dir: str, threshold: float = 0.4) -> str:
+    """Oracle for ``semantic_dedup_embeddings``: the flat recompute in
+    stages/semdedup.semantic_dedup_singleproc (same hash-threshold
+    sample, quantizer and greedy rule — no Ray)."""
+    from ..stages.semdedup import semantic_dedup_singleproc
+
+    path = _oracle_path(sf_dir, "semantic_dedup")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"].to_pylist())
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+    out = semantic_dedup_singleproc(ids, mat, threshold=threshold)
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("cluster", pa.int64()),
+                    ("keep", pa.bool_()),
+                    ("dup_of", pa.int64()),
+                ]
+            ),
+        ),
+        path,
+    )
+
+
 # ---------------------------------------------------------------------------
 # SRP-LSH ANN top-k (single bucket probe of a deterministic signature)
 # ---------------------------------------------------------------------------

@@ -346,6 +346,16 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     )
 
 
+def semantic_dedup_embeddings(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """SemDeDup-style cluster-then-prune semantic dedup over the
+    embeddings table (stages/semdedup.py) — SQL-checked against the flat
+    single-process recompute (every step is batch-invariant)."""
+    from ..stages.semdedup import semantic_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semantic_dedup(ds, threshold=threshold)
+
+
 def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     """SRP-LSH-bucketed embedding near-dup pairs — the 100 TB path: no
     driver matrix, no full broadcast; candidates from bucketed signature
