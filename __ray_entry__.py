@@ -184,6 +184,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # EXISTS semi-join and CASE-WHEN-over-join shapes (SQL-checked)
         "q4_priority_exists": rel.q4_priority_exists,
         "q12_priority_by_returnflag": rel.q12_priority_by_returnflag,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q14_promo_revenue": rel.q14_promo_revenue,
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        "q7_volume_shipping": rel.q7_volume_shipping,
         "quantity_zscore_by_returnflag": rel.quantity_zscore_by_returnflag,
         "q10_returned_item_revenue": rel.q10_returned_item_revenue,
         "events_funnel_counts": rel.events_funnel_counts,
@@ -1023,6 +1027,53 @@ def oracle_sql() -> dict[str, str]:
               ON o_orderkey = l_orderkey
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        # full-scan filter-aggregate (TPC-H Q6 shape) — read-bound
+        "q6_forecast_revenue": """
+            SELECT ROUND(COALESCE(SUM(l_extendedprice * l_discount), 0), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        # broadcast-join conditional share (TPC-H Q14 shape)
+        "q14_promo_revenue": """
+            SELECT ROUND(
+                100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        # disjunction of conjunctive predicates (TPC-H Q19 shape)
+        "q19_disjunctive_revenue": """
+            SELECT ROUND(COALESCE(SUM(l_extendedprice * (1 - l_discount)), 0), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        # cross-nation revenue per year (TPC-H Q7 shape)
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_6', 'NATION_9')
+              AND n2.n_name IN ('NATION_6', 'NATION_9')
+              AND n1.n_name <> n2.n_name
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1676,3 +1676,258 @@ def quantity_zscore_by_returnflag(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q6_forecast_revenue(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> pd.DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): one filtered scan of
+    lineitem reduced to a single revenue sum.
+
+    The whole operator is a pruned 4-column read + a per-batch
+    vectorized filter-and-sum partial + a driver add — no shuffle, no
+    groupby, the minimal full-scan aggregate.  At 100 TB this is purely
+    read-bandwidth-bound, which is the point of the shape."""
+    import numpy as np
+
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        m = (
+            (df["l_shipdate"] >= lo)
+            & (df["l_shipdate"] < hi)
+            & (df["l_discount"] >= disc_lo)
+            & (df["l_discount"] <= disc_hi)
+            & (df["l_quantity"] < max_qty)
+        )
+        rev = float((df.loc[m, "l_extendedprice"] * df.loc[m, "l_discount"]).sum())
+        return pa.Table.from_pydict({"rev": pa.array([rev], pa.float64())})
+
+    parts = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame({"revenue": [round(float(parts["rev"].sum()), 2)]})
+
+
+def q14_promo_revenue(
+    sf_dir: str, date_from: str = "1996-03-01", date_to: str = "1996-04-01"
+) -> pd.DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of one month's
+    revenue coming from parts whose type has the promo prefix.
+
+    Scale plan: part's (partkey → is-promo) map is the SMALL side —
+    broadcast once via ``ray.put`` (at TPC-H scale part is ~1/30 of
+    lineitem; for a truly huge part table swap in the bucketed hash
+    join); lineitem streams through one pruned pass emitting
+    (promo_rev, total_rev) partials per batch; the driver adds two
+    floats.  No shuffle."""
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo = dict(
+        zip(part["p_partkey"], part["p_type"].str.startswith("PROMO"))
+    )
+    pref = ray.put(promo)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        pm = _cached_broadcast(pref)
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        is_promo = df["l_partkey"].map(pm).fillna(False).to_numpy(dtype=bool)
+        return pa.Table.from_pydict(
+            {
+                "promo": pa.array([float(rev[is_promo].sum())], pa.float64()),
+                "total": pa.array([float(rev.sum())], pa.float64()),
+            }
+        )
+
+    parts = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    total = float(parts["total"].sum())
+    promo_rev = float(parts["promo"].sum())
+    pct = 100.0 * promo_rev / total if total else 0.0
+    return pd.DataFrame({"promo_revenue_pct": [round(pct, 4)]})
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunction of conjunctive
+    predicates): revenue from lineitems matching ANY of three
+    (brand, size-range, quantity-range) clauses.
+
+    Scale plan: part attributes (brand, size) broadcast as two flat
+    arrays indexed by a (partkey → row) map; each lineitem batch
+    evaluates all three clauses vectorized against the mapped attrs and
+    emits one partial sum.  The disjunction never materializes an
+    intermediate row set."""
+    import numpy as np
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    pref = ray.put(
+        (
+            dict(zip(part["p_partkey"], np.arange(len(part)))),
+            part["p_brand"].to_numpy(dtype=object),
+            part["p_size"].to_numpy(dtype=np.int64),
+        )
+    )
+    clauses = (
+        ("Brand#1", 1, 5, 1.0, 11.0),
+        ("Brand#2", 1, 10, 10.0, 20.0),
+        ("Brand#3", 1, 15, 20.0, 30.0),
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        pos_map, brands, sizes = _cached_broadcast(pref)
+        pos = df["l_partkey"].map(pos_map)
+        ok = pos.notna()
+        df, pos = df[ok], pos[ok].to_numpy(dtype=np.int64)
+        b, s = brands[pos], sizes[pos]
+        q = df["l_quantity"].to_numpy(dtype=np.float64)
+        m = np.zeros(len(df), dtype=bool)
+        for brand, s_lo, s_hi, q_lo, q_hi in clauses:
+            m |= (b == brand) & (s >= s_lo) & (s <= s_hi) & (q >= q_lo) & (q <= q_hi)
+        rev = df["l_extendedprice"].to_numpy(np.float64) * (
+            1 - df["l_discount"].to_numpy(np.float64)
+        )
+        return pa.Table.from_pydict(
+            {"rev": pa.array([float(rev[m].sum())], pa.float64())}
+        )
+
+    parts = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame({"revenue": [round(float(parts["rev"].sum()), 2)]})
+
+
+def q7_volume_shipping(
+    sf_dir: str,
+    nation_a: str = "NATION_6",
+    nation_b: str = "NATION_9",
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations — supplier in one, ordering customer in the other — per
+    ship year.
+
+    Scale plan (mirrors Q5): supplier's (suppkey → nationkey) and
+    customer's (custkey → nationkey) maps broadcast once; lineitem is
+    slimmed to (orderkey, year, revenue, supp_nation) by a broadcast
+    lookup that drops non-target-nation rows at the scan; orders is
+    slimmed to (orderkey, cust_nation) the same way; the two slim
+    streams meet in ONE bucketed large⋈large join on orderkey; the
+    cross-nation predicate and the per-(nation, nation, year) partial
+    sums run inside the join output; the final groupby is over a
+    handful of keys."""
+    import numpy as np
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    targets = {k for k, v in name_of.items() if v in (nation_a, nation_b)}
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    s_ref = ray.put(
+        {k: name_of[v] for k, v in zip(supp["s_suppkey"], supp["s_nationkey"]) if v in targets}
+    )
+    c_ref = ray.put(
+        {k: name_of[v] for k, v in zip(cust["c_custkey"], cust["c_nationkey"]) if v in targets}
+    )
+
+    def slim_lineitem(df: pd.DataFrame) -> pa.Table:
+        sm = _cached_broadcast(s_ref)
+        sn = df["l_suppkey"].map(sm)
+        df = df[sn.notna()]
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pa.array(df["l_orderkey"], pa.int64()),
+                "supp_nation": pa.array(sn[sn.notna()], pa.string()),
+                "l_year": pa.array(
+                    df["l_shipdate"].dt.year.astype("int64"), pa.int64()
+                ),
+                "volume": pa.array(
+                    (df["l_extendedprice"] * (1 - df["l_discount"])).astype(
+                        "float64"
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    def slim_orders(df: pd.DataFrame) -> pa.Table:
+        cm = _cached_broadcast(c_ref)
+        cn = df["o_custkey"].map(cm)
+        df = df[cn.notna()]
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"], pa.int64()),
+                "cust_nation": pa.array(cn[cn.notna()], pa.string()),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "supp_nation": pd.Series([], dtype="object"),
+            "cust_nation": pd.Series([], dtype="object"),
+            "l_year": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64"),
+        }
+    )
+    # empty-side guard (ROUND_NOTES #12): a fully-filtered stream yields
+    # schema()=None and the bucketed join cannot pad it.  The materialize
+    # exists only to make the count probe non-recomputing; at production
+    # scale both nations always have traffic — drop the guard (and the
+    # pins) there and let the two slim streams flow straight into the
+    # join.
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(slim_lineitem, batch_format="pandas").materialize()
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        slim_orders, batch_format="pandas"
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "cust_nation"]),
+        batch_format="pyarrow",
+    ).materialize()
+    if li.count() == 0 or od.count() == 0:
+        return empty
+    joined = bucketed_hash_join(li, od, on="l_orderkey", num_buckets=num_buckets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["supp_nation"] != df["cust_nation"]]
+        return (
+            df.groupby(["supp_nation", "cust_nation", "l_year"], as_index=False, sort=False)[
+                "volume"
+            ]
+            .sum()
+            .rename(columns={"volume": "revenue"})
+        )
+
+    out = grouped_sum(
+        joined, ["supp_nation", "cust_nation", "l_year"], partial, ["revenue"]
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "l_year"], ignore_index=True
+    )
