@@ -212,10 +212,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checked) ---
         "text_embeddings": textops.text_embeddings,
         "text_embedding_near_dups": textops.text_embedding_near_dups,  # SQL-checked
-        # --- similarity search (IVF stays rows-only: its k-means sample
-        # comes from the live Dataset) ---
+        # --- similarity search (all SQL-checked: IVF's quantizer sample
+        # is the deterministic hash-threshold sample) ---
         "similarity_topk": textops.similarity_topk,
-        "similarity_topk_lsh": textops.similarity_topk_lsh,  # SQL-checked
+        "similarity_topk_lsh": textops.similarity_topk_lsh,
         "similarity_topk_ivf": textops.similarity_topk_ivf,
         # --- near-duplicate detection (all SQL-checked: relational
         # oracles for the exact modes, single-process recompute oracles
@@ -384,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
     _txt_lsh_oracle = _rro._oracle_path(_oracle_sf, "text_embedding_lsh_pairs")
     _sim_lsh_oracle = _rro._oracle_path(_oracle_sf, "similarity_lsh_topk")
     _semded_oracle = _rro._oracle_path(_oracle_sf, "semantic_dedup")
+    _ivf_oracle = _rro._oracle_path(_oracle_sf, "ivf_topk")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -394,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_text_embedding_lsh_oracle(_oracle_sf)
         _rro.write_similarity_lsh_oracle(_oracle_sf)
         _rro.write_semantic_dedup_oracle(_oracle_sf)
+        _rro.write_ivf_topk_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -468,6 +470,9 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": f"""
             SELECT vec_id, cluster, keep, dup_of
             FROM read_parquet('{_semded_oracle}')
+        """,
+        "similarity_topk_ivf": f"""
+            SELECT vec_id, cos FROM read_parquet('{_ivf_oracle}')
         """,
         "pages_image_features_summary": f"""
             SELECT url, page_number, image_ok, image_error, img_width,

@@ -362,6 +362,47 @@ def write_text_embedding_lsh_oracle(sf_dir: str, threshold: float = 0.9) -> str:
     return _commit(_from_pandas(out, _PAIR_SCHEMA_I64), path)
 
 
+def write_ivf_topk_oracle(
+    sf_dir: str, k: int = 10, n_cells: int = 16, nprobe: int = 4
+) -> str:
+    """Oracle for ``similarity_topk_ivf``: same deterministic quantizer
+    sample (hash-threshold, id-sorted), same Lloyd k-means, same probe
+    and scoring ops, recomputed flat."""
+    from ..stages.semdedup import _hash_threshold
+    from ..stages.similarity import kmeans_centroids, load_query_vector
+
+    path = _oracle_path(sf_dir, "ivf_topk")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"].to_pylist())
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+    thresh = _hash_threshold(len(ids), 2048)
+    mask = pd.util.hash_array(ids) <= thresh
+    sids, smat = ids[mask], mat[mask]
+    sample = smat[np.argsort(sids, kind="stable")]
+    cent = kmeans_centroids(sample, n_cells=n_cells)
+
+    q = load_query_vector(sf_dir, 0)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = set(np.argsort(-(cent @ qn))[:nprobe].tolist())
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    cells = np.argmax(unit @ cent.T, axis=1)
+    m = np.isin(cells, list(probe))
+    cos = np.round((unit[m] @ qn).astype(np.float64), 3)
+    out = (
+        pd.DataFrame({"vec_id": ids[m], "cos": cos})
+        .sort_values(["cos", "vec_id"], ascending=[False, True])
+        .head(k)
+    )
+    return _commit(
+        _from_pandas(out, pa.schema([("vec_id", pa.int64()), ("cos", pa.float64())])),
+        path,
+    )
+
+
 def write_semantic_dedup_oracle(sf_dir: str, threshold: float = 0.4) -> str:
     """Oracle for ``semantic_dedup_embeddings``: the flat recompute in
     stages/semdedup.semantic_dedup_singleproc (same hash-threshold

@@ -187,16 +187,18 @@ def similarity_topk_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
 
 def similarity_topk_ivf(sf_dir: str, k: int = 10, n_cells: int = 16, nprobe: int = 4) -> pd.DataFrame:
-    """IVF ANN: k-means coarse quantizer + nprobe cell search
-    (approximate — rows-only oracle)."""
-    import numpy as np
+    """IVF ANN: k-means coarse quantizer + nprobe cell search.
 
+    The quantizer sample is the deterministic hash-threshold sample
+    (stages/semdedup.deterministic_sample_matrix), not ``Dataset.take``
+    — the quantizer no longer depends on block arrival order, so the
+    whole operator is batch-invariant and SQL-checked against a
+    single-process recompute (pipelines/rowsonly_oracles.py)."""
+    from ..stages.semdedup import deterministic_sample_matrix
     from ..stages.similarity import ivf_topk, kmeans_centroids
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    sample = np.asarray(
-        [r["embedding"] for r in ds.take(2048)], dtype=np.float32
-    )
+    sample = deterministic_sample_matrix(ds, "vec_id", "embedding", target=2048)
     cent = kmeans_centroids(sample, n_cells=n_cells)
     return ivf_topk(ds, load_query_vector(sf_dir, 0), cent, k=k, nprobe=nprobe)
 
