@@ -208,8 +208,10 @@ def bench_queries() -> dict[str, float]:
         "simhash_near_dups",
         "embedding_near_dups_lsh",
         "q5_local_supplier_volume",
+        "q7_volume_shipping",
         "tfidf_top_terms",
         "heavy_hitter_tokens",
+        "semantic_dedup",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
@@ -232,7 +234,7 @@ def _reclaim() -> None:
     time.sleep(2.0)
 
 
-def run_once(shuffle_bench: bool = True) -> dict:
+def run_once(shuffle_bench: bool = True, flagship_only: bool = False) -> dict:
     _init_ray()
     extract = bench_extract("broadcast")
     if shuffle_bench:
@@ -243,7 +245,7 @@ def run_once(shuffle_bench: bool = True) -> dict:
         _reclaim()
     else:
         shuffle = skew = None
-    queries = bench_queries()
+    queries = {} if flagship_only else bench_queries()
     result = {
         "metric": "flagship extract pipeline wall time (sf pages table, dedup+render+sink)",
         "value": extract["sec"],
@@ -266,8 +268,10 @@ def run_once(shuffle_bench: bool = True) -> dict:
 
 def run_scaling() -> dict:
     def sub(ncpu: int, extra: list[str] | None = None) -> dict:
-        # scaling reps time the headline (broadcast) flagship only
-        extra = ["--no-shuffle-bench"] + (extra or [])
+        # scaling reps time the headline (broadcast) flagship only —
+        # the query suite is skipped entirely (it is not part of the
+        # scaling metric and only adds wall time + plasma noise)
+        extra = ["--no-shuffle-bench", "--flagship-only"] + (extra or [])
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), *(extra or [])],
@@ -313,4 +317,11 @@ if __name__ == "__main__":
         ray.shutdown()
         print(json.dumps({"prepared": path, "rows": n}))
     else:
-        print(json.dumps(run_once(shuffle_bench="--no-shuffle-bench" not in sys.argv)))
+        print(
+            json.dumps(
+                run_once(
+                    shuffle_bench="--no-shuffle-bench" not in sys.argv,
+                    flagship_only="--flagship-only" in sys.argv,
+                )
+            )
+        )
