@@ -345,9 +345,10 @@ def write_embedding_lsh_oracle(sf_dir: str, threshold: float = 0.4) -> str:
 def write_text_embedding_lsh_oracle(sf_dir: str, threshold: float = 0.9) -> str:
     """Oracle for ``text_embedding_near_dups``: the engine's own
     embedder (single-process — already pinned bit-level by the
-    embedding digest oracle) feeding the fixed 16-table × 6-plane LSH
-    pair path."""
+    embedding digest oracle) feeding the adaptive-parameter LSH pair
+    path (same ``srp_lsh_params`` derivation as the engine)."""
     from ..stages.embed import TextEmbedder
+    from ..stages.similarity import srp_lsh_params
 
     path = _oracle_path(sf_dir, "text_embedding_lsh_pairs")
     if os.path.exists(path):
@@ -358,7 +359,8 @@ def write_text_embedding_lsh_oracle(sf_dir: str, threshold: float = 0.9) -> str:
     emb = TextEmbedder()(docs)
     ids = np.asarray(emb["doc_id"].to_pylist())
     mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float32)
-    out = _lsh_pairs_singleproc(ids, mat, threshold, n_planes=6, n_tables=16)
+    k, tables = srp_lsh_params(threshold)
+    out = _lsh_pairs_singleproc(ids, mat, threshold, n_planes=k, n_tables=tables)
     return _commit(_from_pandas(out, _PAIR_SCHEMA_I64), path)
 
 

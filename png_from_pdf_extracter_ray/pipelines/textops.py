@@ -320,8 +320,26 @@ def text_embedding_near_dups(sf_dir: str, threshold: float = 0.9) -> pd.DataFram
 
     # materialized once: consumed by the signature pass AND the verify joins
     emb = text_embeddings(sf_dir).materialize()
+    # Adaptive planes/tables (srp_lsh_params): at threshold 0.9 the
+    # chooser picks 12-plane × 32-table signatures — the fixed 6×16
+    # default collides ~22% of RANDOM pairs (1-(1-2^-6)^16), which at
+    # sf0.1 meant millions of false candidates and a 107 s wall;
+    # 12-bit signatures cut random collisions to ~0.8% at the same
+    # ≥0.995 recall floor for true pairs.
+    # verify="bucket": the engine's hashing-trick vectors of same-
+    # distribution docs are heavily correlated, so LSH passes most pairs
+    # as candidates (8.45M of 12.5M possible at sf0.1) — exact cosine
+    # inside the bucket merge deletes the candidate-pair shuffle + the
+    # two vector joins (measured ~73 s → single-digit seconds).  The
+    # sparse-candidate regime keeps the default join verify.
     return embedding_near_dup_pairs_lsh(
-        emb, threshold=threshold, id_col="doc_id", vec_col="embedding"
+        emb,
+        threshold=threshold,
+        id_col="doc_id",
+        vec_col="embedding",
+        n_planes=None,
+        n_tables=None,
+        verify="bucket",
     )
 
 
@@ -373,8 +391,12 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame
     # 0.4 regime resolves to short signatures × many tables (k=4, T≈31,
     # recall ≥ 0.995 at the threshold), the near-dup 0.95 regime to
     # long signatures × moderate tables — one dial, no hand-tuning.
+    # verify="bucket": at the 0.4 threshold the 0.995-recall parameter
+    # point makes ~86% of ALL pairs candidates — the dense regime where
+    # in-bucket exact cosine beats the candidate-pair shuffle + joins
+    # (see stages/neardup.embedding_near_dup_pairs_lsh verify doc).
     return embedding_near_dup_pairs_lsh(
-        ds, threshold=threshold, n_planes=None, n_tables=None
+        ds, threshold=threshold, n_planes=None, n_tables=None, verify="bucket"
     )
 
 
