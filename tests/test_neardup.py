@@ -247,3 +247,22 @@ def test_ngram_jaccard_df_cap_drops_boilerplate(ray_session) -> None:  # noqa: A
     assert len(uncapped) == 6  # every pair shares the boilerplate shingles
     capped = ngram_jaccard_pairs(ds, threshold=0.1, max_df=3)
     assert len(capped) == 0  # boilerplate (df=4) dropped; nothing else shared
+
+
+def test_embedding_lsh_bucket_verify_equals_join_verify(ray_session, sf_dir) -> None:  # noqa: ANN001
+    """The two verification strategies are pure execution-plan choices —
+    identical pair sets and cosines on the same input/params."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from png_from_pdf_extracter_ray.stages.neardup import embedding_near_dup_pairs_lsh
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    kw = dict(threshold=0.4, n_planes=4, n_tables=8)
+    join = embedding_near_dup_pairs_lsh(ds, verify="join", **kw)
+    bucket = embedding_near_dup_pairs_lsh(ds, verify="bucket", **kw)
+    pd.testing.assert_frame_equal(
+        join.reset_index(drop=True), bucket.reset_index(drop=True), check_dtype=False
+    )
