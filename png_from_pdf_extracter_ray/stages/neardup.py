@@ -194,6 +194,9 @@ class MinHasher:
                     self.id_col: batch[self.id_col],
                     "band_id": pa.array([], pa.int32()),
                     "band_hash": pa.array([], pa.int64()),
+                    "all_bands": pa.array(
+                        [], pa.list_(pa.int64(), self.n_bands)
+                    ),
                 }
             )
         sigs = np.stack([self.signature(t) for t in texts])  # (n, n_hashes)
@@ -210,6 +213,10 @@ class MinHasher:
             batch[self.id_col].combine_chunks(),
             pa.array(np.repeat(np.arange(n), self.n_bands)),
         )
+        # full band vector per row: a bucket can decide locally whether
+        # its band is a pair's FIRST collision (global distinct without
+        # a second shuffle) — 8·n_bands bytes per row, cheap next to text
+        digmat = digests.reshape(n, self.n_bands)
         return pa.Table.from_pydict(
             {
                 self.id_col: rid,
@@ -217,6 +224,10 @@ class MinHasher:
                     np.tile(np.arange(self.n_bands, dtype=np.int32), n), pa.int32()
                 ),
                 "band_hash": pa.array(digests, pa.int64()),
+                "all_bands": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.repeat(digmat, self.n_bands, axis=0).ravel(), pa.int64()),
+                    self.n_bands,
+                ),
             }
         )
 
@@ -232,9 +243,15 @@ def minhash_candidate_pairs(
 
     Band rows shuffle into B hash buckets of ``band_hash`` (every row of
     a given (band_id, band_hash) combo lands in the same bucket), and
-    each bucket runs a vectorized self-merge + drop_duplicates — B
-    groups total, NOT one Ray group per band bucket: per-key groups over
-    ~n_docs × n_bands tiny buckets pay 10-100× in per-group overhead.
+    each bucket runs a vectorized self-merge — B groups total, NOT one
+    Ray group per band bucket: per-key groups over ~n_docs × n_bands
+    tiny buckets pay 10-100× in per-group overhead.
+
+    Global distinctness costs NO second shuffle: each row carries its
+    full band vector, so a bucket emits a pair only when its band is
+    the pair's FIRST matching band (locally decidable) — a pair
+    colliding in several bands surfaces exactly once, in the bucket
+    that owns the first one.
     """
     id_type = _schema_type(ds, id_col)
     bands = ds.map_batches(
@@ -249,32 +266,29 @@ def minhash_candidate_pairs(
         return t.append_column("__bucket", pa.array(b, pa.int32()))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pa.Table:
-        m = g[[id_col, "band_id", "band_hash"]].merge(g[[id_col, "band_id", "band_hash"]], on=["band_id", "band_hash"])
+        g = g.reset_index(drop=True)
+        g["__row"] = np.arange(len(g), dtype=np.int64)
+        cols = [id_col, "band_id", "band_hash", "__row"]
+        m = g[cols].merge(g[cols], on=["band_id", "band_hash"])
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
-        out = m[[f"{id_col}_x", f"{id_col}_y"]].drop_duplicates()
-        out = out.rename(columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b"})
-        return _typed_table(out, {"id_a": id_type, "id_b": id_type})
-
-    cand_part = (
-        bands.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-    )
-
-    # global distinct: the same pair can surface from several bands
-    # (different buckets) — re-bucket on id_a, dedup vectorized per bucket
-    def add_pair_bucket(t: pa.Table) -> pa.Table:
-        b = stable_bucket_ids(t["id_a"], num_buckets)
-        return t.append_column("__bucket", pa.array(b, pa.int32()))
-
-    def distinct_bucket(g: pd.DataFrame) -> pa.Table:
-        out = g[["id_a", "id_b"]].drop_duplicates()
+        if m.empty:
+            return _typed_table(
+                pd.DataFrame({"id_a": [], "id_b": []}),
+                {"id_a": id_type, "id_b": id_type},
+            )
+        bandmat = np.asarray(list(g["all_bands"]), dtype=np.int64)
+        eq = bandmat[m["__row_x"].to_numpy()] == bandmat[m["__row_y"].to_numpy()]
+        first = eq.argmax(axis=1)
+        m = m[first == m["band_id"].to_numpy()]
+        out = m[[f"{id_col}_x", f"{id_col}_y"]].rename(
+            columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b"}
+        )
         return _typed_table(out, {"id_a": id_type, "id_b": id_type})
 
     return (
-        cand_part.map_batches(add_pair_bucket, batch_format="pyarrow")
+        bands.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(distinct_bucket, batch_format="pandas")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
     )
 
 
@@ -802,6 +816,11 @@ def simhash_near_dup_pairs(
     a (block, block_key) combo co-locate); per bucket a vectorized
     self-merge generates candidates and a numpy XOR+popcount verifies
     hamming — B groups, not one Ray group per 16-bit block value.
+
+    Global distinctness costs NO second shuffle: every row carries the
+    full 64-bit signature, so each bucket recomputes all four block
+    keys per candidate pair and emits it only when ITS block is the
+    first matching one.
     """
     id_type = _schema_type(ds, id_col)
     sigs = ds.map_batches(
@@ -837,6 +856,19 @@ def simhash_near_dup_pairs(
             return _typed_table(pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}), types)
         x = m["simhash_x"].to_numpy(dtype=np.int64).view(np.uint64)
         y = m["simhash_y"].to_numpy(dtype=np.int64).view(np.uint64)
+        # first-collision dedup: recompute all four block keys from the
+        # carried signatures; keep the row iff THIS block is the first
+        # agreeing one (pairs matching in several blocks emit once,
+        # from the bucket owning the first block)
+        shifts = (16 * np.arange(4, dtype=np.uint64))[None, :]
+        eq = ((x[:, None] >> shifts) & np.uint64(0xFFFF)) == (
+            (y[:, None] >> shifts) & np.uint64(0xFFFF)
+        )
+        first = eq.argmax(axis=1)
+        keep = first == m["block"].to_numpy()
+        m, x, y = m[keep], x[keep], y[keep]
+        if m.empty:
+            return _typed_table(pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}), types)
         d = _popcount64(np.bitwise_xor(x, y))
         out = pd.DataFrame(
             {
@@ -846,29 +878,12 @@ def simhash_near_dup_pairs(
             }
         )
         out = out[out["hamming"] <= max_hamming]
-        return _typed_table(out.drop_duplicates(subset=["id_a", "id_b"]), types)
-
-    cand_part = (
-        sigs.map_batches(explode_blocks, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-    )
-
-    # global distinct across buckets (a pair can match in several blocks)
-    def add_pair_bucket(t: pa.Table) -> pa.Table:
-        b = stable_bucket_ids(t["id_a"], num_buckets)
-        return t.append_column("__bucket2", pa.array(b, pa.int32()))
-
-    def distinct_bucket(g: pd.DataFrame) -> pa.Table:
-        out = g[["id_a", "id_b", "hamming"]].drop_duplicates(subset=["id_a", "id_b"])
-        return _typed_table(
-            out, {"id_a": id_type, "id_b": id_type, "hamming": pa.int32()}
-        )
+        return _typed_table(out, types)
 
     out = _to_pandas_safe(
-        cand_part.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("__bucket2")
-        .map_groups(distinct_bucket, batch_format="pandas"),
+        sigs.map_batches(explode_blocks, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas"),
         ["id_a", "id_b", "hamming"],
     )
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
