@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": corpus_stats.token_postings,
         "unigram_logprob_scores": corpus_stats.unigram_logprob_scores,
         "token_chunks": textops.token_chunks,
+        "context_pack_bins": textops.pack_documents_greedy,
         # --- embedding computation (actor-pool model stage; the raw
         # vectors entry is rows-only, its digest + LSH composition are
         # SQL-checked) ---
@@ -385,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
     _sim_lsh_oracle = _rro._oracle_path(_oracle_sf, "similarity_lsh_topk")
     _semded_oracle = _rro._oracle_path(_oracle_sf, "semantic_dedup")
     _ivf_oracle = _rro._oracle_path(_oracle_sf, "ivf_topk")
+    _pack_oracle = _rro._oracle_path(_oracle_sf, "pack_bins")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -396,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_similarity_lsh_oracle(_oracle_sf)
         _rro.write_semantic_dedup_oracle(_oracle_sf)
         _rro.write_ivf_topk_oracle(_oracle_sf)
+        _rro.write_pack_bins_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -473,6 +476,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_topk_ivf": f"""
             SELECT vec_id, cos FROM read_parquet('{_ivf_oracle}')
+        """,
+        "context_pack_bins": f"""
+            SELECT doc_id, shard, bin_id, n_tokens
+            FROM read_parquet('{_pack_oracle}')
         """,
         "pages_image_features_summary": f"""
             SELECT url, page_number, image_ok, image_error, img_width,

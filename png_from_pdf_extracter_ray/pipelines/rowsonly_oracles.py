@@ -434,6 +434,56 @@ def write_semantic_dedup_oracle(sf_dir: str, threshold: float = 0.4) -> str:
     )
 
 
+def write_pack_bins_oracle(sf_dir: str) -> str:
+    """Oracle for ``pack_documents_greedy``: the same shard hash, sort
+    order, and first-fit greedy recomputed flat over the whole
+    documents table (no Ray)."""
+    from ..stages.text_stats import token_count_batch
+    from .textops import PACK_CAPACITY, PACK_SHARDS
+
+    path = _oracle_path(sf_dir, "pack_bins")
+    if os.path.exists(path):
+        return path
+    df = (
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .to_pandas()
+    )
+    df = token_count_batch(df)
+    df["shard"] = (pd.util.hash_array(df["doc_id"].to_numpy()) % PACK_SHARDS).astype(
+        "int64"
+    )
+    frames = []
+    for shard, g in df.groupby("shard", sort=True):
+        g = g.sort_values("doc_id", ignore_index=True)
+        n = g["n_tokens"].to_numpy()
+        bins = np.zeros(len(g), dtype=np.int64)
+        bin_id, fill = 0, 0
+        for i, t in enumerate(n):
+            if fill > 0 and fill + t > PACK_CAPACITY:
+                bin_id += 1
+                fill = 0
+            bins[i] = bin_id
+            fill += int(t)
+        frames.append(g.assign(bin_id=bins)[["doc_id", "shard", "bin_id", "n_tokens"]])
+    out = pd.concat(frames, ignore_index=True).sort_values("doc_id", ignore_index=True)
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("shard", pa.int64()),
+                    ("bin_id", pa.int64()),
+                    ("n_tokens", pa.int64()),
+                ]
+            ),
+        ),
+        path,
+    )
+
+
 # ---------------------------------------------------------------------------
 # SRP-LSH ANN top-k (single bucket probe of a deterministic signature)
 # ---------------------------------------------------------------------------

@@ -540,3 +540,79 @@ def normalized_text_fps(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         normalize_text_batch, batch_format="pandas"
     ).select_columns(["doc_id", "norm_fp"])
+
+
+# ---------------------------------------------------------------------------
+# Cross-document context packing (bin packing into training sequences)
+# ---------------------------------------------------------------------------
+
+PACK_CAPACITY = 256  # tokens per packed training sequence
+PACK_SHARDS = 32  # deterministic doc-hash shards; packing is per-shard
+
+
+def pack_documents_greedy(sf_dir: str) -> pd.DataFrame:
+    """Cross-DOCUMENT context packing: assign whole documents to fixed-
+    capacity training sequences ("bins"), the step that turns a cleaned
+    corpus into dense fixed-length training examples
+    (``token_chunks`` splits WITHIN a doc; this packs ACROSS docs).
+
+    Deterministic scale shape:
+
+    - docs shard by ``siphash(doc_id) % PACK_SHARDS`` — the partitioning
+      knob: at 100 TB pick shards ∝ corpus size so one shard fits one
+      worker; packing parallelism = shard count, and sequences never
+      cross shards (resumable per shard);
+    - per-batch partials carry only (doc_id, shard, n_tokens) — text
+      never shuffles;
+    - per shard, docs pack in ascending doc_id order, first-fit-greedy:
+      a doc that would overflow the open bin closes it; an oversized
+      doc (> capacity) gets its own bin.  The per-shard greedy is
+      inherently sequential (as in any packing implementation) but runs
+      over int arrays only.
+
+    Output: (doc_id, shard, bin_id, n_tokens) with bin_id dense per
+    shard.  Batch-invariant (shard + order are pure functions of
+    doc_id) → SQL-checked against a single-process recompute parquet
+    (pipelines/rowsonly_oracles.py); a pytest asserts the packing
+    invariants (no bin over capacity unless single-doc; consecutive
+    fill).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.text_stats import token_count_batch
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = token_count_batch(df)
+        shard = (pd.util.hash_array(df["doc_id"].to_numpy()) % PACK_SHARDS).astype(
+            "int64"
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(df["doc_id"], pa.int64()),
+                "shard": pa.array(shard, pa.int64()),
+                "n_tokens": pa.array(df["n_tokens"], pa.int64()),
+            }
+        )
+
+    def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", ignore_index=True)
+        n = g["n_tokens"].to_numpy()
+        bins = np.zeros(len(g), dtype=np.int64)
+        bin_id, fill = 0, 0
+        for i, t in enumerate(n):
+            if fill > 0 and fill + t > PACK_CAPACITY:
+                bin_id += 1
+                fill = 0
+            bins[i] = bin_id
+            fill += int(t)
+        return g.assign(bin_id=bins)[["doc_id", "shard", "bin_id", "n_tokens"]]
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(pack_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", ignore_index=True)

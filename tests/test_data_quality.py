@@ -232,3 +232,50 @@ class TestRemoveDuplicateSpans:
         t = "p q r s t u v w " * 2 + "tail"
         out = remove_duplicate_spans(self._write(tmp_path, [t]), span_k=8)
         assert out["n_tokens_kept"].iloc[0] == 17
+
+
+class TestContextPacking:
+    """Cross-document bin packing invariants (textops.pack_documents_greedy)."""
+
+    @pytest.fixture(scope="class")
+    def packed(self, ray_session, sf_dir):  # noqa: ANN001
+        from png_from_pdf_extracter_ray.pipelines.textops import (
+            PACK_CAPACITY,
+            pack_documents_greedy,
+        )
+
+        return pack_documents_greedy(sf_dir), PACK_CAPACITY
+
+    def test_every_doc_assigned_once(self, packed, sf_dir) -> None:  # noqa: ANN001
+        import pyarrow.parquet as pq
+
+        out, _ = packed
+        n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        assert len(out) == n_docs
+        assert out["doc_id"].is_unique
+
+    def test_bins_respect_capacity(self, packed) -> None:  # noqa: ANN001
+        out, cap = packed
+        fills = out.groupby(["shard", "bin_id"]).agg(
+            total=("n_tokens", "sum"), n=("doc_id", "count")
+        )
+        # a bin over capacity must be a single oversized document
+        over = fills[fills["total"] > cap]
+        assert (over["n"] == 1).all()
+
+    def test_greedy_is_first_fit_in_id_order(self, packed) -> None:  # noqa: ANN001
+        out, cap = packed
+        for _, g in out.groupby("shard"):
+            g = g.sort_values("doc_id", ignore_index=True)
+            # bin ids are non-decreasing and dense in doc_id order
+            d = g["bin_id"].diff().fillna(0)
+            assert set(d.unique()) <= {0.0, 1.0}
+            # replay the greedy rule and demand identical bin ids
+            fill, bin_id, replay = 0, 0, []
+            for t in g["n_tokens"]:
+                if fill > 0 and fill + t > cap:
+                    bin_id += 1
+                    fill = 0
+                replay.append(bin_id)
+                fill += int(t)
+            assert replay == g["bin_id"].tolist()
