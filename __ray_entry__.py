@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_near_dups": textops.ngram_jaccard_near_dups,
         "minhash_near_dups": textops.minhash_near_dups,
         "minhash_dedup_groups": textops.minhash_dedup_groups,
+        "minhash_dedup_keep_best": textops.minhash_dedup_keep_best,
         "simhash_near_dups": textops.simhash_near_dups,
         # --- multimodal page operations ---
         "pages_page_meta": textops.pages_page_meta,
@@ -387,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
     _semded_oracle = _rro._oracle_path(_oracle_sf, "semantic_dedup")
     _ivf_oracle = _rro._oracle_path(_oracle_sf, "ivf_topk")
     _pack_oracle = _rro._oracle_path(_oracle_sf, "pack_bins")
+    _keepbest_oracle = _rro._oracle_path(_oracle_sf, "minhash_keep_best")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -399,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_semantic_dedup_oracle(_oracle_sf)
         _rro.write_ivf_topk_oracle(_oracle_sf)
         _rro.write_pack_bins_oracle(_oracle_sf)
+        _rro.write_keep_best_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -451,6 +454,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dedup_groups": f"""
             SELECT url, group_id FROM read_parquet('{_mh_groups_oracle}')
+        """,
+        "minhash_dedup_keep_best": f"""
+            SELECT url, group_id, text_len, keep
+            FROM read_parquet('{_keepbest_oracle}')
         """,
         "simhash_near_dups": f"""
             SELECT id_a, id_b, hamming FROM read_parquet('{_sh_pairs_oracle}')

@@ -434,6 +434,51 @@ def write_semantic_dedup_oracle(sf_dir: str, threshold: float = 0.4) -> str:
     )
 
 
+def write_keep_best_oracle(sf_dir: str, threshold: float = 0.8, expand: int = 2) -> str:
+    """Oracle for ``minhash_dedup_keep_best``: union-find groups (the
+    minhash pairs oracle) + raw text lengths + a flat pandas argmax
+    (longest text, tie → min url)."""
+    from .summary import oracle_unique_pages
+
+    path = _oracle_path(sf_dir, "minhash_keep_best", expand)
+    if os.path.exists(path):
+        return path
+    pairs_path, groups_path = write_minhash_oracles(
+        sf_dir, threshold=threshold, expand=expand
+    )
+    groups = pq.read_table(groups_path).to_pandas()
+    pages = oracle_unique_pages(sf_dir, expand=expand)
+    lens = pd.DataFrame(
+        {
+            "url": pages["url"].to_pylist(),
+            "text_len": [len(t or "") for t in pages["text"].to_pylist()],
+        }
+    )
+    merged = groups.merge(lens, on="url", how="left")
+    merged["text_len"] = merged["text_len"].fillna(0).astype("int64")
+    merged = merged.sort_values(
+        ["group_id", "text_len", "url"], ascending=[True, False, True]
+    )
+    winner = merged.groupby("group_id", sort=False)["url"].transform("first")
+    out = merged.assign(keep=(merged["url"] == winner))[
+        ["url", "group_id", "text_len", "keep"]
+    ].sort_values("url", ignore_index=True)
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("group_id", pa.string()),
+                    ("text_len", pa.int64()),
+                    ("keep", pa.bool_()),
+                ]
+            ),
+        ),
+        path,
+    )
+
+
 def write_pack_bins_oracle(sf_dir: str) -> str:
     """Oracle for ``pack_documents_greedy``: the same shard hash, sort
     order, and first-fit greedy recomputed flat over the whole

@@ -616,3 +616,91 @@ def pack_documents_greedy(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("doc_id", ignore_index=True)
+
+
+def minhash_dedup_keep_best(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """Fuzzy-dedup retention policy: within every MinHash near-dup
+    group, KEEP the member with the longest text (tie → lexicographic
+    min url) and drop the rest — the representative-selection step that
+    follows near-dup grouping in a real cleaning pipeline (keep-best
+    rather than keep-first).
+
+    Scale shape: group labels come from the distributed min-label
+    components (``minhash_dedup_groups``); text lengths attach via one
+    streaming pass over the corpus restricted to grouped ids (the
+    broadcast candidate-set semi-join — group membership is
+    output-sized); the per-group argmax runs in GROUP-HASH BUCKETS
+    (B vectorized pandas groups, never one Ray group per group_id —
+    the standing rule).
+
+    Output: (url, group_id, text_len, keep), one row per grouped doc.
+    SQL-checked: DuckDB re-derives keep from the groups oracle parquet
+    joined with the lengths oracle parquet via a window argmax.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..stages.neardup import _CAND_ID_CACHE, _typed_table, stable_bucket_ids
+
+    groups = minhash_dedup_groups(sf_dir, threshold=threshold)
+    if groups.empty:
+        return pd.DataFrame({"url": [], "group_id": [], "text_len": [], "keep": []})
+    member_ids = set(groups["url"])
+    ids_ref = ray.put(member_ids)
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        vs = _CAND_ID_CACHE.get(ids_ref.hex())
+        if vs is None:
+            _CAND_ID_CACHE.clear()
+            vs = pa.array(list(ray.get(ids_ref)))
+            _CAND_ID_CACHE[ids_ref.hex()] = vs
+        mask = pc.is_in(batch["url"], value_set=vs)
+        kept = batch.filter(pc.fill_null(mask, False))
+        return pa.Table.from_pydict(
+            {
+                "url": kept["url"],
+                "text_len": pc.cast(
+                    pc.utf8_length(pc.fill_null(kept["text"], "")), pa.int64()
+                ),
+            }
+        )
+
+    lens = (
+        _unique_pages(sf_dir)
+        .map_batches(lengths, batch_format="pyarrow")
+        .to_pandas()
+    )
+    merged = groups.merge(lens, on="url", how="left")
+    merged["text_len"] = merged["text_len"].fillna(0).astype("int64")
+    mds = rd.from_pandas(merged)
+
+    def add_group_bucket(t: pa.Table) -> pa.Table:
+        b = stable_bucket_ids(t["group_id"], 16)
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    types = {
+        "url": pa.string(),
+        "group_id": pa.string(),
+        "text_len": pa.int64(),
+        "keep": pa.bool_(),
+    }
+
+    def argmax_bucket(g: pd.DataFrame) -> pa.Table:
+        # winner per group: longest text, tie → min url (stable sort)
+        g = g.sort_values(["group_id", "text_len", "url"], ascending=[True, False, True])
+        winner = g.groupby("group_id", sort=False)["url"].transform("first")
+        out = g.assign(keep=(g["url"] == winner))[
+            ["url", "group_id", "text_len", "keep"]
+        ]
+        return _typed_table(out, types)
+
+    out = (
+        mds.map_batches(add_group_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(argmax_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("url", ignore_index=True)
