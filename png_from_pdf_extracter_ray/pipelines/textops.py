@@ -167,7 +167,9 @@ def token_chunks(sf_dir: str, chunk: int = 64) -> rd.Dataset:
 
 
 def langid_heuristic(sf_dir: str) -> rd.Dataset:
-    """N-gram/stopword language ID (non-SQL — rows-only oracle)."""
+    """N-gram/stopword language ID — SQL-checked: the oracle recomputes
+    the marker-set argmax relationally from the SAME marker tables
+    (__ray_entry__._langid_sql)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         LangId, batch_format="pyarrow", concurrency=(1, 4)
     ).select_columns(["doc_id", "lang_pred"])
