@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_scores": corpus_stats.unigram_logprob_scores,
         "token_chunks": textops.token_chunks,
         "context_pack_bins": textops.pack_documents_greedy,
+        "doc_length_percentiles": textops.doc_length_percentiles,
         # --- embedding computation (actor-pool model stage; the raw
         # vectors entry is rows-only, its digest + LSH composition are
         # SQL-checked) ---
@@ -546,6 +547,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents
+        """,
+        # exact global window without a global sort (bounded-cardinality
+        # histogram + broadcast CDF in the engine)
+        "doc_length_percentiles": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   ROUND(PERCENT_RANK() OVER (ORDER BY n_tokens), 6) AS pct_rank
+            FROM t
         """,
         "bpe_token_counts": """
             SELECT doc_id,

@@ -706,3 +706,67 @@ def minhash_dedup_keep_best(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame
         .to_pandas()
     )
     return out.sort_values("url", ignore_index=True)
+
+
+def doc_length_percentiles(sf_dir: str) -> rd.Dataset:
+    """EXACT global percent-rank of every document's token count —
+    without a global sort or an N-sized rank map.
+
+    The trick: token counts have BOUNDED cardinality (distinct lengths
+    ≪ N), so the exact value→count histogram fits the driver at any
+    corpus size.  Pass 1 streams per-batch partial histograms (≤
+    distinct-lengths rows each) and merges them; the cumulative
+    "#docs strictly below each length" map broadcasts via ``ray.put``;
+    pass 2 assigns ``pct_rank = below / (N-1)`` per row with one
+    vectorized lookup — the exact SQL ``PERCENT_RANK() OVER (ORDER BY
+    n_tokens)`` semantics (ties share a rank) with zero shuffles.
+
+    The approximate counterpart for UNBOUNDED value domains is the
+    sketch-CDF ``order_value_percentile_ranks`` (stages/sketch.py);
+    this is the exact path you should prefer whenever the value domain
+    is small (lengths, scores, small ints)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from ..pipelines.relational import _cached_broadcast
+    from ..stages.text_stats import token_count_batch
+
+    def hist_partial(df: pd.DataFrame) -> pa.Table:
+        c = token_count_batch(df)["n_tokens"].value_counts()
+        return pa.Table.from_pydict(
+            {
+                "n_tokens": pa.array(c.index.to_numpy(np.int64), pa.int64()),
+                "n": pa.array(c.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(hist_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("n_tokens", as_index=False)["n"]
+        .sum()
+        .sort_values("n_tokens", ignore_index=True)
+    )
+    total = int(hist["n"].sum())
+    below = np.zeros(len(hist), dtype=np.int64)
+    np.cumsum(hist["n"].to_numpy()[:-1], out=below[1:])
+    ref = ray.put((hist["n_tokens"].to_numpy(), below, total))
+
+    def assign(df: pd.DataFrame) -> pa.Table:
+        values, cum_below, n = _cached_broadcast(ref)
+        t = token_count_batch(df)["n_tokens"].to_numpy(np.int64)
+        idx = np.searchsorted(values, t)
+        denom = n - 1 if n > 1 else 1
+        pct = np.round(cum_below[idx] / denom, 6)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(df["doc_id"], pa.int64()),
+                "n_tokens": pa.array(t, pa.int64()),
+                "pct_rank": pa.array(pct, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(assign, batch_format="pandas")
