@@ -1742,8 +1742,13 @@ def q14_promo_revenue(
     def partial(df: pd.DataFrame) -> pa.Table:
         pm = _cached_broadcast(pref)
         df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        # inner-join semantics, same as the oracle: a lineitem whose
+        # partkey has no part row joins nothing and counts in NEITHER
+        # the numerator NOR the denominator
+        promo_flag = df["l_partkey"].map(pm)
+        df, promo_flag = df[promo_flag.notna()], promo_flag.dropna()
         rev = df["l_extendedprice"] * (1 - df["l_discount"])
-        is_promo = df["l_partkey"].map(pm).fillna(False).to_numpy(dtype=bool)
+        is_promo = promo_flag.to_numpy(dtype=bool)
         return pa.Table.from_pydict(
             {
                 "promo": pa.array([float(rev[is_promo].sum())], pa.float64()),
@@ -1914,18 +1919,13 @@ def q7_volume_shipping(
         return empty
     joined = bucketed_hash_join(li, od, on="l_orderkey", num_buckets=num_buckets)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def cross_nation(df: pd.DataFrame) -> pd.DataFrame:
+        # filter + rename only; grouped_sum does the keyed aggregation
         df = df[df["supp_nation"] != df["cust_nation"]]
-        return (
-            df.groupby(["supp_nation", "cust_nation", "l_year"], as_index=False, sort=False)[
-                "volume"
-            ]
-            .sum()
-            .rename(columns={"volume": "revenue"})
-        )
+        return df.rename(columns={"volume": "revenue"})
 
     out = grouped_sum(
-        joined, ["supp_nation", "cust_nation", "l_year"], partial, ["revenue"]
+        joined, ["supp_nation", "cust_nation", "l_year"], cross_nation, ["revenue"]
     ).to_pandas()
     out["revenue"] = out["revenue"].round(2)
     return out.sort_values(

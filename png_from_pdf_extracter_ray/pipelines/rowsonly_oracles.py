@@ -16,8 +16,10 @@ Only BATCH-INVARIANT queries qualify: their output is a deterministic
 set regardless of how Ray partitions the input (per-doc signatures +
 exact key-equality candidates + per-pair verification).  The
 grid-quantile / percentile-rank sketches summarize per BATCH, so their
-output depends on block boundaries — those stay rows-only by nature,
-as does IVF ANN (its k-means sample is taken from the live Dataset).
+output depends on block boundaries — those stay rows-only by nature.
+(IVF ANN qualified once its quantizer sample moved to the deterministic
+hash-threshold sample; top-k entries qualify because batch prune and
+global sort share one total order, (rounded cos desc, id asc).)
 """
 
 from __future__ import annotations
@@ -109,9 +111,13 @@ def write_minhash_oracles(
     # band rows via the engine's own per-doc signature kernel (shared by
     # necessity: the hash family IS the contract), candidates via one
     # flat self-merge — no bucketing, no shuffle
-    bands = MinHasher(id_col="url", text_col="text")(
-        pages.select(["url", "text"])
-    ).to_pandas()
+    bands = (
+        MinHasher(id_col="url", text_col="text")(pages.select(["url", "text"]))
+        .select(["url", "band_id", "band_hash"])  # drop all_bands: the
+        # flat merge needs only the keys, and the 16-int64 arrays would
+        # be copied into every candidate row
+        .to_pandas()
+    )
     m = bands.merge(bands, on=["band_id", "band_hash"])
     m = m[m["url_x"] < m["url_y"]]
     cand = m[["url_x", "url_y"]].drop_duplicates()
@@ -370,7 +376,7 @@ def write_ivf_topk_oracle(
     """Oracle for ``similarity_topk_ivf``: same deterministic quantizer
     sample (hash-threshold, id-sorted), same Lloyd k-means, same probe
     and scoring ops, recomputed flat."""
-    from ..stages.semdedup import _hash_threshold
+    from ..stages.semdedup import flat_hash_sample
     from ..stages.similarity import kmeans_centroids, load_query_vector
 
     path = _oracle_path(sf_dir, "ivf_topk")
@@ -379,10 +385,7 @@ def write_ivf_topk_oracle(
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     ids = np.asarray(t["vec_id"].to_pylist())
     mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
-    thresh = _hash_threshold(len(ids), 2048)
-    mask = pd.util.hash_array(ids) <= thresh
-    sids, smat = ids[mask], mat[mask]
-    sample = smat[np.argsort(sids, kind="stable")]
+    sample = flat_hash_sample(ids, mat, 2048)
     cent = kmeans_centroids(sample, n_cells=n_cells)
 
     q = load_query_vector(sf_dir, 0)
@@ -538,11 +541,11 @@ def write_similarity_lsh_oracle(
     sf_dir: str, k: int = 10, n_planes: int = 6, seed: int = 42
 ) -> str:
     """Oracle for ``similarity_topk_lsh``: candidates = rows whose SRP
-    signature equals the query's; ranking by (rounded cos desc, id asc)
-    — identical to the engine's global sort.  (The engine's per-batch
-    top-k prune selects by unrounded cos; at any scale where a batch
-    holds > k candidates with rounding ties at rank k the prune could
-    differ — not reachable at the oracle scales, noted for honesty.)"""
+    signature equals the query's; ranking by (rounded cos desc, id asc).
+    The engine's per-batch prune uses the SAME total order as its final
+    global sort and as this flat ranking — (rounded cos desc, id asc),
+    stages/similarity.BucketScorer — so all three agree at every scale,
+    rounding ties included."""
     from ..stages.similarity import load_query_vector, srp_planes, srp_signature
 
     path = _oracle_path(sf_dir, "similarity_lsh_topk")

@@ -1039,6 +1039,7 @@ def embedding_near_dup_pairs_lsh(
             }
             if carry_vec:
                 cols[vec_col] = pa.array([], vec_type)
+                cols["all_sigs"] = pa.array([], pa.list_(pa.int64(), n_tables))
             return pa.Table.from_pydict(cols)
         mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
         planes = srp_planes(dim, n_tables * n_planes, seed)  # deterministic
@@ -1105,6 +1106,9 @@ def embedding_near_dup_pairs_lsh(
 
         def pairs_in_bucket_verified(g: pd.DataFrame) -> pa.Table:
             g = g.reset_index(drop=True)
+            if max_sig_group is not None:
+                sz = g.groupby(["table", "sig"], sort=False)[id_col].transform("size")
+                g = g[sz <= max_sig_group].reset_index(drop=True)
             g["__row"] = np.arange(len(g), dtype=np.int64)
             cols = [id_col, "table", "sig", "__row"]
             m = g[cols].merge(g[cols], on=["table", "sig"])
@@ -1113,14 +1117,21 @@ def embedding_near_dup_pairs_lsh(
                 return _typed_table(
                     pd.DataFrame({"id_a": [], "id_b": [], "cos": []}), pair_types
                 )
-            sigmat = np.asarray(list(g["all_sigs"]), dtype=np.int64)
-            rx = m["__row_x"].to_numpy()
-            ry = m["__row_y"].to_numpy()
-            # first table where the two signatures agree; keep the merge
-            # row iff THIS table is that first collision
-            eq = sigmat[rx] == sigmat[ry]
-            first = eq.argmax(axis=1)
-            m = m[first == m["table"].to_numpy()]
+            if max_sig_group is None:
+                sigmat = np.asarray(list(g["all_sigs"]), dtype=np.int64)
+                rx = m["__row_x"].to_numpy()
+                ry = m["__row_y"].to_numpy()
+                # first table where the two signatures agree; keep the
+                # merge row iff THIS table is that first collision
+                eq = sigmat[rx] == sigmat[ry]
+                first = eq.argmax(axis=1)
+                m = m[first == m["table"].to_numpy()]
+            else:
+                # Under a group cap "first collision" is not locally
+                # decidable (the first-colliding table's group may be
+                # capped out in ANOTHER bucket) — dedupe within the
+                # bucket here and globally in the distinct stage below.
+                m = m.drop_duplicates(subset=[f"{id_col}_x", f"{id_col}_y"])
             if m.empty:
                 return _typed_table(
                     pd.DataFrame({"id_a": [], "id_b": [], "cos": []}), pair_types
@@ -1143,12 +1154,26 @@ def embedding_near_dup_pairs_lsh(
             )
             return _typed_table(out, pair_types)
 
-        out = _to_pandas_safe(
+        verified = (
             ds.map_batches(signature_rows, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(pairs_in_bucket_verified, batch_format="pandas"),
-            ["id_a", "id_b", "cos"],
+            .map_groups(pairs_in_bucket_verified, batch_format="pandas")
         )
+        if max_sig_group is not None:
+            # capped mode emits a pair once per surviving colliding
+            # table — global distinct (duplicates carry identical cos)
+            def distinct_verified(g: pd.DataFrame) -> pa.Table:
+                out = g[["id_a", "id_b", "cos"]].drop_duplicates(
+                    subset=["id_a", "id_b"]
+                )
+                return _typed_table(out, pair_types)
+
+            verified = (
+                verified.map_batches(add_pair_bucket, batch_format="pyarrow")
+                .groupby("__bucket2")
+                .map_groups(distinct_verified, batch_format="pandas")
+            )
+        out = _to_pandas_safe(verified, ["id_a", "id_b", "cos"])
         return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
     cands = (

@@ -86,6 +86,18 @@ def deterministic_sample_matrix(
     return mat[np.argsort(np.asarray(ids), kind="stable")]
 
 
+def flat_hash_sample(ids: np.ndarray, mat: np.ndarray, target: int) -> np.ndarray:
+    """Single-process twin of ``deterministic_sample_matrix`` (same hash
+    threshold, same id-sorted order) — the one implementation every flat
+    oracle must call so engine and oracle sampling can never drift."""
+    if len(ids) == 0:
+        return np.empty((0, 0), dtype=np.float32)
+    thresh = _hash_threshold(len(ids), target)
+    mask = pd.util.hash_array(np.asarray(ids)) <= thresh
+    sids, smat = ids[mask], mat[mask].astype(np.float32)
+    return smat[np.argsort(sids, kind="stable")]
+
+
 def _greedy_prune(
     ids: np.ndarray, unit: np.ndarray, threshold: float
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -202,11 +214,7 @@ def semantic_dedup_singleproc(
     n = len(ids)
     if n == 0:
         return pd.DataFrame({id_col: [], "cluster": [], "keep": [], "dup_of": []})
-    thresh = _hash_threshold(n, target_sample)
-    mask = pd.util.hash_array(np.asarray(ids)) <= thresh
-    # id-sorted, matching the Ray path's driver re-sort
-    sids, smat = ids[mask], mat[mask].astype(np.float32)
-    sample = smat[np.argsort(sids, kind="stable")]
+    sample = flat_hash_sample(ids, mat, target_sample)
     cent = kmeans_centroids(sample, n_cells=n_clusters)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

@@ -50,16 +50,22 @@ def cosine_topk(
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
             cos = (mat @ self.q) / norms
-            order = np.argsort(-cos, kind="stable")[:k]  # batch-local prune
+            # Batch prune and the final global sort share ONE total
+            # order — (rounded cos desc, id asc) — so the local top-k
+            # can never disagree with the global ranking at any scale,
+            # rounding ties included.  Rounding happens AFTER a float64
+            # cast (np.round on float32 keeps the nearest f32,
+            # 0.2879999876…, which hash-mismatches the oracle's 0.288);
+            # ranking on the ROUNDED value is what makes the order
+            # expressible in the DuckDB oracle, whose float64 cosine
+            # does not bit-match the engine's float32 one.
+            r = np.round(cos.astype(np.float64), 3)
+            ids = np.asarray(batch[id_col].to_pylist())
+            order = np.lexsort((ids, -r))[:k]  # batch-local prune
             return pa.Table.from_pydict(
                 {
-                    id_col: pa.array(
-                        [batch[id_col][int(i)].as_py() for i in order]
-                    ),
-                    # cast BEFORE rounding: np.round on float32 keeps the
-                    # nearest f32 (0.2879999876…), which hash-mismatches
-                    # the oracle's float64 0.288
-                    "cos": pa.array(np.round(cos[order].astype(np.float64), 3)),
+                    id_col: pa.array(ids[order].tolist()),
+                    "cos": pa.array(r[order]),
                 }
             )
 
@@ -146,14 +152,13 @@ def ivf_topk(
             sub = unit[mask]
             ids = np.asarray(batch[id_col].to_pylist())[mask]
             cos = sub @ self.q
-            order = np.argsort(-cos, kind="stable")[:k]
+            # one total order for prune and global sort — see cosine_topk
+            r = np.round(cos.astype(np.float64), 3)
+            order = np.lexsort((ids, -r))[:k]
             return pa.Table.from_pydict(
                 {
                     id_col: pa.array(ids[order].tolist(), pa.int64()),
-                    # cast BEFORE rounding: np.round on float32 keeps the
-                    # nearest f32 (0.2879999876…), which hash-mismatches
-                    # the oracle's float64 0.288
-                    "cos": pa.array(np.round(cos[order].astype(np.float64), 3)),
+                    "cos": pa.array(r[order]),
                 }
             )
 
@@ -256,14 +261,14 @@ def ann_topk_lsh(
             norms = np.linalg.norm(sub, axis=1)
             norms[norms == 0] = 1.0
             cos = (sub @ self.q) / norms
-            order = np.argsort(-cos, kind="stable")[:k]
+            # one total order for prune and global sort — (rounded cos
+            # desc, id asc); see cosine_topk for why the ROUNDED value
+            r = np.round(cos.astype(np.float64), 3)
+            order = np.lexsort((ids, -r))[:k]
             return pa.Table.from_pydict(
                 {
                     id_col: pa.array(ids[order].tolist(), pa.int64()),
-                    # cast BEFORE rounding: np.round on float32 keeps the
-                    # nearest f32 (0.2879999876…), which hash-mismatches
-                    # the oracle's float64 0.288
-                    "cos": pa.array(np.round(cos[order].astype(np.float64), 3)),
+                    "cos": pa.array(r[order]),
                 }
             )
 

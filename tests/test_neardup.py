@@ -266,3 +266,10 @@ def test_embedding_lsh_bucket_verify_equals_join_verify(ray_session, sf_dir) -> 
     pd.testing.assert_frame_equal(
         join.reset_index(drop=True), bucket.reset_index(drop=True), check_dtype=False
     )
+    # and with the dense-group cap active (the capped bucket path takes
+    # the verify-then-global-distinct route instead of first-collision)
+    join_c = embedding_near_dup_pairs_lsh(ds, verify="join", max_sig_group=64, **kw)
+    bucket_c = embedding_near_dup_pairs_lsh(ds, verify="bucket", max_sig_group=64, **kw)
+    pd.testing.assert_frame_equal(
+        join_c.reset_index(drop=True), bucket_c.reset_index(drop=True), check_dtype=False
+    )
