@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_chunks": textops.token_chunks,
         "context_pack_bins": textops.pack_documents_greedy,
         "doc_length_percentiles": textops.doc_length_percentiles,
+        "events_trailing_mean": rel.events_trailing_mean,
         # --- embedding computation (actor-pool model stage; the raw
         # vectors entry is rows-only, its digest + LSH composition are
         # SQL-checked) ---
@@ -547,6 +548,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents
+        """,
+        # trailing RANGE-window aggregate (per-user composite-key
+        # double-searchsorted + per-user prefix sums in the engine)
+        "events_trailing_mean": """
+            SELECT event_id,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                   ), 6) AS trailing_mean
+            FROM events
         """,
         # exact global window without a global sort (bounded-cardinality
         # histogram + broadcast CDF in the engine)

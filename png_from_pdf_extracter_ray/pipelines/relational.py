@@ -1931,3 +1931,55 @@ def q7_volume_shipping(
     return out.sort_values(
         ["supp_nation", "cust_nation", "l_year"], ignore_index=True
     )
+
+
+def events_trailing_mean(
+    sf_dir: str, window_s: int = 3600, num_buckets: int = 64
+) -> pd.DataFrame:
+    """Trailing RANGE-window AGGREGATE: per event, the mean of the SAME
+    user's ``value`` over ``[ts - window_s, ts]`` inclusive — SQL's
+    ``AVG(value) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN
+    INTERVAL .. PRECEDING AND CURRENT ROW)``, including all equal-ts
+    peers (RANGE frames are value-based, not row-based).
+
+    Scale shape (the ``events_window_counts`` composite-key pattern
+    extended from counts to value aggregates): users hash into B
+    buckets; per bucket ONE vectorized double-searchsorted over the
+    (user-ordinal << 44 | µs-offset) key bounds every row's window, and
+    the window SUM is a difference of per-user float64 prefix sums —
+    per-user reset keeps the cancellation error at window magnitude,
+    not corpus magnitude, so the round-6 values match the oracle's
+    per-partition accumulation.  No per-user Python, no pair expansion.
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def mean_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        ts_us = g["ts"].astype("int64").to_numpy()
+        u = pd.factorize(g["user_id"])[0].astype(np.int64)
+        base = ts_us - ts_us.min() if len(ts_us) else ts_us
+        if len(base) and (base.max() >= (1 << 44) or u.max() >= (1 << 19)):
+            raise ValueError("composite range-join key overflow: re-bucket finer")
+        key = (u << 44) + base
+        lo = np.searchsorted(
+            key, (u << 44) + np.maximum(base - window_s * 1_000_000, 0), side="left"
+        )
+        hi = np.searchsorted(key, key, side="right")  # equal-ts peers included
+        vals = g["value"].to_numpy(np.float64)
+        pu = pd.Series(vals).groupby(u).cumsum().to_numpy()  # per-user prefix
+        ustart = np.searchsorted(key, u << 44, side="left")
+        wsum = pu[hi - 1] - np.where(lo > ustart, pu[np.maximum(lo - 1, 0)], 0.0)
+        mean = np.round(wsum / (hi - lo), 6)
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "trailing_mean": pd.Series(mean, dtype="float64")}
+        )
+
+    return (
+        _bucket_by(ds, "user_id", num_buckets)
+        .groupby("__bucket")
+        .map_groups(mean_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
