@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "context_pack_bins": textops.pack_documents_greedy,
         "doc_length_percentiles": textops.doc_length_percentiles,
         "events_trailing_mean": rel.events_trailing_mean,
+        "q8_market_share": rel.q8_market_share,
         # --- embedding computation (actor-pool model stage; the raw
         # vectors entry is rows-only, its digest + LSH composition are
         # SQL-checked) ---
@@ -1101,6 +1102,29 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        # national market share per year (TPC-H Q8 shape)
+        "q8_market_share": """
+            WITH base AS (
+                SELECT year(o_orderdate) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS revenue,
+                       n2.n_name AS supp_nation
+                FROM lineitem
+                JOIN part     ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region   ON n1.n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01'
+            )
+            SELECT CAST(o_year AS BIGINT) AS o_year,
+                   ROUND(SUM(CASE WHEN supp_nation = 'NATION_9' THEN revenue
+                             ELSE 0 END) / SUM(revenue), 6) AS mkt_share
+            FROM base GROUP BY o_year ORDER BY o_year
         """,
         # cross-nation revenue per year (TPC-H Q7 shape)
         "q7_volume_shipping": """

@@ -1983,3 +1983,109 @@ def events_trailing_mean(
         .to_pandas()
         .sort_values("event_id", ignore_index=True)
     )
+
+
+def q8_market_share(
+    sf_dir: str,
+    nation: str = "NATION_9",
+    region: str = "ASIA",
+    part_type: str = "ECONOMY",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """TPC-H Q8 shape (national market share): the share of one
+    supplier-nation in the revenue of a part type sold to customers of
+    one region, per order year.
+
+    Scale plan (the Q5/Q7 doctrine): three broadcast small sides — the
+    filtered part-key set, supplier→nation-name map, and customer→
+    in-region flag — slim both big tables at the scan (lineitem to
+    (orderkey, revenue, is_target_nation), orders to (orderkey, year));
+    ONE bucketed orderkey join; per-year (nation_rev, total_rev)
+    partials reduce to a handful of rows on the driver."""
+    import numpy as np
+
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    region_nations = set(nat.loc[nat["n_regionkey"].isin(rkeys), "n_nationkey"])
+    target_nkey = set(nat.loc[nat["n_name"] == nation, "n_nationkey"])
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    pkeys = set(part.loc[part["p_type"] == part_type, "p_partkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_is_target = dict(
+        zip(supp["s_suppkey"], supp["s_nationkey"].isin(target_nkey))
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    c_in_region = set(
+        cust.loc[cust["c_nationkey"].isin(region_nations), "c_custkey"]
+    )
+    p_ref, s_ref, c_ref = ray.put(pkeys), ray.put(s_is_target), ray.put(c_in_region)
+
+    def slim_lineitem(df: pd.DataFrame) -> pa.Table:
+        pk = _cached_broadcast(p_ref)
+        sm = _cached_broadcast(s_ref)
+        df = df[df["l_partkey"].isin(pk)]
+        flag = df["l_suppkey"].map(sm)
+        df, flag = df[flag.notna()], flag.dropna()
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pa.array(df["l_orderkey"], pa.int64()),
+                "revenue": pa.array(
+                    (df["l_extendedprice"] * (1 - df["l_discount"])).astype("float64"),
+                    pa.float64(),
+                ),
+                "is_target": pa.array(flag.to_numpy(dtype=bool), pa.bool_()),
+            }
+        )
+
+    def slim_orders(df: pd.DataFrame) -> pa.Table:
+        cs = _cached_broadcast(c_ref)
+        df = df[
+            (df["o_orderdate"] >= lo)
+            & (df["o_orderdate"] < hi)
+            & df["o_custkey"].isin(cs)
+        ]
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pa.array(df["o_orderkey"], pa.int64()),
+                "o_year": pa.array(
+                    df["o_orderdate"].dt.year.astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "o_year": pd.Series([], dtype="int64"),
+            "mkt_share": pd.Series([], dtype="float64"),
+        }
+    )
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(slim_lineitem, batch_format="pandas").materialize()
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        slim_orders, batch_format="pandas"
+    ).materialize()
+    if li.count() == 0 or od.count() == 0:
+        return empty
+    joined = bucketed_hash_join(li, od, on="l_orderkey", num_buckets=num_buckets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            nation_rev=df["revenue"].where(df["is_target"], 0.0)
+        )
+        return df.rename(columns={"revenue": "total_rev"})[
+            ["o_year", "nation_rev", "total_rev"]
+        ]
+
+    out = grouped_sum(joined, ["o_year"], partial, ["nation_rev", "total_rev"]).to_pandas()
+    if out.empty:
+        return empty
+    out["mkt_share"] = (out["nation_rev"] / out["total_rev"]).round(6)
+    return out[["o_year", "mkt_share"]].sort_values("o_year", ignore_index=True)
