@@ -32,6 +32,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..stages.similarity import _ids_np, _stack
+
 ORACLE_ROOT = "/tmp/graft_rowsonly_oracles"
 
 
@@ -341,8 +343,8 @@ def write_embedding_lsh_oracle(sf_dir: str, threshold: float = 0.4) -> str:
     if os.path.exists(path):
         return path
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = np.asarray(t["vec_id"].to_pylist())
-    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+    ids = _ids_np(t["vec_id"])
+    mat = _stack(t["embedding"])
     k, tables = srp_lsh_params(threshold)
     out = _lsh_pairs_singleproc(ids, mat, threshold, k, tables)
     return _commit(_from_pandas(out, _PAIR_SCHEMA_I64), path)
@@ -363,8 +365,8 @@ def write_text_embedding_lsh_oracle(sf_dir: str, threshold: float = 0.9) -> str:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     emb = TextEmbedder()(docs)
-    ids = np.asarray(emb["doc_id"].to_pylist())
-    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float32)
+    ids = _ids_np(emb["doc_id"])
+    mat = _stack(emb["embedding"])
     k, tables = srp_lsh_params(threshold)
     out = _lsh_pairs_singleproc(ids, mat, threshold, n_planes=k, n_tables=tables)
     return _commit(_from_pandas(out, _PAIR_SCHEMA_I64), path)
@@ -383,8 +385,8 @@ def write_ivf_topk_oracle(
     if os.path.exists(path):
         return path
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = np.asarray(t["vec_id"].to_pylist())
-    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+    ids = _ids_np(t["vec_id"])
+    mat = _stack(t["embedding"])
     sample = flat_hash_sample(ids, mat, 2048)
     cent = kmeans_centroids(sample, n_cells=n_cells)
 
@@ -418,8 +420,8 @@ def write_semantic_dedup_oracle(sf_dir: str, threshold: float = 0.4) -> str:
     if os.path.exists(path):
         return path
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = np.asarray(t["vec_id"].to_pylist())
-    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+    ids = _ids_np(t["vec_id"])
+    mat = _stack(t["embedding"])
     out = semantic_dedup_singleproc(ids, mat, threshold=threshold)
     return _commit(
         _from_pandas(
@@ -552,8 +554,8 @@ def write_similarity_lsh_oracle(
     if os.path.exists(path):
         return path
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = np.asarray(t["vec_id"].to_pylist())
-    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+    ids = _ids_np(t["vec_id"])
+    mat = _stack(t["embedding"])
     q = load_query_vector(sf_dir, 0)
     planes = srp_planes(mat.shape[1], n_planes, seed)
     qsig = int(srp_signature(q[None, :], planes)[0])

@@ -355,15 +355,18 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     from ..stages.neardup import embedding_near_dup_pairs
+    from ..stages.similarity import _ids_np, _stack
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    # driver read is the documented matrix-fits-memory envelope — prune
+    # it to the two columns the broadcast needs
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    import numpy as np
-
     return embedding_near_dup_pairs(
         ds,
-        np.asarray(t["vec_id"].to_pylist()),
-        np.asarray(t["embedding"].to_pylist(), dtype=np.float32),
+        _ids_np(t["vec_id"]),
+        _stack(t["embedding"]),
         threshold=threshold,
     )
 
@@ -375,7 +378,11 @@ def semantic_dedup_embeddings(sf_dir: str, threshold: float = 0.4) -> pd.DataFra
     from ..stages.semdedup import semantic_dedup
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return semantic_dedup(ds, threshold=threshold)
+    # the operator returns the labeled Dataset (N-sized output stays
+    # distributed); the driver-side collect+sort lives only here, in the
+    # query wrapper, for the oracle comparison
+    out = semantic_dedup(ds, threshold=threshold).to_pandas()
+    return out.sort_values("vec_id", ignore_index=True)
 
 
 def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:

@@ -831,7 +831,11 @@ def simhash_near_dup_pairs(
     )
 
     def explode_blocks(batch: pa.Table) -> pa.Table:
-        sh = np.asarray(batch["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+        sh = (
+            batch["simhash"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
         n = len(sh)
         rid = pc.take(batch[id_col].combine_chunks(), pa.array(np.repeat(np.arange(n), 4)))
         blocks = np.tile(np.arange(4, dtype=np.int32), n)
@@ -921,25 +925,24 @@ def embedding_near_dup_pairs(
             self.ids = ray.get(ids_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            rows = np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
+            from .similarity import _ids_np, _stack
+
+            rows = _stack(batch[vec_col])
             rnorm = np.linalg.norm(rows, axis=1, keepdims=True)
             rnorm[rnorm == 0] = 1.0
             rows = rows / rnorm
-            rids = np.asarray(batch[id_col].to_pylist())
+            rids = _ids_np(batch[id_col])
             cos = rows @ self.mat.T  # (batch, all)
-            ia, ib, cs = [], [], []
-            cand = np.argwhere(cos >= threshold)
-            for r, c in cand:
-                a, b = rids[r], self.ids[c]
-                if a < b:
-                    ia.append(int(a))
-                    ib.append(int(b))
-                    cs.append(round(float(cos[r, c]), 3))
+            r, c = np.nonzero(cos >= threshold)
+            a, b = rids[r], self.ids[c]
+            m = a < b
             return pa.Table.from_pydict(
                 {
-                    "id_a": pa.array(ia, pa.int64()),
-                    "id_b": pa.array(ib, pa.int64()),
-                    "cos": pa.array(cs, pa.float64()),
+                    "id_a": pa.array(a[m], pa.int64()),
+                    "id_b": pa.array(b[m], pa.int64()),
+                    "cos": pa.array(
+                        np.round(cos[r[m], c[m]].astype(np.float64), 3), pa.float64()
+                    ),
                 }
             )
 
@@ -1011,12 +1014,8 @@ def embedding_near_dup_pairs_lsh(
       the vector column ships n_tables× through the one signature
       shuffle — prefer "join" when candidates ≪ n_tables × N.
     """
-    probe = ds.take(1)
-    if not probe:
-        return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
-    dim = len(probe[0][vec_col])
     id_type = _schema_type(ds, id_col)
-    from .similarity import srp_lsh_params, srp_planes
+    from .similarity import _ids_np, _stack, srp_lsh_params, srp_planes  # noqa: F401
 
     if n_planes is None or n_tables is None:
         # adaptive: derive the recall/cost point from the threshold
@@ -1041,8 +1040,11 @@ def embedding_near_dup_pairs_lsh(
                 cols[vec_col] = pa.array([], vec_type)
                 cols["all_sigs"] = pa.array([], pa.list_(pa.int64(), n_tables))
             return pa.Table.from_pydict(cols)
-        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
-        planes = srp_planes(dim, n_tables * n_planes, seed)  # deterministic
+        mat = _stack(batch[vec_col])
+        # deterministic from (seed, dim): every batch derives the SAME
+        # planes — no broadcast, and no driver-side take(1) dim probe
+        # (the dim comes from the batch itself)
+        planes = srp_planes(mat.shape[1], n_tables * n_planes, seed)
         bits = (mat @ planes.T) >= 0  # (n, tables*planes)
         bits = bits.reshape(len(mat), n_tables, n_planes)
         weights = 1 << np.arange(n_planes, dtype=np.uint64)
@@ -1225,8 +1227,8 @@ def embedding_near_dup_pairs_lsh(
                     "cos": pa.array([], pa.float64()),
                 }
             )
-        va = np.asarray(batch["vec_a"].to_pylist(), dtype=np.float32)
-        vb = np.asarray(batch["vec_b"].to_pylist(), dtype=np.float32)
+        va = _stack(batch["vec_a"])
+        vb = _stack(batch["vec_b"])
         na = np.linalg.norm(va, axis=1)
         nb = np.linalg.norm(vb, axis=1)
         na[na == 0] = 1.0

@@ -64,26 +64,30 @@ def deterministic_sample_matrix(
     order (``preserve_order`` is off), so the driver re-sorts the
     sample by id before handing it to the quantizer — batch-invariant
     AND run-invariant."""
+    from .similarity import _ids_np, _stack
+
     n = ds.count()
     if n == 0:
         return np.empty((0, 0), dtype=np.float32)
     thresh = _hash_threshold(n, target)
 
     def keep(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(np.asarray(batch[id_col].to_pylist()))
+        h = pd.util.hash_array(_ids_np(batch[id_col]))
         return batch.select([id_col, vec_col]).filter(pa.array(h <= thresh))
 
-    ids: list = []
-    rows: list = []
+    ids_parts: list[np.ndarray] = []
+    mat_parts: list[np.ndarray] = []
     for b in ds.map_batches(keep, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
-        ids.extend(b[id_col].to_pylist())
-        rows.extend(b[vec_col].to_pylist())
-    if not rows:
+        if b.num_rows:
+            ids_parts.append(_ids_np(b[id_col]))
+            mat_parts.append(_stack(b[vec_col]))
+    if not mat_parts:
         return np.empty((0, 0), dtype=np.float32)
-    mat = np.asarray(rows, dtype=np.float32)
-    return mat[np.argsort(np.asarray(ids), kind="stable")]
+    ids = np.concatenate(ids_parts)
+    mat = np.vstack(mat_parts)
+    return mat[np.argsort(ids, kind="stable")]
 
 
 def flat_hash_sample(ids: np.ndarray, mat: np.ndarray, target: int) -> np.ndarray:
@@ -134,17 +138,36 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_sample: int = 2048,
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Cluster-then-prune semantic dedup (module docstring).
 
-    Output: one row per input, ``(id, cluster, keep, dup_of)`` with
-    ``dup_of`` = the kept representative responsible for a drop, -1 for
-    kept rows.  Sorted by id."""
-    from .similarity import kmeans_centroids
+    Output: a ``Dataset`` with one row per input,
+    ``(id, cluster, keep, dup_of)`` where ``dup_of`` = the kept
+    representative responsible for a drop, -1 for kept rows.  The output
+    is N-sized (one label row per document), so it stays a Dataset —
+    collect/sort only in test or oracle wrappers, never here."""
+    from .similarity import _ids_np, _stack, kmeans_centroids
+
+    def _empty_labels() -> pa.Table:
+        id_type = pa.int64()
+        try:
+            sch = ds.schema()
+            if sch is not None:
+                id_type = sch.base_schema.field(id_col).type
+        except Exception:
+            pass
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array([], id_type),
+                "cluster": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.bool_()),
+                "dup_of": pa.array([], pa.int64()),
+            }
+        )
 
     sample = deterministic_sample_matrix(ds, id_col, vec_col, target=target_sample)
     if sample.size == 0:
-        return pd.DataFrame({id_col: [], "cluster": [], "keep": [], "dup_of": []})
+        return rd.from_arrow(_empty_labels())
     cent = kmeans_centroids(sample, n_cells=n_clusters)
     cref = ray.put(cent)
 
@@ -152,7 +175,7 @@ def semantic_dedup(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = _cached_broadcast(cref)
-        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
+        mat = _stack(batch[vec_col])
         if mat.size == 0:
             return pa.Table.from_pydict(
                 {
@@ -173,30 +196,31 @@ def semantic_dedup(
             }
         )
 
-    def prune(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        mat = np.asarray(list(g[vec_col]), dtype=np.float32)
+    def prune(g: pa.Table) -> pa.Table:
+        # typed output on EVERY path (incl. empty groups) — an untyped
+        # empty block downgrades the stream schema (neardup._typed_table
+        # lesson, applied here after the r3 RefBundle warnings)
+        if g.num_rows == 0:
+            return _empty_labels()
+        ids = _ids_np(g[id_col])
+        mat = _stack(g[vec_col])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         keep, dup_of = _greedy_prune(ids, mat / norms, threshold)
-        return pd.DataFrame(
+        return pa.Table.from_pydict(
             {
-                id_col: ids,
-                "cluster": g["cluster"].to_numpy(),
-                "keep": keep,
-                "dup_of": dup_of,
+                id_col: g[id_col],
+                "cluster": g["cluster"].cast(pa.int64()),
+                "keep": pa.array(keep),
+                "dup_of": pa.array(dup_of, pa.int64()),
             }
         )
 
-    out = (
+    return (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby("cluster")
-        .map_groups(prune, batch_format="pandas")
-        .to_pandas()
+        .map_groups(prune, batch_format="pyarrow")
     )
-    out["cluster"] = out["cluster"].astype("int64")
-    out["dup_of"] = out["dup_of"].astype("int64")
-    return out.sort_values(id_col, ignore_index=True)
 
 
 def semantic_dedup_singleproc(

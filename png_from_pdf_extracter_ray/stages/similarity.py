@@ -13,15 +13,36 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 
 
 def _stack(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """list<float> column → (n, d) float32 matrix (zero-ish copy)."""
-    pylist = col.to_pylist()
-    return np.asarray(pylist, dtype=np.float32)
+    """list<float> / fixed_size_list<float> column → (n, d) float32 matrix.
+
+    Vectorized: ``pc.list_flatten`` (offset/slice-aware) hands back one
+    flat float buffer that numpy views and reshapes — zero Python objects
+    per element.  This is the per-batch hot loop of the whole embedding
+    family (ANN, LSH near-dup, semdedup), so it must never round-trip
+    through ``to_pylist``.  Assumes fixed-dim, non-null vectors (the
+    embeddings/pages schema guarantees both); ragged input fails loudly
+    at the reshape."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float32)
+    flat = np.asarray(pc.list_flatten(col), dtype=np.float32)
+    return flat.reshape(n, len(flat) // n)
+
+
+def _ids_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """id column → numpy without per-row Python objects."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
 
 
 def cosine_topk(
@@ -60,7 +81,7 @@ def cosine_topk(
             # expressible in the DuckDB oracle, whose float64 cosine
             # does not bit-match the engine's float32 one.
             r = np.round(cos.astype(np.float64), 3)
-            ids = np.asarray(batch[id_col].to_pylist())
+            ids = _ids_np(batch[id_col])
             order = np.lexsort((ids, -r))[:k]  # batch-local prune
             return pa.Table.from_pydict(
                 {
@@ -150,7 +171,7 @@ def ivf_topk(
                     {id_col: pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
                 )
             sub = unit[mask]
-            ids = np.asarray(batch[id_col].to_pylist())[mask]
+            ids = _ids_np(batch[id_col])[mask]
             cos = sub @ self.q
             # one total order for prune and global sort — see cosine_topk
             r = np.round(cos.astype(np.float64), 3)
@@ -257,7 +278,7 @@ def ann_topk_lsh(
                     {id_col: pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
                 )
             sub = mat[mask]
-            ids = np.asarray(batch[id_col].to_pylist())[mask]
+            ids = _ids_np(batch[id_col])[mask]
             norms = np.linalg.norm(sub, axis=1)
             norms[norms == 0] = 1.0
             cos = (sub @ self.q) / norms

@@ -54,7 +54,11 @@ class TestSemanticDedup:
         import ray.data as rd
 
         ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        out = semantic_dedup(ds, threshold=THRESHOLD)
+        out = (
+            semantic_dedup(ds, threshold=THRESHOLD)
+            .to_pandas()
+            .sort_values("vec_id", ignore_index=True)
+        )
         import pyarrow.parquet as pq
 
         t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
