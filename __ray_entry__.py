@@ -96,32 +96,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         text_embeddings_digest as _emb_digest,
     )
 
+    # Ordering contract: the driver attests the FIRST 50 entries in
+    # CORRECTNESS_r{N}.json, so the window holds one representative of
+    # EVERY operator family (flagship extraction, exact/minhash/simhash/
+    # ngram/LSH/semantic/pHash/cross-doc dedup, ANN ×3, HLL + quantile
+    # sketches, multimodal page ops, TPC-H shapes, windows/as-of/pivot/
+    # funnel/correlation, tf-idf, bloom, packing, PII); long-tail
+    # variants and the remaining relational shapes follow after.
     return {
-        # --- flagship extraction (non-SQL: rows-only check) ---
+        # --- flagship extraction family (summary/rows/digests are
+        # SQL-checked vs the single-process oracle parquets) ---
         "extract_flagship": lambda sf: flagship(sf, expand=2, summary_only=True),
-        # --- flagship summary (SQL-checked against the single-process
-        # oracle's parquet: counts + XOR content digest per status/type) ---
         "extract_flagship_summary": lambda sf: flagship_summary(sf, expand=2),
-        # --- per-DOCUMENT flagship rows (SQL-checked vs the per-doc
-        # oracle parquet — row-level drift in any column flips the hash) ---
         "extract_flagship_rows": lambda sf: _flagship_rows(sf, expand=2),
-        # --- page-raster digest (SQL-checked vs the same single-process
-        # oracle: XOR over blake2b of the PNG BYTES of every page) ---
         "pages_digest": lambda sf: _pages_digest(sf, expand=2),
-        # --- resized-raster digest: distributed decode→resize→re-encode
-        # must reproduce the single-process bytes (SQL-checked) ---
         "pages_resized_digest": lambda sf: _resized_digest(sf, expand=2),
-        # --- embedding digest: distributed model stage, bit-level
-        # (SQL-checked) ---
         "text_embeddings_digest": lambda sf: _emb_digest(sf, expand=2),
-        # --- skew-routed pipeline summary: the size-bucketed variant must
-        # reproduce the flagship oracle exactly (SQL-checked) ---
         "extract_skew_routed_summary": lambda sf: _skew_summary(sf, expand=2),
-        # --- relational operators (SQL-checked) ---
+        # --- deduplication family (exact → sketch → LSH → semantic →
+        # image → cross-doc substring; all SQL-checked) ---
+        "dedup_exact_text": rel.dedup_exact_text,
+        "semantic_dedup": textops.semantic_dedup_embeddings,
+        "minhash_near_dups": textops.minhash_near_dups,
+        "minhash_dedup_groups": textops.minhash_dedup_groups,
+        "minhash_dedup_keep_best": textops.minhash_dedup_keep_best,
+        "simhash_near_dups": textops.simhash_near_dups,
+        "ngram_jaccard_near_dups": textops.ngram_jaccard_near_dups,
+        "embedding_near_dups": textops.embedding_near_dups,
+        "embedding_near_dups_lsh": textops.embedding_near_dups_lsh,
+        "text_embedding_near_dups": textops.text_embedding_near_dups,
+        "pages_phash_near_dups": textops.pages_phash_near_dups,
+        "cross_doc_duplicate_spans": dq.cross_doc_duplicate_spans,
+        # --- similarity search (brute-force / LSH / IVF; SQL-checked) ---
+        "similarity_topk": textops.similarity_topk,
+        "similarity_topk_lsh": textops.similarity_topk_lsh,
+        "similarity_topk_ivf": textops.similarity_topk_ivf,
+        # --- sketches (HLL SQL-checked vs flat recompute; the grid
+        # sketches are batch-boundary-dependent → rows-only + error-bound
+        # pytests; the exact quantile variant is SQL-checked) ---
+        "distinct_users_per_event_type_hll": rel.distinct_users_per_event_type_hll,
+        "quantity_quantiles_sketch": rel.quantity_quantiles_sketch,
+        "quantity_quantiles_by_returnflag": rel.quantity_quantiles_by_returnflag,
+        "order_value_percentile_ranks": rel.order_value_percentile_ranks,
+        # --- multimodal page operations ---
+        "pages_page_meta": textops.pages_page_meta,
+        "pages_resized_thumbs": textops.pages_resized_thumbs,  # digest-checked
+        "pages_frame_sample": textops.pages_frame_sample,
+        "pages_image_features_summary": textops.pages_image_features_summary,
+        # --- TPC-H query shapes (SQL-checked) ---
         "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q7_volume_shipping": rel.q7_volume_shipping,
+        "q8_market_share": rel.q8_market_share,
+        "q14_promo_revenue": rel.q14_promo_revenue,
+        "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
+        "q18_large_orders": rel.q18_large_orders,
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        # --- windows / as-of / pivot / funnel / correlation ---
+        "events_asof_last_purchase": rel.events_asof_last_purchase,
+        "events_sessionize": rel.events_sessionize,
+        "events_sliding_window": rel.events_sliding_window,
+        "events_type_hour_pivot": rel.events_type_hour_pivot,
+        "events_funnel_counts": rel.events_funnel_counts,
+        "lineitem_correlations": rel.lineitem_correlations,
+        # --- corpus statistics / packing / data quality reps ---
+        "tfidf_top_terms": corpus_stats.tfidf_top_terms,
+        "benchmark_contamination_bloom": corpus_stats.benchmark_contamination_bloom,
+        "context_pack_bins": textops.pack_documents_greedy,
+        "pii_scrub": dq.pii_scrub,
+        # ==================== end of the 50-entry driver window =========
+        # --- relational operators (SQL-checked) ---
         "lang_whitelist_filter": rel.lang_whitelist_filter,
         "groupby_lang_counts": rel.groupby_lang_counts,
-        "dedup_exact_text": rel.dedup_exact_text,
         "top_longest_docs": rel.top_longest_docs,
         "customers_per_nation": rel.customers_per_nation,
         "orders_priority_rollup": rel.orders_priority_rollup,
@@ -134,23 +182,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_topk_acctbal": rel.supplier_topk_acctbal,
         "parts_by_brand": rel.parts_by_brand,
         "union_account_holders": rel.union_account_holders,
-        "q3_shipping_priority": rel.q3_shipping_priority,
-        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
-        "events_asof_last_purchase": rel.events_asof_last_purchase,
-        "quantity_quantiles_by_returnflag": rel.quantity_quantiles_by_returnflag,
-        # bounded-state approximate quantiles (sketch — rows-only; a
-        # pytest asserts the documented rank-error bound vs exact)
-        "quantity_quantiles_sketch": rel.quantity_quantiles_sketch,
         "distinct_users_per_event_type": rel.distinct_users_per_event_type,
-        # bounded-state approximate count-distinct (mergeable HLL —
-        # rows-only; a pytest asserts the documented error bound)
-        "distinct_users_per_event_type_hll": rel.distinct_users_per_event_type_hll,
-        "events_sessionize": rel.events_sessionize,
-        # LAG window + interval (range) self-join (both SQL-checked)
         "events_lag_deltas": rel.events_lag_deltas,
         "events_window_counts": rel.events_window_counts,
-        "events_sliding_window": rel.events_sliding_window,
         "cumulative_order_value": rel.cumulative_order_value,
+        "orders_rollup": rel.orders_rollup,
+        "events_trailing_mean": rel.events_trailing_mean,
+        "nation_balance_full_outer": rel.nation_balance_full_outer,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "q4_priority_exists": rel.q4_priority_exists,
+        "q12_priority_by_returnflag": rel.q12_priority_by_returnflag,
+        "quantity_zscore_by_returnflag": rel.quantity_zscore_by_returnflag,
+        "q10_returned_item_revenue": rel.q10_returned_item_revenue,
+        "event_type_cooccurrence": rel.event_type_cooccurrence,
         # --- text analysis (SQL-checked) ---
         "token_counts": textops.token_counts,
         "bpe_token_counts": textops.bpe_token_counts,
@@ -160,84 +204,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": textops.stratified_sample,
         "md5_fingerprints": textops.md5_fingerprints,
         "normalized_text_fps": textops.normalized_text_fps,
-        "orders_rollup": rel.orders_rollup,
-        # --- text analysis (rolling fp: rows-only; langid: SQL-checked) ---
         "rolling_fingerprints": textops.rolling_fingerprints,
         "langid_heuristic": textops.langid_heuristic,
         # --- data quality (all SQL-checked) ---
         "duplicate_span_stats": dq.duplicate_span_stats,
         "repetition_stats": dq.repetition_stats,
         "events_props_json": dq.events_props_json,
-        "pii_scrub": dq.pii_scrub,
         "count_distinct_texts": dq.count_distinct_texts,
         "clean_corpus_ids": dq.clean_corpus_ids,
-        "nation_balance_full_outer": rel.nation_balance_full_outer,
         "remove_duplicate_spans": dq.remove_duplicate_spans,
-        # --- URL/domain operators over the pages corpus (SQL-checked
-        # against the per-doc oracle parquet's url universe) ---
         "pages_domain_counts": dq.pages_domain_counts,
         "pages_domain_capped": dq.pages_domain_capped,
-        # --- TPC-H-shaped correlated subquery / HAVING (SQL-checked) ---
-        "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
-        "q18_large_orders": rel.q18_large_orders,
-        "top_orders_per_customer": rel.top_orders_per_customer,
-        # EXISTS semi-join and CASE-WHEN-over-join shapes (SQL-checked)
-        "q4_priority_exists": rel.q4_priority_exists,
-        "q12_priority_by_returnflag": rel.q12_priority_by_returnflag,
-        "q6_forecast_revenue": rel.q6_forecast_revenue,
-        "q14_promo_revenue": rel.q14_promo_revenue,
-        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
-        "q7_volume_shipping": rel.q7_volume_shipping,
-        "quantity_zscore_by_returnflag": rel.quantity_zscore_by_returnflag,
-        "q10_returned_item_revenue": rel.q10_returned_item_revenue,
-        "events_funnel_counts": rel.events_funnel_counts,
-        "events_type_hour_pivot": rel.events_type_hour_pivot,
-        # sketch-CDF percentile-rank transform (rows-only; bounded-error pytest)
-        "order_value_percentile_ranks": rel.order_value_percentile_ranks,
-        "lineitem_correlations": rel.lineitem_correlations,
-        "event_type_cooccurrence": rel.event_type_cooccurrence,
         # --- corpus statistics (all SQL-checked) ---
         "vocab_top_tokens": corpus_stats.vocab_top_tokens,
         "token_doc_frequency": corpus_stats.token_doc_frequency,
         "doc_length_histogram": corpus_stats.doc_length_histogram,
         "benchmark_contamination": corpus_stats.benchmark_contamination,
-        "benchmark_contamination_bloom": corpus_stats.benchmark_contamination_bloom,
-        "tfidf_top_terms": corpus_stats.tfidf_top_terms,
         "heavy_hitter_tokens": corpus_stats.heavy_hitter_tokens,
         "token_postings": corpus_stats.token_postings,
         "unigram_logprob_scores": corpus_stats.unigram_logprob_scores,
         "token_chunks": textops.token_chunks,
-        "context_pack_bins": textops.pack_documents_greedy,
         "doc_length_percentiles": textops.doc_length_percentiles,
-        "events_trailing_mean": rel.events_trailing_mean,
-        "q8_market_share": rel.q8_market_share,
-        # --- embedding computation (actor-pool model stage; the raw
-        # vectors entry is rows-only, its digest + LSH composition are
-        # SQL-checked) ---
+        # --- raw-output entries (rows-only: list/binary columns) ---
         "text_embeddings": textops.text_embeddings,
-        "text_embedding_near_dups": textops.text_embedding_near_dups,  # SQL-checked
-        # --- similarity search (all SQL-checked: IVF's quantizer sample
-        # is the deterministic hash-threshold sample) ---
-        "similarity_topk": textops.similarity_topk,
-        "similarity_topk_lsh": textops.similarity_topk_lsh,
-        "similarity_topk_ivf": textops.similarity_topk_ivf,
-        # --- near-duplicate detection (all SQL-checked: relational
-        # oracles for the exact modes, single-process recompute oracles
-        # for the sketch/LSH modes — rowsonly_oracles.py) ---
-        "embedding_near_dups": textops.embedding_near_dups,
-        "embedding_near_dups_lsh": textops.embedding_near_dups_lsh,
-        "semantic_dedup": textops.semantic_dedup_embeddings,
-        "ngram_jaccard_near_dups": textops.ngram_jaccard_near_dups,
-        "minhash_near_dups": textops.minhash_near_dups,
-        "minhash_dedup_groups": textops.minhash_dedup_groups,
-        "minhash_dedup_keep_best": textops.minhash_dedup_keep_best,
-        "simhash_near_dups": textops.simhash_near_dups,
-        # --- multimodal page operations ---
-        "pages_page_meta": textops.pages_page_meta,
-        "pages_resized_thumbs": textops.pages_resized_thumbs,  # digest-checked
-        "pages_frame_sample": textops.pages_frame_sample,
-        "pages_image_features": textops.pages_image_features,  # rows-only (list col)
-        "pages_image_features_summary": textops.pages_image_features_summary,
+        "pages_image_features": textops.pages_image_features,
     }
 
 
@@ -392,6 +382,8 @@ def oracle_sql() -> dict[str, str]:
     _ivf_oracle = _rro._oracle_path(_oracle_sf, "ivf_topk")
     _pack_oracle = _rro._oracle_path(_oracle_sf, "pack_bins")
     _keepbest_oracle = _rro._oracle_path(_oracle_sf, "minhash_keep_best")
+    _phash_oracle = _rro._oracle_path(_oracle_sf, "pages_phash_pairs")
+    _xdoc_oracle = _rro._oracle_path(_oracle_sf, "cross_doc_spans")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -405,6 +397,8 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_ivf_topk_oracle(_oracle_sf)
         _rro.write_pack_bins_oracle(_oracle_sf)
         _rro.write_keep_best_oracle(_oracle_sf)
+        _rro.write_pages_phash_oracle(_oracle_sf)
+        _rro.write_cross_doc_spans_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -464,6 +458,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_dups": f"""
             SELECT id_a, id_b, hamming FROM read_parquet('{_sh_pairs_oracle}')
+        """,
+        "pages_phash_near_dups": f"""
+            SELECT id_a, id_b, hamming FROM read_parquet('{_phash_oracle}')
+        """,
+        "cross_doc_duplicate_spans": f"""
+            SELECT doc_id, n_tokens, n_removed, text_clean
+            FROM read_parquet('{_xdoc_oracle}')
         """,
         "rolling_fingerprints": f"""
             SELECT doc_id, rolling_fp FROM read_parquet('{_rfp_oracle}')

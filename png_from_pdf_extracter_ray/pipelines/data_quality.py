@@ -885,3 +885,184 @@ def pc_cast_i64(arr: "pa.ChunkedArray | pa.Array") -> "pa.ChunkedArray | pa.Arra
     import pyarrow.compute as pc
 
     return pc.cast(arr, pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact-substring dedup (the Lee-et-al removal pass)
+# ---------------------------------------------------------------------------
+
+
+def _doc_window_hashes(tokens: np.ndarray, k: int) -> np.ndarray:
+    """k-window polynomial hashes of ONE doc's token array (uint64).
+
+    The same hash family ``_batch_span_rows`` computes flat across a
+    batch (one ``pd.util.hash_array`` + the ``_SPAN_P`` window
+    polynomial) — shared so the removal pass and the marking pass can
+    never disagree on span identity."""
+    if len(tokens) < k:
+        return np.empty(0, dtype=np.uint64)
+    th = pd.util.hash_array(tokens)
+    pows = np.ones(k, dtype=np.uint64)
+    np.cumprod(np.full(k - 1, _SPAN_P, dtype=np.uint64), out=pows[1:])
+    win = np.lib.stride_tricks.sliding_window_view(th, k)
+    return (win * pows[::-1]).sum(axis=1, dtype=np.uint64)
+
+
+def _scrub_doc_tokens(
+    tokens: np.ndarray, drop_hs: np.ndarray | None, k: int
+) -> tuple[np.ndarray, int]:
+    """Drop every token covered by a k-window whose hash is in
+    ``drop_hs`` (int64 views).  Shared by the engine's finalize stage
+    and the single-process oracle — the per-doc removal kernel IS the
+    contract; df/ownership logic is re-derived independently on each
+    side."""
+    n = len(tokens)
+    if n < k or drop_hs is None or len(drop_hs) == 0:
+        return tokens, 0
+    wh = _doc_window_hashes(tokens, k)
+    bad = np.nonzero(np.isin(wh.view(np.int64), drop_hs))[0]
+    if bad.size == 0:
+        return tokens, 0
+    cover = np.zeros(n + 1, dtype=np.int32)
+    np.add.at(cover, bad, 1)
+    np.add.at(cover, bad + k, -1)
+    covered = np.cumsum(cover[:-1]) > 0
+    return tokens[~covered], int(covered.sum())
+
+
+def cross_doc_duplicate_spans(
+    sf_dir: str, span_k: int = DUP_SPAN_K, num_buckets: int = 32
+) -> rd.Dataset:
+    """Cross-document exact-substring DEDUP — the removal pass of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") at span granularity: every distinct ``span_k``-token span
+    occurring in two or more documents is kept only in its OWNER (the
+    smallest doc_id containing it) and removed from every other
+    document; a token is dropped when any removable window covers it.
+    Boilerplate paragraphs shared across urls vanish from all copies but
+    the first.  Intra-document repeats are the sibling operator
+    ``remove_duplicate_spans``; this one only drops spans sourced from
+    ANOTHER document.
+
+    Output per document: ``doc_id``, ``n_tokens`` (normalized token
+    count), ``n_removed``, ``text_clean`` (surviving tokens joined by
+    single spaces — the trim/lower/``\\s+`` normalization the text-stats
+    family shares).
+
+    Ray shape: (doc, span-hash) rows from the marking-pass kernel,
+    bucketed by span hash for df + owner (B groups, never one Ray group
+    per span), removable rows re-bucketed by doc hash and folded into
+    ONE list<int64> row per doc, then a bucketed left join ships each
+    doc's drop set next to its text — the raw text crosses the wire
+    exactly once, in that join.  SQL-checked against the flat
+    single-process recompute
+    (pipelines/rowsonly_oracles.write_cross_doc_spans_oracle)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def span_rows(df: pd.DataFrame) -> pa.Table:
+        ids, hashes = _batch_span_rows(df, span_k)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(hashes, pa.int64()),
+                "__bucket": pa.array(
+                    (hashes.view(np.uint64) % num_buckets).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    _DROP_SCHEMA = pa.schema([("doc_id", pa.int64()), ("h", pa.int64())])
+
+    def removable_rows(g: pd.DataFrame) -> pa.Table:
+        # all rows of a span hash land in one bucket; rows are distinct
+        # per (doc, hash), so size IS document frequency and min IS the
+        # global owner
+        grp = g.groupby("h")["doc_id"]
+        dfreq = grp.transform("size").to_numpy()
+        owner = grp.transform("min").to_numpy()
+        drop = (dfreq >= 2) & (g["doc_id"].to_numpy() != owner)
+        out = g.loc[drop, ["doc_id", "h"]]
+        return pa.Table.from_pandas(out, schema=_DROP_SCHEMA, preserve_index=False)
+
+    _LIST_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("drop_hs", pa.list_(pa.int64()))]
+    )
+
+    def redocb(t: pa.Table) -> pa.Table:
+        b = (
+            stable_bucket_ids(t["doc_id"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__docb", pa.array(b, pa.int32()))
+
+    def collect_doc(g: pd.DataFrame) -> pa.Table:
+        # (doc, sorted hash-run) → one list row per doc, pure numpy+Arrow
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        h = g["h"].to_numpy(dtype=np.int64)
+        order = np.lexsort((h, d))
+        d, h = d[order], h[order]
+        uniq, starts = np.unique(d, return_index=True)
+        offsets = np.concatenate([starts, [len(d)]]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(h, pa.int64())
+        )
+        return pa.Table.from_arrays(
+            [pa.array(uniq, pa.int64()), lists], schema=_LIST_SCHEMA
+        )
+
+    _OUT_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_removed", pa.int64()),
+            ("text_clean", pa.string()),
+        ]
+    )
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        has_drops = "drop_hs" in df.columns
+        n_tok = np.zeros(len(df), dtype=np.int64)
+        n_rem = np.zeros(len(df), dtype=np.int64)
+        cleaned: list[str] = []
+        for i, (text, hs) in enumerate(
+            zip(df["text"], df["drop_hs"] if has_drops else [None] * len(df))
+        ):
+            s = (text or "").strip().lower()
+            toks = np.asarray(_WS.split(s) if s else [], dtype=object)
+            n_tok[i] = len(toks)
+            drop = (
+                None
+                if hs is None or (isinstance(hs, float) and np.isnan(hs))
+                else np.asarray(hs, dtype=np.int64)
+            )
+            kept, removed = _scrub_doc_tokens(toks, drop, span_k)
+            n_rem[i] = removed
+            cleaned.append(" ".join(kept))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+                "n_tokens": pa.array(n_tok),
+                "n_removed": pa.array(n_rem),
+                "text_clean": pa.array(cleaned, pa.string()),
+            }
+        ).cast(_OUT_SCHEMA)
+
+    spans = docs.map_batches(span_rows, batch_format="pandas")
+    drops = (
+        spans.groupby("__bucket")
+        .map_groups(removable_rows, batch_format="pandas")
+        .materialize()  # removable rows only — far smaller than the span stream
+    )
+    if drops.count() == 0:
+        # nothing shared cross-doc (or every doc < span_k tokens):
+        # normalize-only pass, no join (map_groups over an empty dataset
+        # would yield schema()=None — ROUND_NOTES lesson 12)
+        return docs.map_batches(finalize, batch_format="pandas")
+    drop_lists = (
+        drops.map_batches(redocb, batch_format="pyarrow")
+        .groupby("__docb")
+        .map_groups(collect_doc, batch_format="pandas")
+    )
+    joined = bucketed_hash_join(docs, drop_lists, on="doc_id", how="left")
+    return joined.map_batches(finalize, batch_format="pandas")

@@ -574,3 +574,134 @@ def write_similarity_lsh_oracle(
         _from_pandas(out, pa.schema([("vec_id", pa.int64()), ("cos", pa.float64())])),
         path,
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash page near-dups (brute-force hamming over every pair)
+# ---------------------------------------------------------------------------
+
+
+def write_pages_phash_oracle(sf_dir: str, max_hamming: int = 3, expand: int = 2) -> str:
+    """Oracle for ``pages_phash_near_dups``: single-process extraction →
+    the engine's own pHash kernel per page (decode + hash shared by
+    necessity — the hash IS the contract) → BRUTE-FORCE hamming over
+    every page pair, deliberately unlike the engine's block-probing +
+    bucketed self-merge.  Block probing is exact for max_hamming ≤ 3
+    (pigeonhole over 4 disjoint 16-bit blocks), so the two sets must be
+    identical; any bucketing/shuffle/dedup bug diverges."""
+    from ..stages.extract_stage import oracle_extract_table
+    from ..stages.multimodal import PagePHasher, explode_pages
+    from .summary import oracle_unique_pages
+
+    path = _oracle_path(sf_dir, "pages_phash_pairs", expand)
+    if os.path.exists(path):
+        return path
+    pages = oracle_unique_pages(sf_dir, expand=expand)
+    extracted = oracle_extract_table(pages)
+    exploded = explode_pages(extracted.select(["url", "pages"]))
+    sig_t = PagePHasher()(exploded)
+    ids = np.asarray(sig_t["page_id"].to_pylist(), dtype=object)
+    sh = sig_t["phash"].to_numpy().astype(np.int64).view(np.uint64)
+    n = len(sh)
+    ia: list = []
+    ib: list = []
+    hm: list = []
+    chunk = 128  # bounds the (chunk × n × 64)-byte unpackbits matrix
+    for s in range(0, n, chunk):
+        x = sh[s : s + chunk]
+        xor = x[:, None] ^ sh[None, :]
+        d = (
+            np.unpackbits(xor.view(np.uint8).reshape(len(x), n, 8), axis=2)
+            .sum(axis=2, dtype=np.int32)
+        )
+        r, c = np.nonzero(d <= max_hamming)
+        a, b = ids[s + r], ids[c]
+        m = a < b
+        ia.extend(a[m])
+        ib.extend(b[m])
+        hm.extend(d[r[m], c[m]])
+    out = pd.DataFrame(
+        {"id_a": ia, "id_b": ib, "hamming": np.asarray(hm, dtype=np.int32)}
+    ).sort_values(["id_a", "id_b"], ignore_index=True)
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [("id_a", pa.string()), ("id_b", pa.string()), ("hamming", pa.int32())]
+            ),
+        ),
+        path,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact-substring dedup (flat recompute)
+# ---------------------------------------------------------------------------
+
+
+def write_cross_doc_spans_oracle(sf_dir: str, span_k: int | None = None) -> str:
+    """Oracle for ``cross_doc_duplicate_spans``: one flat pass over the
+    whole documents table — span hashes via the shared marking-pass
+    kernel, df + ownership via plain pandas transforms (no bucketing,
+    no shuffle, no join), removal via the shared per-doc scrub kernel.
+    Any bug in the engine's bucketed df count, doc re-bucketing,
+    list-aggregation, or left join diverges from this parquet."""
+    from .data_quality import (
+        _WS,
+        DUP_SPAN_K,
+        _batch_span_rows,
+        _scrub_doc_tokens,
+    )
+
+    k = DUP_SPAN_K if span_k is None else span_k
+    path = _oracle_path(sf_dir, "cross_doc_spans")
+    if os.path.exists(path):
+        return path
+    docs = (
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    ids, hs = _batch_span_rows(docs, k)
+    df = pd.DataFrame({"doc_id": ids, "h": hs})
+    grp = df.groupby("h")["doc_id"]
+    dfreq = grp.transform("size").to_numpy()
+    owner = grp.transform("min").to_numpy()
+    drop = df[(dfreq >= 2) & (df["doc_id"].to_numpy() != owner)]
+    drop_map = {
+        int(d): g["h"].to_numpy(dtype=np.int64) for d, g in drop.groupby("doc_id")
+    }
+    n_tok = np.zeros(len(docs), dtype=np.int64)
+    n_rem = np.zeros(len(docs), dtype=np.int64)
+    cleaned: list[str] = []
+    for i, (doc_id, text) in enumerate(zip(docs["doc_id"], docs["text"])):
+        s = (text or "").strip().lower()
+        toks = np.asarray(_WS.split(s) if s else [], dtype=object)
+        n_tok[i] = len(toks)
+        kept, removed = _scrub_doc_tokens(toks, drop_map.get(int(doc_id)), k)
+        n_rem[i] = removed
+        cleaned.append(" ".join(kept))
+    out = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].to_numpy(dtype=np.int64),
+            "n_tokens": n_tok,
+            "n_removed": n_rem,
+            "text_clean": cleaned,
+        }
+    )
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_tokens", pa.int64()),
+                    ("n_removed", pa.int64()),
+                    ("text_clean", pa.string()),
+                ]
+            ),
+        ),
+        path,
+    )

