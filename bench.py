@@ -216,6 +216,11 @@ def bench_queries() -> dict[str, float]:
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in timed:
+        # reclaim BETWEEN queries too: r3's customers_per_nation read
+        # 12.8 s in sequence vs 3.3 s isolated (×3 reps) — the previous
+        # query's still-tearing-down actor pool / unreleased plasma
+        # blocks bled into the next timing.  gc + a short settle damps it.
+        _reclaim(1.0)
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         if isinstance(res, ray.data.Dataset):
@@ -224,14 +229,14 @@ def bench_queries() -> dict[str, float]:
     return out
 
 
-def _reclaim() -> None:
+def _reclaim(settle: float = 2.0) -> None:
     """Drop references and let plasma reclaim between bench phases — a
     prior phase's materialized blocks otherwise push the next phase's
     working set into spill and skew its number."""
     import gc
 
     gc.collect()
-    time.sleep(2.0)
+    time.sleep(settle)
 
 
 def run_once(shuffle_bench: bool = True, flagship_only: bool = False) -> dict:

@@ -94,6 +94,89 @@ def _schema_type(ds: "rd.Dataset", col: str) -> pa.DataType:
     return _arrow_type(dict(zip(s.names, s.types))[col])
 
 
+def attach_pair_values(
+    cands: rd.Dataset,
+    values: rd.Dataset,
+    id_col: str,
+    val_col: str,
+    id_type: pa.DataType,
+    val_type: pa.DataType,
+    out_a: str,
+    out_b: str,
+    num_buckets: int = 16,
+    carry: dict[str, pa.DataType] | None = None,
+) -> rd.Dataset:
+    """(id_a, id_b) pairs + (id, value) rows → (id_a, id_b, out_a, out_b)
+    via ONE bucketed join + one pair regroup — replacing the old two
+    sequential bucketed joins.  Each pair explodes into its two sides
+    (key = that side's id); the single join attaches each side's value;
+    the regroup (bucketed by id_a) zips the sides back into one row.
+    The heavy value column crosses the wire once per (pair, side) and is
+    never re-shuffled through a second join, and ``values`` gains a
+    single consumer, so callers no longer need to materialize it.
+    ``cands`` must be globally distinct and ``values`` unique per id.
+    ``carry`` maps extra per-pair columns of ``cands`` (e.g. a
+    pre-aggregated intersection count) to their Arrow types; they ride
+    the side-0 row and reappear in the output.
+    """
+    carry = carry or {}
+
+    def explode(t: pa.Table) -> pa.Table:
+        ida, idb = t["id_a"].combine_chunks(), t["id_b"].combine_chunks()
+        n = len(ida)
+        side = np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+        cols = {
+            "__key": pa.concat_arrays([ida, idb]),
+            "id_a": pa.concat_arrays([ida, ida]),
+            "id_b": pa.concat_arrays([idb, idb]),
+            "__vside": pa.array(side, pa.int8()),
+        }
+        for c, ct in carry.items():
+            arr = t[c].combine_chunks().cast(ct)
+            cols[c] = pa.concat_arrays([arr, pa.nulls(n, ct)])
+        return pa.Table.from_pydict(cols)
+
+    vals = values.map_batches(
+        lambda t: t.select([id_col, val_col]).rename_columns(["__key", "__val"]),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        cands.map_batches(explode, batch_format="pyarrow"),
+        vals,
+        on="__key",
+        num_buckets=num_buckets,
+    )
+
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        b = stable_bucket_ids(t["id_a"], num_buckets)
+        return t.append_column("__pairb", pa.array(b, pa.int32()))
+
+    out_cols = ["id_a", "id_b", *carry, out_a, out_b]
+    out_types = {
+        "id_a": id_type,
+        "id_b": id_type,
+        out_a: val_type,
+        out_b: val_type,
+        **carry,
+    }
+
+    def regroup(g: pd.DataFrame) -> pa.Table:
+        a = g[g["__vside"] == 0][["id_a", "id_b", *carry, "__val"]].rename(
+            columns={"__val": out_a}
+        )
+        b = g[g["__vside"] == 1][["id_a", "id_b", "__val"]].rename(
+            columns={"__val": out_b}
+        )
+        m = a.merge(b, on=["id_a", "id_b"])
+        return _typed_table(m[out_cols], out_types)
+
+    return (
+        joined.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__pairb")
+        .map_groups(regroup, batch_format="pandas")
+    )
+
+
 _SHINGLE_P = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mix constant
 
 
@@ -348,19 +431,20 @@ def minhash_near_dup_pairs(
         mask = pc.is_in(batch[id_col], value_set=vs)
         return batch.select([id_col, text_col]).filter(pc.fill_null(mask, False))
 
-    # materialized: BOTH bucket joins consume it, and without the pin the
-    # full-corpus semi-filter scan would execute twice; the surviving
-    # rows are candidate-set-sized (≤ 2 × #pairs), safe to hold
-    texts = ds.map_batches(semi_filter, batch_format="pyarrow").materialize()
-
-    def _renamed(suffix: str) -> rd.Dataset:
-        return texts.map_batches(
-            lambda t, s=suffix: t.rename_columns([f"id_{s}", f"text_{s}"]),
-            batch_format="pyarrow",
-        )
-
-    with_a = bucketed_hash_join(cands, _renamed("a"), on="id_a", num_buckets=num_buckets)
-    with_ab = bucketed_hash_join(with_a, _renamed("b"), on="id_b", num_buckets=num_buckets)
+    # single consumer (the one pair join inside attach_pair_values), so
+    # the filtered texts stream — no materialize, no second corpus scan
+    texts = ds.map_batches(semi_filter, batch_format="pyarrow")
+    with_ab = attach_pair_values(
+        cands,
+        texts,
+        id_col=id_col,
+        val_col=text_col,
+        id_type=_schema_type(ds, id_col),
+        val_type=_schema_type(ds, text_col),
+        out_a="text_a",
+        out_b="text_b",
+        num_buckets=num_buckets,
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         # Per-batch memo of shingle-hash arrays keyed by doc id: batches
@@ -688,13 +772,18 @@ def ngram_jaccard_pairs(
     if inter.count() == 0:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
 
-    def _sizes_as(side: str) -> rd.Dataset:
-        return sizes.map_batches(
-            lambda t, s=side: t.rename_columns([f"id_{s}", f"n_{s}"]), batch_format="pyarrow"
-        )
-
-    with_a = bucketed_hash_join(inter, _sizes_as("a"), on="id_a", num_buckets=num_buckets)
-    with_ab = bucketed_hash_join(with_a, _sizes_as("b"), on="id_b", num_buckets=num_buckets)
+    with_ab = attach_pair_values(
+        inter,
+        sizes,
+        id_col=id_col,
+        val_col="n_sh",
+        id_type=id_type,
+        val_type=pa.int64(),
+        out_a="n_a",
+        out_b="n_b",
+        num_buckets=num_buckets,
+        carry={"i": pa.int64()},
+    )
 
     def score(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1275,17 +1364,20 @@ def embedding_near_dup_pairs_lsh(
         mask = pc.is_in(batch[id_col], value_set=vs)
         return batch.select([id_col, vec_col]).filter(pc.fill_null(mask, False))
 
-    # materialized: both bucket joins consume it (see minhash verify)
-    vecs = ds.map_batches(semi_filter, batch_format="pyarrow").materialize()
-
-    def _renamed(suffix: str) -> rd.Dataset:
-        return vecs.map_batches(
-            lambda t, s=suffix: t.rename_columns([f"id_{s}", f"vec_{s}"]),
-            batch_format="pyarrow",
-        )
-
-    with_a = bucketed_hash_join(cands, _renamed("a"), on="id_a", num_buckets=num_buckets)
-    with_ab = bucketed_hash_join(with_a, _renamed("b"), on="id_b", num_buckets=num_buckets)
+    # single consumer (the one pair join inside attach_pair_values) —
+    # the filtered vectors stream, no materialize
+    vecs = ds.map_batches(semi_filter, batch_format="pyarrow")
+    with_ab = attach_pair_values(
+        cands,
+        vecs,
+        id_col=id_col,
+        val_col=vec_col,
+        id_type=id_type,
+        val_type=vec_type,
+        out_a="vec_a",
+        out_b="vec_b",
+        num_buckets=num_buckets,
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
