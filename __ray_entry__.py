@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "context_pack_bins": textops.pack_documents_greedy,
         "pii_scrub": dq.pii_scrub,
         # ==================== end of the 50-entry driver window =========
+        # --- dedup family long tail ---
+        "pages_phash_dedup_groups": textops.pages_phash_dedup_groups,
         # --- relational operators (SQL-checked) ---
         "lang_whitelist_filter": rel.lang_whitelist_filter,
         "groupby_lang_counts": rel.groupby_lang_counts,
@@ -384,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
     _keepbest_oracle = _rro._oracle_path(_oracle_sf, "minhash_keep_best")
     _phash_oracle = _rro._oracle_path(_oracle_sf, "pages_phash_pairs")
     _xdoc_oracle = _rro._oracle_path(_oracle_sf, "cross_doc_spans")
+    _phash_groups_oracle = _rro._oracle_path(_oracle_sf, "pages_phash_groups")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -398,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_pack_bins_oracle(_oracle_sf)
         _rro.write_keep_best_oracle(_oracle_sf)
         _rro.write_pages_phash_oracle(_oracle_sf)
+        _rro.write_pages_phash_groups_oracle(_oracle_sf)
         _rro.write_cross_doc_spans_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
@@ -465,6 +469,9 @@ def oracle_sql() -> dict[str, str]:
         "cross_doc_duplicate_spans": f"""
             SELECT doc_id, n_tokens, n_removed, text_clean
             FROM read_parquet('{_xdoc_oracle}')
+        """,
+        "pages_phash_dedup_groups": f"""
+            SELECT page_id, group_id FROM read_parquet('{_phash_groups_oracle}')
         """,
         "rolling_fingerprints": f"""
             SELECT doc_id, rolling_fp FROM read_parquet('{_rfp_oracle}')

@@ -705,3 +705,20 @@ def write_cross_doc_spans_oracle(sf_dir: str, span_k: int | None = None) -> str:
         ),
         path,
     )
+
+
+def write_pages_phash_groups_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Oracle for ``pages_phash_dedup_groups``: a driver union-find over
+    the brute-force pair oracle — deliberately the opposite architecture
+    of the engine's distributed min-label propagation."""
+    path = _oracle_path(sf_dir, "pages_phash_groups", expand)
+    if os.path.exists(path):
+        return path
+    pairs = pq.read_table(write_pages_phash_oracle(sf_dir, expand=expand)).to_pandas()
+    out = _union_find_min_labels(pairs).rename(columns={"url": "page_id"})
+    return _commit(
+        _from_pandas(
+            out, pa.schema([("page_id", pa.string()), ("group_id", pa.string())])
+        ),
+        path,
+    )

@@ -545,6 +545,28 @@ def pages_phash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     )
 
 
+def pages_phash_dedup_groups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Image-level duplicate GROUPS: the pHash near-dup pair graph
+    collapsed to connected components by the same iterated min-label
+    propagation text dedup uses (stages/neardup.min_label_components) —
+    the keep-one-per-group step of perceptual-hash image dedup.
+    SQL-checked: the oracle parquet is a DRIVER union-find over the
+    brute-force pair oracle — the opposite architecture must yield
+    identical components.
+
+    Output: one row per page that belongs to a duplicate-image group,
+    ``(page_id, group_id)`` with group_id = lexicographic min page_id of
+    the component."""
+    from ..stages.neardup import min_label_components
+
+    pairs = pages_phash_near_dups(sf_dir, max_hamming=max_hamming)
+    if pairs.empty:
+        return pd.DataFrame({"page_id": [], "group_id": []})
+    labels = min_label_components(rd.from_pandas(pairs[["id_a", "id_b"]]))
+    out = labels.to_pandas().rename(columns={"id": "page_id", "label": "group_id"})
+    return out.sort_values("page_id", ignore_index=True)[["page_id", "group_id"]]
+
+
 def pages_image_features_summary(sf_dir: str) -> rd.Dataset:
     """SQL-checked projection of ``pages_image_features``: every scalar
     feature column plus an md5 over the repr of the rounded feature

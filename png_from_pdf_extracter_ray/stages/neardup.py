@@ -45,6 +45,12 @@ import ray.data as rd
 from .dedup import stable_bucket_ids
 from .joins import bucketed_hash_join
 
+# module-level (NOT inside worker-executed callables): a function-local
+# relative import would run a REAL import on the worker, which fails
+# when the driver runs from a foreign cwd (ROUND_NOTES lesson 4 — the
+# package ships to workers by value, not by path)
+from .similarity import _ids_np, _stack
+
 # Sentinel signature value for empty documents: the max 32-bit hash output.
 _EMPTY_SIG = (1 << 32) - 1
 
@@ -1083,8 +1089,6 @@ def embedding_near_dup_pairs(
             self.ids = ray.get(ids_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            from .similarity import _ids_np, _stack
-
             rows = _stack(batch[vec_col])
             rnorm = np.linalg.norm(rows, axis=1, keepdims=True)
             rnorm[rnorm == 0] = 1.0
@@ -1173,7 +1177,7 @@ def embedding_near_dup_pairs_lsh(
       shuffle — prefer "join" when candidates ≪ n_tables × N.
     """
     id_type = _schema_type(ds, id_col)
-    from .similarity import _ids_np, _stack, srp_lsh_params, srp_planes  # noqa: F401
+    from .similarity import srp_lsh_params, srp_planes
 
     if n_planes is None or n_tables is None:
         # adaptive: derive the recall/cost point from the threshold
