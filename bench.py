@@ -118,7 +118,11 @@ def bench_extract(dedup_mode: str = "broadcast") -> dict:
             if dedup_mode == "broadcast"
             else None
         ),
-        batch_size=64,
+        # measured at sf0.1 ×128 (fresh sessions): 32 cpus — 64→32.4 s,
+        # 128→30.7 s, 256→38.0 s; 8 cpus warm — 64→105.9 s, 128→104.2 s.
+        # 128 halves the dispatch/task count (the 32-cpu pool consumes
+        # ~280 batches/s at 64) without lengthening stragglers.
+        batch_size=128,
         summary_only=False,
     )
     ds.write_parquet(OUT_DIR)
@@ -212,6 +216,7 @@ def bench_queries() -> dict[str, float]:
         "tfidf_top_terms",
         "heavy_hitter_tokens",
         "semantic_dedup",
+        "cross_doc_duplicate_spans",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
