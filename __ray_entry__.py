@@ -141,7 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal page operations ---
         "pages_page_meta": textops.pages_page_meta,
         "pages_resized_thumbs": textops.pages_resized_thumbs,  # digest-checked
-        "pages_frame_sample": textops.pages_frame_sample,
+        "pages_jpeg_roundtrip": textops.pages_jpeg_roundtrip,
         "pages_image_features_summary": textops.pages_image_features_summary,
         # --- TPC-H query shapes (SQL-checked) ---
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ==================== end of the 50-entry driver window =========
         # --- dedup family long tail ---
         "pages_phash_dedup_groups": textops.pages_phash_dedup_groups,
+        "pages_frame_sample": textops.pages_frame_sample,
         # --- relational operators (SQL-checked) ---
         "lang_whitelist_filter": rel.lang_whitelist_filter,
         "groupby_lang_counts": rel.groupby_lang_counts,
@@ -387,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
     _phash_oracle = _rro._oracle_path(_oracle_sf, "pages_phash_pairs")
     _xdoc_oracle = _rro._oracle_path(_oracle_sf, "cross_doc_spans")
     _phash_groups_oracle = _rro._oracle_path(_oracle_sf, "pages_phash_groups")
+    _jpegrt_oracle = _rro._oracle_path(_oracle_sf, "jpeg_roundtrip")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -402,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_keep_best_oracle(_oracle_sf)
         _rro.write_pages_phash_oracle(_oracle_sf)
         _rro.write_pages_phash_groups_oracle(_oracle_sf)
+        _rro.write_jpeg_roundtrip_oracle(_oracle_sf)
         _rro.write_cross_doc_spans_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
@@ -472,6 +475,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pages_phash_dedup_groups": f"""
             SELECT page_id, group_id FROM read_parquet('{_phash_groups_oracle}')
+        """,
+        "pages_jpeg_roundtrip": f"""
+            SELECT page_id, jpeg_bytes, dec_md5, mae
+            FROM read_parquet('{_jpegrt_oracle}')
         """,
         "rolling_fingerprints": f"""
             SELECT doc_id, rolling_fp FROM read_parquet('{_rfp_oracle}')

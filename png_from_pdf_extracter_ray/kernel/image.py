@@ -14,10 +14,13 @@ GRAYSCALE array for:
 - **PGM/PPM** (P5/P6 binary) — header parse + buffer reshape.
 - **BMP** — BITMAPINFOHEADER, uncompressed 8-bit (palette) and 24-bit,
   bottom-up or top-down, 4-byte row padding.
+- **JPEG** — a real baseline sequential decoder (kernel/jpeg.py): 1- or
+  3-component, sampling factors ≤ 2, restart markers; grayscale output
+  is the Y plane.  Progressive/arithmetic streams raise
+  ``UnsupportedImageError``.
 
-JPEG/GIF/WebP/TIFF raise ``UnsupportedImageError`` — entropy-coded
-formats have no reasonable pure-Python baseline; that residual gap is
-the only part of general decode still stubbed (stages/multimodal.py).
+GIF/WebP/TIFF raise ``UnsupportedImageError`` — those entropy-coded
+formats have no reasonable pure-Python baseline here.
 
 Color → grayscale uses the integer ITU-R 601 weights
 ``(299·R + 587·G + 114·B) // 1000`` so results are deterministic
@@ -66,7 +69,11 @@ def decode_image(data: bytes) -> np.ndarray:
         return _decode_pnm(data)
     if fmt == "bmp":
         return _decode_bmp(data)
-    if fmt in ("jpeg", "gif", "webp", "tiff"):
+    if fmt == "jpeg":
+        # baseline sequential decode (kernel/jpeg.py); progressive and
+        # arithmetic-coded streams raise UnsupportedImageError there
+        return _decode_jpeg(data)
+    if fmt in ("gif", "webp", "tiff"):
         raise UnsupportedImageError(
             f"{fmt} decoding requires an imaging library not present in this "
             "environment (entropy-coded format; no pure-Python baseline)"
@@ -252,3 +259,11 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     bgr = rows[:, : w * 3].reshape(h, w, 3)
     rgb = bgr[:, :, ::-1]
     return _to_gray(rgb)
+
+
+# Imported at the BOTTOM: kernel.jpeg needs UnsupportedImageError from
+# this module (defined above), and this module dispatches to its decoder
+# — the tail import breaks the cycle while staying module-level (a
+# function-local relative import would fail on foreign-cwd workers,
+# ROUND_NOTES lesson 4).
+from .jpeg import decode_jpeg as _decode_jpeg  # noqa: E402

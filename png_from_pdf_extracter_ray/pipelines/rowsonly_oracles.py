@@ -722,3 +722,21 @@ def write_pages_phash_groups_oracle(sf_dir: str, expand: int = 2) -> str:
         ),
         path,
     )
+
+
+def write_jpeg_roundtrip_oracle(sf_dir: str, quality: int = 85, expand: int = 2) -> str:
+    """Oracle for ``pages_jpeg_roundtrip``: single-process extraction →
+    resize → the SAME JpegRoundtrip kernel (the per-page codec IS the
+    contract — kernel/jpeg.py is deterministic), no Ray anywhere."""
+    from ..stages.extract_stage import oracle_extract_table
+    from ..stages.multimodal import JpegRoundtrip, PngResizer, explode_pages
+    from .summary import oracle_unique_pages
+
+    path = _oracle_path(sf_dir, "jpeg_roundtrip", expand)
+    if os.path.exists(path):
+        return path
+    pages = oracle_unique_pages(sf_dir, expand=expand)
+    extracted = oracle_extract_table(pages)
+    exploded = explode_pages(extracted.select(["url", "pages"]))
+    resized = PngResizer(target_w=480, target_h=270)(exploded)
+    return _commit(JpegRoundtrip(quality=quality)(resized), path)

@@ -545,6 +545,36 @@ def pages_phash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     )
 
 
+def pages_jpeg_roundtrip(sf_dir: str, quality: int = 85) -> rd.Dataset:
+    """Lossy-format ingestion stage: 480×270 thumbs → baseline JPEG
+    encode → decode → per-page fidelity row (compressed size, md5 of the
+    decoded raster, mean abs error).  The codec is the engine's own
+    pure-numpy baseline JPEG (kernel/jpeg.py — closes the r3
+    entropy-coded-decode gap); fully deterministic, so the entry is
+    SQL-checked against the flat single-process recompute
+    (pipelines/rowsonly_oracles.write_jpeg_roundtrip_oracle)."""
+    from ..stages.multimodal import JpegRoundtrip, PngResizer, explode_pages
+
+    return (
+        _extracted_pages(sf_dir)
+        .map_batches(explode_pages, batch_format="pyarrow", batch_size=16)
+        .map_batches(
+            PngResizer,
+            fn_constructor_kwargs={"target_w": 480, "target_h": 270},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=(1, 4),
+        )
+        .map_batches(
+            JpegRoundtrip,
+            fn_constructor_kwargs={"quality": quality},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def pages_phash_dedup_groups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """Image-level duplicate GROUPS: the pHash near-dup pair graph
     collapsed to connected components by the same iterated min-label

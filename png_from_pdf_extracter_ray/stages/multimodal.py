@@ -12,9 +12,12 @@ metadata multimodal surface.  Stages:
   re-encode.  REAL for this engine's own rasters (8-bit gray, filter 0,
   via kernel.png.decode_png_gray);
 - ``GeneralImageDecoder`` — REAL general decode (kernel/image.py: full
-  PNG, PGM/PPM, uncompressed BMP) → grayscale feature extraction;
-  entropy-coded formats (JPEG/GIF/WebP — no pure-Python baseline)
-  dead-letter per row rather than raising;
+  PNG, PGM/PPM, uncompressed BMP, baseline JPEG via kernel/jpeg.py) →
+  grayscale feature extraction; the remaining entropy-coded formats
+  (progressive JPEG/GIF/WebP — no pure-Python baseline) dead-letter per
+  row rather than raising;
+- ``JpegRoundtrip``   — baseline JPEG encode → decode fidelity rows over
+  the engine's own rasters (the lossy-format ingestion stage);
 - ``sample_pages``    — frame-sampling: keep every Nth page of each doc
   (the video-frame-sample analog).
 
@@ -32,6 +35,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..kernel.image import decode_image
+from ..kernel.jpeg import decode_jpeg, encode_jpeg_gray
 from ..kernel.png import decode_png_gray, read_png_dpi, read_png_size, write_png_gray
 
 PAGE_ROW_SCHEMA = pa.schema(
@@ -129,11 +133,12 @@ class GeneralImageDecoder:
     """Actor-pool stage: general image decode → grayscale features.
 
     REAL decode for PNG (all filter types / gray / RGB / palette /
-    alpha), PGM/PPM and uncompressed BMP via the pure-Python
-    ``kernel.image.decode_image``; entropy-coded formats (JPEG/GIF/
-    WebP/TIFF) have no pure-Python baseline in this container and
-    dead-letter per ROW (``image_ok=false`` + ``image_error``) — errors
-    are data, same policy as the extraction kernel.
+    alpha), PGM/PPM, uncompressed BMP, and baseline JPEG (kernel/
+    jpeg.py) via the pure-Python ``kernel.image.decode_image``; the
+    remaining entropy-coded formats (progressive JPEG/GIF/WebP/TIFF)
+    have no pure-Python baseline in this container and dead-letter per
+    ROW (``image_ok=false`` + ``image_error``) — errors are data, same
+    policy as the extraction kernel.
 
     Output per row: true geometry, mean/std intensity, and an
     ``feat_grid``×``feat_grid`` block-mean thumbnail vector
@@ -198,6 +203,51 @@ class GeneralImageDecoder:
             .append_column("img_mean", pa.array(means, pa.float64()))
             .append_column("img_std", pa.array(stds, pa.float64()))
             .append_column("image_feat", pa.array(feats, pa.list_(pa.float64())))
+        )
+
+
+class JpegRoundtrip:
+    """Actor-pool stage: page raster → baseline JPEG encode → decode →
+    fidelity row (the lossy-format ingestion stage of a multimodal
+    pipeline, run on this engine's own rasters because the container has
+    no other JPEG producer).
+
+    Per page: ``page_id``, compressed size, md5 of the DECODED raster
+    bytes (pins the decoder bit-for-bit — kernel/jpeg.py is fully
+    deterministic), and the mean absolute reconstruction error.  Meant
+    for RESIZED thumbs (480×270) — encoding full 1080p pages is the
+    same code, just slower."""
+
+    def __init__(self, quality: int = 85) -> None:
+        self.quality = quality
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        urls = batch["url"].to_pylist()
+        nums = batch["page_number"].to_pylist()
+        pngs = batch["png"].to_pylist()
+        ids = [f"{u}#{n}" for u, n in zip(urls, nums)]
+        n = len(pngs)
+        jpeg_bytes = np.zeros(n, dtype=np.int64)
+        digests: list[str] = []
+        mae = np.zeros(n, dtype=np.float64)
+        for i, b in enumerate(pngs):
+            arr = decode_png_gray(b)
+            j = encode_jpeg_gray(arr, self.quality)
+            dec = decode_jpeg(j)
+            jpeg_bytes[i] = len(j)
+            digests.append(hashlib.md5(dec.tobytes()).hexdigest())
+            mae[i] = round(
+                float(np.mean(np.abs(arr.astype(np.float64) - dec))), 4
+            )
+        return pa.Table.from_pydict(
+            {
+                "page_id": pa.array(ids, pa.string()),
+                "jpeg_bytes": pa.array(jpeg_bytes),
+                "dec_md5": pa.array(digests, pa.string()),
+                "mae": pa.array(mae, pa.float64()),
+            }
         )
 
 

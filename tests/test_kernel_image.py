@@ -186,8 +186,15 @@ def test_bmp8_palette() -> None:
 
 
 def test_entropy_coded_formats_rejected() -> None:
+    # baseline JPEG is decoded for real since round 4 (kernel/jpeg.py) —
+    # a JPEG magic with garbage payload now fails as MALFORMED, not
+    # unsupported; the formats with no pure-Python baseline still raise
+    # UnsupportedImageError
+    jpeg_garbage = b"\xff\xd8\xff\xe0" + b"x" * 32
+    assert sniff_image_format(jpeg_garbage) == "jpeg"
+    with pytest.raises(ValueError):
+        decode_image(jpeg_garbage)
     for magic, name in [
-        (b"\xff\xd8\xff\xe0" + b"x" * 32, "jpeg"),
         (b"GIF89a" + b"x" * 32, "gif"),
         (b"RIFF1234WEBP" + b"x" * 32, "webp"),
         (b"II*\x00" + b"x" * 32, "tiff"),

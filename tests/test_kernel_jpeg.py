@@ -1,0 +1,129 @@
+"""Baseline JPEG codec (kernel/jpeg.py): roundtrip fidelity, structure,
+determinism, error taxonomy, and the decode_image dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from png_from_pdf_extracter_ray.kernel.image import (
+    UnsupportedImageError,
+    decode_image,
+    sniff_image_format,
+)
+from png_from_pdf_extracter_ray.kernel.jpeg import (
+    _rgb_to_ycbcr,
+    decode_jpeg,
+    encode_jpeg_color,
+    encode_jpeg_gray,
+)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+class TestGrayRoundtrip:
+    def test_gradient_high_fidelity(self) -> None:
+        g = (np.add.outer(np.arange(96), np.arange(120)) % 256).astype(np.uint8)
+        d = decode_jpeg(encode_jpeg_gray(g, 85))
+        assert d.shape == g.shape
+        assert _psnr(g, d) > 45
+
+    def test_text_like_page(self) -> None:
+        p = np.full((100, 200), 255, np.uint8)
+        p[10:12, 5:180] = 0
+        p[30:32, 5:150] = 20
+        d = decode_jpeg(encode_jpeg_gray(p, 85))
+        assert d.shape == p.shape
+        assert _psnr(p, d) > 25  # sharp edges ring at q85, but stay close
+
+    def test_non_multiple_of_8_dims(self) -> None:
+        rng = np.random.default_rng(7)
+        q = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+        d = decode_jpeg(encode_jpeg_gray(q, 90))
+        assert d.shape == (37, 53)
+
+    def test_flat_image_exact_at_mid_quality(self) -> None:
+        flat = np.full((16, 24), 200, np.uint8)
+        d = decode_jpeg(encode_jpeg_gray(flat, 50))
+        assert np.array_equal(d, flat)
+
+    def test_deterministic(self) -> None:
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+        j1, j2 = encode_jpeg_gray(a, 85), encode_jpeg_gray(a, 85)
+        assert j1 == j2
+        assert np.array_equal(decode_jpeg(j1), decode_jpeg(j2))
+
+    def test_jfif_structure(self) -> None:
+        j = encode_jpeg_gray(np.zeros((8, 8), np.uint8))
+        assert j[:2] == b"\xff\xd8" and j[-2:] == b"\xff\xd9"
+        assert b"JFIF\x00" in j[:32]
+        assert sniff_image_format(j) == "jpeg"
+
+
+class TestColorDecode:
+    """3-component paths: decoded gray must track the Y (luma) plane."""
+
+    @pytest.fixture(scope="class")
+    def smooth_rgb(self) -> np.ndarray:
+        h, w = 64, 80
+        r = np.tile(np.linspace(0, 255, w), (h, 1))
+        g = np.tile(np.linspace(255, 0, h)[:, None], (1, w))
+        b = np.full((h, w), 128.0)
+        return np.stack([r, g, b], axis=2).round().astype(np.uint8)
+
+    def test_444(self, smooth_rgb) -> None:  # noqa: ANN001
+        yref = _rgb_to_ycbcr(smooth_rgb)[0]
+        d = decode_jpeg(encode_jpeg_color(smooth_rgb, 90))
+        assert d.shape == yref.shape
+        assert _psnr(yref, d) > 40
+
+    def test_420_subsampled(self, smooth_rgb) -> None:  # noqa: ANN001
+        yref = _rgb_to_ycbcr(smooth_rgb)[0]
+        d = decode_jpeg(encode_jpeg_color(smooth_rgb, 90, subsample=True))
+        assert d.shape == yref.shape
+        # luma is full-res in 4:2:0; chroma subsampling must not touch it
+        assert _psnr(yref, d) > 40
+
+    def test_odd_dims_subsampled(self) -> None:
+        rng = np.random.default_rng(3)
+        c = rng.integers(0, 256, (19, 27, 3), dtype=np.uint8)
+        d = decode_jpeg(encode_jpeg_color(c, 90, subsample=True))
+        assert d.shape == (19, 27)
+
+
+class TestErrors:
+    def test_progressive_unsupported(self) -> None:
+        sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+        with pytest.raises(UnsupportedImageError):
+            decode_jpeg(sof2)
+
+    def test_not_a_jpeg(self) -> None:
+        with pytest.raises(ValueError):
+            decode_jpeg(b"not a jpeg at all")
+
+    def test_truncated_stream(self) -> None:
+        j = encode_jpeg_gray(np.full((16, 16), 99, np.uint8), 85)
+        with pytest.raises(ValueError):
+            decode_jpeg(j[: len(j) // 2])
+
+    def test_encoder_input_validation(self) -> None:
+        with pytest.raises(ValueError):
+            encode_jpeg_gray(np.zeros((8, 8, 3), np.uint8))
+        with pytest.raises(ValueError):
+            encode_jpeg_color(np.zeros((8, 8), np.uint8))
+
+
+class TestDecodeImageDispatch:
+    def test_jpeg_via_decode_image(self) -> None:
+        a = (np.add.outer(np.arange(24), np.arange(32)) % 256).astype(np.uint8)
+        d = decode_image(encode_jpeg_gray(a, 90))
+        assert d.shape == a.shape
+        assert _psnr(a, d) > 40
+
+    def test_gif_still_unsupported(self) -> None:
+        with pytest.raises(UnsupportedImageError):
+            decode_image(b"GIF89a" + b"\x00" * 32)
