@@ -45,3 +45,9 @@ class PayloadTooLargeError(ExtractionError):
 
 class HTMLExtractionError(ExtractionError):
     """HTML branch failed to produce a document."""
+
+
+class UnsupportedImageError(ValueError):
+    """Image format recognized but not decodable without an imaging
+    library (lives here — not in kernel/image.py — so the image/jpeg/gif
+    decoders can all import it without forming an import cycle)."""

@@ -18,9 +18,14 @@ GRAYSCALE array for:
   3-component, sampling factors ≤ 2, restart markers; grayscale output
   is the Y plane.  Progressive/arithmetic streams raise
   ``UnsupportedImageError``.
+- **GIF** — real LZW decode of the first frame (kernel/gif.py):
+  87a/89a, global/local palettes, interlacing.
+- **TIFF** — uncompressed baseline only (8-bit gray / RGB, strips,
+  II/MM byte orders); any Compression ≠ 1 raises
+  ``UnsupportedImageError``.
 
-GIF/WebP/TIFF raise ``UnsupportedImageError`` — those entropy-coded
-formats have no reasonable pure-Python baseline here.
+WebP raises ``UnsupportedImageError`` — VP8 has no reasonable
+pure-Python baseline here.
 
 Color → grayscale uses the integer ITU-R 601 weights
 ``(299·R + 587·G + 114·B) // 1000`` so results are deterministic
@@ -37,8 +42,7 @@ import numpy as np
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-class UnsupportedImageError(ValueError):
-    """Format recognized but not decodable without an imaging library."""
+from .errors import UnsupportedImageError  # noqa: F401  (re-export)
 
 
 def sniff_image_format(data: bytes) -> str:
@@ -73,10 +77,15 @@ def decode_image(data: bytes) -> np.ndarray:
         # baseline sequential decode (kernel/jpeg.py); progressive and
         # arithmetic-coded streams raise UnsupportedImageError there
         return _decode_jpeg(data)
-    if fmt in ("gif", "webp", "tiff"):
+    if fmt == "gif":
+        # LZW decode of the first frame (kernel/gif.py)
+        return _decode_gif(data)
+    if fmt == "tiff":
+        return _decode_tiff(data)
+    if fmt == "webp":
         raise UnsupportedImageError(
-            f"{fmt} decoding requires an imaging library not present in this "
-            "environment (entropy-coded format; no pure-Python baseline)"
+            "webp decoding requires an imaging library not present in this "
+            "environment (VP8 entropy coding; no pure-Python baseline)"
         )
     raise ValueError("unrecognized image format")
 
@@ -261,9 +270,71 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     return _to_gray(rgb)
 
 
+def _decode_tiff(data: bytes) -> np.ndarray:
+    """Uncompressed baseline TIFF → (H, W) uint8 grayscale.
+
+    Supports 8-bit grayscale and RGB in strips, both byte orders.
+    Compression other than 1 (none) raises ``UnsupportedImageError`` —
+    LZW/JPEG-in-TIFF have no pure-Python baseline here."""
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    if ifd_off + 2 > len(data):
+        raise ValueError("truncated TIFF IFD")
+    (n_tags,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    for t in range(n_tags):
+        off = ifd_off + 2 + 12 * t
+        if off + 12 > len(data):
+            raise ValueError("truncated TIFF tag")
+        tag, typ = struct.unpack(bo + "HH", data[off : off + 4])
+        (count,) = struct.unpack(bo + "I", data[off + 4 : off + 8])
+        if typ not in type_size:
+            continue
+        total = type_size[typ] * count
+        if total <= 4:
+            raw = data[off + 8 : off + 8 + total]
+        else:
+            (voff,) = struct.unpack(bo + "I", data[off + 8 : off + 12])
+            raw = data[voff : voff + total]
+        if len(raw) < total:
+            raise ValueError("truncated TIFF value")
+        tags[tag] = list(struct.unpack(bo + type_fmt[typ] * count, raw))
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag: {exc}") from exc
+    comp = tags.get(259, [1])[0]
+    if comp != 1:
+        raise UnsupportedImageError(
+            f"TIFF compression {comp} requires an imaging library not "
+            "present in this environment (only uncompressed supported)"
+        )
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8])[0]
+    if bps != 8 or spp not in (1, 3):
+        raise UnsupportedImageError("only 8-bit gray/RGB TIFF supported")
+    raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+    need = h * w * spp
+    if len(raw) < need:
+        raise ValueError("truncated TIFF strip data")
+    arr = np.frombuffer(raw, dtype=np.uint8, count=need).reshape(h, w, spp)
+    return _to_gray(arr if spp == 3 else arr[:, :, 0])
+
+
 # Imported at the BOTTOM: kernel.jpeg needs UnsupportedImageError from
 # this module (defined above), and this module dispatches to its decoder
 # — the tail import breaks the cycle while staying module-level (a
 # function-local relative import would fail on foreign-cwd workers,
 # ROUND_NOTES lesson 4).
+from .gif import decode_gif as _decode_gif  # noqa: E402
 from .jpeg import decode_jpeg as _decode_jpeg  # noqa: E402

@@ -31,7 +31,7 @@ import struct
 
 import numpy as np
 
-from .image import UnsupportedImageError
+from .errors import UnsupportedImageError
 
 # zigzag position k → raster index in the 8×8 block
 ZIGZAG = np.array(

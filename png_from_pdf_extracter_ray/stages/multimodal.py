@@ -12,10 +12,10 @@ metadata multimodal surface.  Stages:
   re-encode.  REAL for this engine's own rasters (8-bit gray, filter 0,
   via kernel.png.decode_png_gray);
 - ``GeneralImageDecoder`` — REAL general decode (kernel/image.py: full
-  PNG, PGM/PPM, uncompressed BMP, baseline JPEG via kernel/jpeg.py) →
-  grayscale feature extraction; the remaining entropy-coded formats
-  (progressive JPEG/GIF/WebP — no pure-Python baseline) dead-letter per
-  row rather than raising;
+  PNG, PGM/PPM, uncompressed BMP, baseline JPEG via kernel/jpeg.py,
+  GIF via kernel/gif.py, uncompressed TIFF) → grayscale feature
+  extraction; the remainder (progressive JPEG, WebP, compressed TIFF —
+  no pure-Python baseline) dead-letters per row rather than raising;
 - ``JpegRoundtrip``   — baseline JPEG encode → decode fidelity rows over
   the engine's own rasters (the lossy-format ingestion stage);
 - ``sample_pages``    — frame-sampling: keep every Nth page of each doc
@@ -133,12 +133,12 @@ class GeneralImageDecoder:
     """Actor-pool stage: general image decode → grayscale features.
 
     REAL decode for PNG (all filter types / gray / RGB / palette /
-    alpha), PGM/PPM, uncompressed BMP, and baseline JPEG (kernel/
-    jpeg.py) via the pure-Python ``kernel.image.decode_image``; the
-    remaining entropy-coded formats (progressive JPEG/GIF/WebP/TIFF)
-    have no pure-Python baseline in this container and dead-letter per
-    ROW (``image_ok=false`` + ``image_error``) — errors are data, same
-    policy as the extraction kernel.
+    alpha), PGM/PPM, uncompressed BMP, baseline JPEG (kernel/jpeg.py),
+    GIF (kernel/gif.py) and uncompressed TIFF via the pure-Python
+    ``kernel.image.decode_image``; the remainder (progressive JPEG,
+    WebP, compressed TIFF — no pure-Python baseline in this container)
+    dead-letters per ROW (``image_ok=false`` + ``image_error``) —
+    errors are data, same policy as the extraction kernel.
 
     Output per row: true geometry, mean/std intensity, and an
     ``feat_grid``×``feat_grid`` block-mean thumbnail vector

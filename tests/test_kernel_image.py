@@ -186,22 +186,21 @@ def test_bmp8_palette() -> None:
 
 
 def test_entropy_coded_formats_rejected() -> None:
-    # baseline JPEG is decoded for real since round 4 (kernel/jpeg.py) —
-    # a JPEG magic with garbage payload now fails as MALFORMED, not
-    # unsupported; the formats with no pure-Python baseline still raise
-    # UnsupportedImageError
-    jpeg_garbage = b"\xff\xd8\xff\xe0" + b"x" * 32
-    assert sniff_image_format(jpeg_garbage) == "jpeg"
-    with pytest.raises(ValueError):
-        decode_image(jpeg_garbage)
+    # JPEG/GIF/uncompressed-TIFF decode for real since round 4 — a
+    # recognized magic with garbage payload now fails as MALFORMED
+    # (ValueError), not unsupported; only WebP (VP8, no pure-Python
+    # baseline) still raises UnsupportedImageError
     for magic, name in [
+        (b"\xff\xd8\xff\xe0" + b"x" * 32, "jpeg"),
         (b"GIF89a" + b"x" * 32, "gif"),
-        (b"RIFF1234WEBP" + b"x" * 32, "webp"),
         (b"II*\x00" + b"x" * 32, "tiff"),
     ]:
         assert sniff_image_format(magic) == name
-        with pytest.raises(UnsupportedImageError, match=name):
+        with pytest.raises(ValueError):
             decode_image(magic)
+    assert sniff_image_format(b"RIFF1234WEBP" + b"x" * 32) == "webp"
+    with pytest.raises(UnsupportedImageError, match="webp"):
+        decode_image(b"RIFF1234WEBP" + b"x" * 32)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"garbage bytes here")
 

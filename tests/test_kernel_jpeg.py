@@ -124,6 +124,6 @@ class TestDecodeImageDispatch:
         assert d.shape == a.shape
         assert _psnr(a, d) > 40
 
-    def test_gif_still_unsupported(self) -> None:
+    def test_webp_still_unsupported(self) -> None:
         with pytest.raises(UnsupportedImageError):
-            decode_image(b"GIF89a" + b"\x00" * 32)
+            decode_image(b"RIFF1234WEBP" + b"\x00" * 32)
