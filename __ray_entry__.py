@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_stats": textops.stopword_stats,
         "train_test_split": textops.train_test_split,
         "stratified_sample": textops.stratified_sample,
+        "mixed_corpus_sample": textops.mixed_corpus_sample,
         "md5_fingerprints": textops.md5_fingerprints,
         "normalized_text_fps": textops.normalized_text_fps,
         "rolling_fingerprints": textops.rolling_fingerprints,
@@ -323,6 +324,17 @@ def oracle_sql() -> dict[str, str]:
     from png_from_pdf_extracter_ray.pipelines.textops import (
         NGRAM_MAX_DF as _NGRAM_MAX_DF,
     )
+    from png_from_pdf_extracter_ray.pipelines.textops import (
+        MIX_DEFAULT_WEIGHT as _MIX_DEFAULT,
+    )
+    from png_from_pdf_extracter_ray.pipelines.textops import (
+        MIX_WEIGHTS as _MIX_WEIGHTS,
+    )
+    from png_from_pdf_extracter_ray.pipelines.textops import mix_threshold_hex as _mt
+
+    _mix_case = "CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN '{_mt(rate)}'" for lang, rate in _MIX_WEIGHTS.items()
+    ) + f" ELSE '{_mt(_MIX_DEFAULT)}' END"
 
     _pii_aug_sql = _augmented_text_sql()
 
@@ -678,6 +690,10 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
                         THEN 'test' ELSE 'train' END AS split
             FROM documents
+        """,
+        "mixed_corpus_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {_mix_case}
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM (

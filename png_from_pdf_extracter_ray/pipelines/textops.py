@@ -78,6 +78,54 @@ def train_test_split(sf_dir: str, test_hex_prefixes: tuple = ("0", "1")) -> rd.D
     ).select_columns(["doc_id", "split"])
 
 
+# Data-mixing weights: per-source (language) keep rates — the mixture
+# knob of a training-data pipeline (up/down-weight sources toward a
+# target distribution).  Shared with the DuckDB oracle (__ray_entry__
+# builds its CASE expression from this dict — one source of truth).
+MIX_WEIGHTS: dict[str, float] = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.25}
+MIX_DEFAULT_WEIGHT = 0.1
+
+
+def mix_threshold_hex(rate: float) -> str:
+    """Keep-rate → 8-hex-digit md5-prefix threshold.  A doc is kept iff
+    the first 8 hex chars of md5(doc_id) compare LESS THAN this string —
+    lexicographic compare of lowercase fixed-width hex IS numeric
+    compare, so both the engine and DuckDB evaluate the identical
+    predicate with no hex parsing anywhere."""
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
+def mixed_corpus_sample(sf_dir: str) -> rd.Dataset:
+    """Weighted data mixing (deterministic): every source (language)
+    keeps an md5-hash-based fraction of its documents per
+    ``MIX_WEIGHTS`` — the source-reweighting step that shapes a training
+    mixture.  Pure function of (doc_id, lang): stable under any
+    partitioning, resumable, no RNG, no shuffle — one streaming filter.
+    SQL-checked (DuckDB md5 agrees byte-for-byte)."""
+    import hashlib
+
+    thresholds = {
+        lang: mix_threshold_hex(rate) for lang, rate in MIX_WEIGHTS.items()
+    }
+    default_t = mix_threshold_hex(MIX_DEFAULT_WEIGHT)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        mask = [
+            hashlib.md5(str(i).encode()).hexdigest()[:8]
+            < thresholds.get(lang, default_t)
+            for i, lang in zip(ids, langs)
+        ]
+        return batch.filter(pa.array(mask))
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(keep, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang"])
+    )
+
+
 def stratified_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Deterministic stratified sample: the k docs with the smallest
     md5(doc_id) per language — the balanced-subset op of a training-data
