@@ -576,6 +576,29 @@ def write_similarity_lsh_oracle(
     )
 
 
+# One single-process extraction per (sf_dir, expand) per PROCESS: the
+# phash-pairs and jpeg-roundtrip oracles (and anything added later) all
+# start from the same deterministic extraction — recomputing it per
+# writer tripled the one-time oracle cost when a version bump
+# invalidates every parquet at once.
+_EXTRACT_MEMO: dict = {}
+
+
+def _oracle_exploded_pages(sf_dir: str, expand: int = 2) -> pa.Table:
+    from ..stages.extract_stage import oracle_extract_table
+    from ..stages.multimodal import explode_pages
+    from .summary import oracle_unique_pages
+
+    key = (os.path.abspath(sf_dir), expand)
+    t = _EXTRACT_MEMO.get(key)
+    if t is None:
+        extracted = oracle_extract_table(oracle_unique_pages(sf_dir, expand=expand))
+        t = explode_pages(extracted.select(["url", "pages"]))
+        _EXTRACT_MEMO.clear()  # bound: one corpus at a time
+        _EXTRACT_MEMO[key] = t
+    return t
+
+
 # ---------------------------------------------------------------------------
 # Perceptual-hash page near-dups (brute-force hamming over every pair)
 # ---------------------------------------------------------------------------
@@ -589,17 +612,12 @@ def write_pages_phash_oracle(sf_dir: str, max_hamming: int = 3, expand: int = 2)
     bucketed self-merge.  Block probing is exact for max_hamming ≤ 3
     (pigeonhole over 4 disjoint 16-bit blocks), so the two sets must be
     identical; any bucketing/shuffle/dedup bug diverges."""
-    from ..stages.extract_stage import oracle_extract_table
-    from ..stages.multimodal import PagePHasher, explode_pages
-    from .summary import oracle_unique_pages
+    from ..stages.multimodal import PagePHasher
 
     path = _oracle_path(sf_dir, "pages_phash_pairs", expand)
     if os.path.exists(path):
         return path
-    pages = oracle_unique_pages(sf_dir, expand=expand)
-    extracted = oracle_extract_table(pages)
-    exploded = explode_pages(extracted.select(["url", "pages"]))
-    sig_t = PagePHasher()(exploded)
+    sig_t = PagePHasher()(_oracle_exploded_pages(sf_dir, expand))
     ids = np.asarray(sig_t["page_id"].to_pylist(), dtype=object)
     sh = sig_t["phash"].to_numpy().astype(np.int64).view(np.uint64)
     n = len(sh)
@@ -728,15 +746,12 @@ def write_jpeg_roundtrip_oracle(sf_dir: str, quality: int = 85, expand: int = 2)
     """Oracle for ``pages_jpeg_roundtrip``: single-process extraction →
     resize → the SAME JpegRoundtrip kernel (the per-page codec IS the
     contract — kernel/jpeg.py is deterministic), no Ray anywhere."""
-    from ..stages.extract_stage import oracle_extract_table
-    from ..stages.multimodal import JpegRoundtrip, PngResizer, explode_pages
-    from .summary import oracle_unique_pages
+    from ..stages.multimodal import JpegRoundtrip, PngResizer
 
     path = _oracle_path(sf_dir, "jpeg_roundtrip", expand)
     if os.path.exists(path):
         return path
-    pages = oracle_unique_pages(sf_dir, expand=expand)
-    extracted = oracle_extract_table(pages)
-    exploded = explode_pages(extracted.select(["url", "pages"]))
-    resized = PngResizer(target_w=480, target_h=270)(exploded)
+    resized = PngResizer(target_w=480, target_h=270)(
+        _oracle_exploded_pages(sf_dir, expand)
+    )
     return _commit(JpegRoundtrip(quality=quality)(resized), path)
