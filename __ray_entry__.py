@@ -77,6 +77,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from png_from_pdf_extracter_ray.pipelines import corpus_stats
     from png_from_pdf_extracter_ray.pipelines import data_quality as dq
+    from png_from_pdf_extracter_ray.pipelines import mlops
     from png_from_pdf_extracter_ray.pipelines import relational as rel
     from png_from_pdf_extracter_ray.pipelines import textops
     from png_from_pdf_extracter_ray.pipelines.extract_pipeline import flagship
@@ -99,8 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the driver attests the FIRST 50 entries in
     # CORRECTNESS_r{N}.json, so the window holds one representative of
     # EVERY operator family (flagship extraction, exact/minhash/simhash/
-    # ngram/LSH/semantic/pHash/cross-doc dedup, ANN ×3, HLL + quantile
-    # sketches, multimodal page ops, TPC-H shapes, windows/as-of/pivot/
+    # ngram/LSH/semantic/pHash/cross-doc dedup, ANN ×4 incl. PQ, HLL +
+    # quantile sketches, distributed k-means, ridge regression, BPE
+    # training, multimodal page ops, TPC-H shapes, windows/as-of/pivot/
     # funnel/correlation, tf-idf, bloom, packing, PII); long-tail
     # variants and the remaining relational shapes follow after.
     return {
@@ -119,7 +121,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": textops.semantic_dedup_embeddings,
         "minhash_near_dups": textops.minhash_near_dups,
         "minhash_dedup_groups": textops.minhash_dedup_groups,
-        "minhash_dedup_keep_best": textops.minhash_dedup_keep_best,
         "simhash_near_dups": textops.simhash_near_dups,
         "ngram_jaccard_near_dups": textops.ngram_jaccard_near_dups,
         "embedding_near_dups": textops.embedding_near_dups,
@@ -127,10 +128,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_embedding_near_dups": textops.text_embedding_near_dups,
         "pages_phash_near_dups": textops.pages_phash_near_dups,
         "cross_doc_duplicate_spans": dq.cross_doc_duplicate_spans,
-        # --- similarity search (brute-force / LSH / IVF; SQL-checked) ---
+        # --- similarity search (brute-force / LSH / IVF / PQ; SQL-checked) ---
         "similarity_topk": textops.similarity_topk,
         "similarity_topk_lsh": textops.similarity_topk_lsh,
         "similarity_topk_ivf": textops.similarity_topk_ivf,
+        "similarity_topk_pq": mlops.similarity_topk_pq,
+        # --- distributed ML (iterative k-means, one-pass ridge fit,
+        # BPE tokenizer training; all SQL-checked vs flat twins) ---
+        "kmeans_doc_clusters": mlops.kmeans_doc_clusters,
+        "ridge_quality_model": mlops.ridge_quality_model,
+        "bpe_train_merges": mlops.bpe_train_merges,
         # --- sketches (HLL SQL-checked vs flat recompute; the grid
         # sketches are batch-boundary-dependent → rows-only + error-bound
         # pytests; the exact quantile variant is SQL-checked) ---
@@ -151,9 +158,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q8_market_share": rel.q8_market_share,
         "q14_promo_revenue": rel.q14_promo_revenue,
-        "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
-        "q18_large_orders": rel.q18_large_orders,
-        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
         # --- windows / as-of / pivot / funnel / correlation ---
         "events_asof_last_purchase": rel.events_asof_last_purchase,
         "events_sessionize": rel.events_sessionize,
@@ -168,8 +172,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": dq.pii_scrub,
         # ==================== end of the 50-entry driver window =========
         # --- dedup family long tail ---
+        "minhash_dedup_keep_best": textops.minhash_dedup_keep_best,
         "pages_phash_dedup_groups": textops.pages_phash_dedup_groups,
         "pages_frame_sample": textops.pages_frame_sample,
+        # --- TPC-H long tail ---
+        "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
+        "q18_large_orders": rel.q18_large_orders,
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
         # --- relational operators (SQL-checked) ---
         "lang_whitelist_filter": rel.lang_whitelist_filter,
         "groupby_lang_counts": rel.groupby_lang_counts,
@@ -401,6 +410,10 @@ def oracle_sql() -> dict[str, str]:
     _xdoc_oracle = _rro._oracle_path(_oracle_sf, "cross_doc_spans")
     _phash_groups_oracle = _rro._oracle_path(_oracle_sf, "pages_phash_groups")
     _jpegrt_oracle = _rro._oracle_path(_oracle_sf, "jpeg_roundtrip")
+    _kmeans_oracle = _rro._oracle_path(_oracle_sf, "kmeans_clusters")
+    _pq_oracle = _rro._oracle_path(_oracle_sf, "pq_topk")
+    _ridge_oracle = _rro._oracle_path(_oracle_sf, "ridge_model")
+    _bpe_oracle = _rro._oracle_path(_oracle_sf, "bpe_merges")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -418,6 +431,10 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_pages_phash_groups_oracle(_oracle_sf)
         _rro.write_jpeg_roundtrip_oracle(_oracle_sf)
         _rro.write_cross_doc_spans_oracle(_oracle_sf)
+        _rro.write_kmeans_oracle(_oracle_sf)
+        _rro.write_pq_topk_oracle(_oracle_sf)
+        _rro.write_ridge_oracle(_oracle_sf)
+        _rro.write_bpe_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -513,6 +530,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_topk_ivf": f"""
             SELECT vec_id, cos FROM read_parquet('{_ivf_oracle}')
+        """,
+        "similarity_topk_pq": f"""
+            SELECT vec_id, score FROM read_parquet('{_pq_oracle}')
+        """,
+        "kmeans_doc_clusters": f"""
+            SELECT vec_id, cluster FROM read_parquet('{_kmeans_oracle}')
+        """,
+        "ridge_quality_model": f"""
+            SELECT doc_id, n_chars, y_hat, resid FROM read_parquet('{_ridge_oracle}')
+        """,
+        "bpe_train_merges": f"""
+            SELECT merge_rank, left_sym, right_sym, freq
+            FROM read_parquet('{_bpe_oracle}')
         """,
         "context_pack_bins": f"""
             SELECT doc_id, shard, bin_id, n_tokens

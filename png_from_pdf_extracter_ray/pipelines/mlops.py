@@ -1,0 +1,79 @@
+"""Query wrappers for the ML-operator family (stages/ml.py, stages/pq.py,
+pipelines/tokenizer.py) — one callable per __ray_entry__ queries() entry.
+
+Each operator is batch-invariant by construction (integer reductions —
+see the stage docstrings), so each is SQL-checked against a flat no-Ray
+recompute parquet (pipelines/rowsonly_oracles.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+import ray.data as rd
+
+KMEANS_K = 8
+KMEANS_ITERS = 4
+KMEANS_SAMPLE = 512
+PQ_M = 8
+PQ_KS = 16
+PQ_SAMPLE = 1024
+
+
+def _embeddings(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+
+def kmeans_doc_clusters(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> rd.Dataset:
+    """Distributed spherical k-means over the full embedding table:
+    driver init on a bounded deterministic sample, ``iters`` map-reduce
+    Lloyd iterations (integer-exact partials), one labeling pass.
+    Output: (vec_id, cluster) Dataset, N-sized."""
+    from ..stages.ml import kmeans_fit, kmeans_labels
+
+    ds = _embeddings(sf_dir)
+    cent = kmeans_fit(ds, k=k, iters=iters, target_sample=KMEANS_SAMPLE)
+    return kmeans_labels(ds, cent)
+
+
+def similarity_topk_pq(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """PQ-compressed ANN top-k (stages/pq.py): codebooks trained on the
+    deterministic hash-threshold sample, ADC scoring per batch."""
+    from ..stages.ml import _unit_rows
+    from ..stages.pq import pq_topk, pq_train
+    from ..stages.semdedup import deterministic_sample_matrix
+    from ..stages.similarity import load_query_vector
+
+    ds = _embeddings(sf_dir)
+    sample = deterministic_sample_matrix(ds, "vec_id", "embedding", target=PQ_SAMPLE)
+    if sample.size == 0:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    books = pq_train(_unit_rows(sample), m=PQ_M, ks=PQ_KS)
+    return pq_topk(ds, load_query_vector(sf_dir, 0), books, k=k)
+
+
+def ridge_quality_model(sf_dir: str) -> rd.Dataset:
+    """One-pass distributed ridge fit (integer normal equations) +
+    stateless prediction pass.  Output: (doc_id, n_chars, y_hat, resid)
+    per document."""
+    from ..stages.ml import ridge_fit, ridge_predict
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+    beta = ridge_fit(ds)
+    return ridge_predict(ds, beta)
+
+
+def bpe_train_merges(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer-merge training (pipelines/tokenizer.py):
+    distributed capped word-frequency table → driver merge loop.
+    Output: (rank, left, right, freq) merge table."""
+    from .tokenizer import bpe_train
+
+    return bpe_train(sf_dir)

@@ -755,3 +755,110 @@ def write_jpeg_roundtrip_oracle(sf_dir: str, quality: int = 85, expand: int = 2)
         _oracle_exploded_pages(sf_dir, expand)
     )
     return _commit(JpegRoundtrip(quality=quality)(resized), path)
+
+
+# ---------------------------------------------------------------------------
+# ML-operator family (stages/ml.py, stages/pq.py, pipelines/tokenizer.py)
+# ---------------------------------------------------------------------------
+
+
+def write_kmeans_oracle(sf_dir: str, k: int = 8, iters: int = 4) -> str:
+    """Oracle for ``kmeans_doc_clusters``: the flat twin in stages/ml.py
+    (same deterministic sample init, same INTEGER assignment and
+    centroid sums, so equality is by construction, not luck)."""
+    from ..pipelines.mlops import KMEANS_SAMPLE
+    from ..stages.ml import kmeans_fit_flat, kmeans_labels_flat
+
+    path = _oracle_path(sf_dir, "kmeans_clusters")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = _ids_np(t["vec_id"])
+    mat = _stack(t["embedding"])
+    cent = kmeans_fit_flat(ids, mat, k=k, iters=iters, target_sample=KMEANS_SAMPLE)
+    out = kmeans_labels_flat(ids, mat, cent)
+    return _commit(
+        _from_pandas(out, pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())])),
+        path,
+    )
+
+
+def write_pq_topk_oracle(sf_dir: str, k: int = 10) -> str:
+    """Oracle for ``similarity_topk_pq``: same sample, same driver-side
+    codebooks, flat integer encode + ADC recompute."""
+    from ..pipelines.mlops import PQ_KS, PQ_M, PQ_SAMPLE
+    from ..stages.ml import _unit_rows
+    from ..stages.pq import pq_topk_flat, pq_train
+    from ..stages.semdedup import flat_hash_sample
+    from ..stages.similarity import load_query_vector
+
+    path = _oracle_path(sf_dir, "pq_topk")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = _ids_np(t["vec_id"])
+    mat = _stack(t["embedding"])
+    sample = flat_hash_sample(ids, mat, PQ_SAMPLE)
+    books = pq_train(_unit_rows(sample), m=PQ_M, ks=PQ_KS)
+    out = pq_topk_flat(ids, mat, load_query_vector(sf_dir, 0), books, k=k)
+    return _commit(
+        _from_pandas(out, pa.schema([("vec_id", pa.int64()), ("score", pa.float64())])),
+        path,
+    )
+
+
+def write_ridge_oracle(sf_dir: str) -> str:
+    """Oracle for ``ridge_quality_model``: flat integer normal equations
+    + the same 5×5 solve and rounded predictions (stages/ml.ridge_flat)."""
+    from ..stages.ml import ridge_flat
+
+    path = _oracle_path(sf_dir, "ridge_model")
+    if os.path.exists(path):
+        return path
+    df = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    ).to_pandas()
+    _, out = ridge_flat(df)
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_chars", pa.int64()),
+                    ("y_hat", pa.float64()),
+                    ("resid", pa.float64()),
+                ]
+            ),
+        ),
+        path,
+    )
+
+
+def write_bpe_oracle(sf_dir: str) -> str:
+    """Oracle for ``bpe_train_merges``: flat word-frequency table (same
+    tokenization partials, same cap order) → the same driver merge loop."""
+    from ..pipelines.tokenizer import bpe_train_flat
+
+    path = _oracle_path(sf_dir, "bpe_merges")
+    if os.path.exists(path):
+        return path
+    df = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    ).to_pandas()
+    out = bpe_train_flat(df)
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [
+                    ("merge_rank", pa.int64()),
+                    ("left_sym", pa.string()),
+                    ("right_sym", pa.string()),
+                    ("freq", pa.int64()),
+                ]
+            ),
+        ),
+        path,
+    )

@@ -1,0 +1,177 @@
+"""Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+for Nearest Neighbor Search", IEEE TPAMI 33(1)) — the embedding-
+COMPRESSION scale path of the similarity family.
+
+The vector column is split into ``m`` subspaces; each subspace gets a
+``ks``-centroid codebook trained on a bounded deterministic sample
+(driver-side Lloyd, same sampling protocol as IVF/SemDeDup).  A row is
+then ``m`` uint8 codes (64-float32 vector → 8 bytes: 32× smaller), and
+query scoring is an asymmetric-distance (ADC) lookup: one (m, ks) table
+of query·centroid inner products, one gather-sum per row — no full
+matmul against the corpus.
+
+Scale shape: codebooks broadcast once via ``ray.put``; encode + ADC are
+one stateless ``map_batches`` with a per-batch top-k prune sharing the
+final sort's total order (the cosine_topk pattern) — no shuffle beyond
+the k-row collect.  At 100 TB the codes become the STORED index (8
+bytes/row instead of 256) and the raw vectors never leave cold storage
+after encoding.
+
+Batch-invariance: encoding argmins run on FIXED-POINT integer distances
+(inputs quantized to ``ENC_SCALE``), because a float32 BLAS matmul can
+differ in the last bit between batch shapes and a flipped argmin at a
+near-tie would change a code visibly.  Integer distances make
+engine-vs-flat-oracle equality hold by construction; the float ADC sum
+is per-row over a fixed m-term order, so it is batch-shape-independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from .ml import _quantize, _unit_rows
+
+ENC_SCALE = 1 << 10  # fixed-point scale for integer encode distances
+
+
+def kmeans_l2(
+    x: np.ndarray, k: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic plain-L2 Lloyd (the subspace quantizer — unlike
+    stages/similarity.kmeans_centroids it must NOT normalize, a
+    subvector's norm carries signal).  Empty clusters keep their
+    previous centroid; runs on the driver over a bounded sample."""
+    rng = np.random.default_rng(seed)
+    x = x.astype(np.float32)
+    k = min(k, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = (
+            (x**2).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ cent.T)
+            + (cent**2).sum(axis=1)
+        )
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_train(
+    sample_unit: np.ndarray, m: int = 8, ks: int = 16, seed: int = 42
+) -> np.ndarray:
+    """(m, ks, d/m) float32 codebooks from a row-normalized sample."""
+    n, d = sample_unit.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, ks, dsub), dtype=np.float32)
+    for j in range(m):
+        books[j] = kmeans_l2(
+            sample_unit[:, j * dsub : (j + 1) * dsub], ks, seed=seed + j
+        )
+    return books
+
+
+def pq_encode(unit: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes via exact integer L2 argmin per subspace."""
+    m, ks, dsub = books.shape
+    codes = np.empty((len(unit), m), dtype=np.uint8)
+    for j in range(m):
+        sq = _quantize(unit[:, j * dsub : (j + 1) * dsub], ENC_SCALE)
+        cq = _quantize(books[j], ENC_SCALE)
+        d2 = (
+            (sq**2).sum(axis=1, keepdims=True)
+            - 2 * (sq @ cq.T)
+            + (cq**2).sum(axis=1)
+        )  # int64 — exact
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def adc_scores(codes: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Σ_j lut[j, code_j] per row — float32 gather-sum over a fixed
+    m-term order (batch-shape-independent)."""
+    m = codes.shape[1]
+    return lut[np.arange(m), codes.astype(np.int64)].sum(axis=1)
+
+
+def pq_topk(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    books: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """ADC top-k: encode each batch, score via the broadcast LUT, prune
+    to k rows per batch on the SAME total order as the final sort and
+    the oracle — (rounded score desc, id asc), the cosine_topk rule."""
+    from ..pipelines.relational import _cached_broadcast
+    from .similarity import _ids_np, _stack
+
+    q = np.asarray(query, dtype=np.float32)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    m, ks, dsub = books.shape
+    lut = np.einsum(
+        "mkd,md->mk", books, qn.reshape(m, dsub), dtype=np.float32
+    ).astype(np.float32)
+    bref = ray.put(books)
+    lref = ray.put(lut)
+
+    def score(batch: pa.Table) -> pa.Table:
+        b = _cached_broadcast(bref)
+        table = _cached_broadcast(lref)
+        mat = _stack(batch[vec_col])
+        if mat.size == 0:
+            return pa.Table.from_pydict(
+                {id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        codes = pq_encode(_unit_rows(mat), b)
+        s = adc_scores(codes, table)
+        r = np.round(s.astype(np.float64), 3)
+        ids = _ids_np(batch[id_col])
+        order = np.lexsort((ids, -r))[:k]
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "score": pa.array(r[order]),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["score", id_col], descending=[True, False]).limit(k).to_pandas()
+
+
+def pq_topk_flat(
+    ids: np.ndarray,
+    mat: np.ndarray,
+    query: np.ndarray,
+    books: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Single-process twin of ``pq_topk`` (same integer encode, same
+    LUT, same total order)."""
+    q = np.asarray(query, dtype=np.float32)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    m, ks, dsub = books.shape
+    lut = np.einsum(
+        "mkd,md->mk", books, qn.reshape(m, dsub), dtype=np.float32
+    ).astype(np.float32)
+    codes = pq_encode(_unit_rows(mat), books)
+    r = np.round(adc_scores(codes, lut).astype(np.float64), 3)
+    out = (
+        pd.DataFrame({id_col: ids, "score": r})
+        .sort_values([ "score", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out

@@ -1,0 +1,170 @@
+"""Unit tests for the ML-operator family (stages/ml.py, stages/pq.py,
+pipelines/tokenizer.py) — properties beyond the DuckDB-parity layer in
+test_queries_vs_duckdb.py (which already pins all four new entries
+against their flat oracles)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from png_from_pdf_extracter_ray.pipelines.tokenizer import (
+    bpe_merges_from_wordfreq,
+    word_freq_flat,
+)
+from png_from_pdf_extracter_ray.stages.ml import (
+    ASSIGN_SCALE,
+    _quantize,
+    _unit_rows,
+    assign_clusters_int,
+    doc_features,
+    kmeans_fit_flat,
+    kmeans_labels_flat,
+    ridge_flat,
+    ridge_solve,
+)
+from png_from_pdf_extracter_ray.stages.pq import (
+    adc_scores,
+    pq_encode,
+    pq_topk_flat,
+    pq_train,
+)
+
+
+def _rand_unit(n: int, d: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return _unit_rows(rng.standard_normal((n, d)).astype(np.float32))
+
+
+class TestKMeans:
+    def test_integer_assignment_is_batch_invariant(self) -> None:
+        """Assignments computed on row slices must equal the full-matrix
+        assignment bit-for-bit — the property the fixed-point encode
+        exists to guarantee."""
+        unit = _rand_unit(257, 16)
+        cent_q = _quantize(_rand_unit(5, 16, seed=9), ASSIGN_SCALE)
+        full = assign_clusters_int(unit, cent_q)
+        for lo, hi in [(0, 1), (1, 100), (100, 257)]:
+            np.testing.assert_array_equal(
+                assign_clusters_int(unit[lo:hi], cent_q), full[lo:hi]
+            )
+
+    def test_flat_fit_labels_all_rows_within_k(self) -> None:
+        rng = np.random.default_rng(3)
+        ids = np.arange(300, dtype=np.int64)
+        mat = rng.standard_normal((300, 8)).astype(np.float32)
+        cent = kmeans_fit_flat(ids, mat, k=4, iters=3, target_sample=64)
+        out = kmeans_labels_flat(ids, mat, cent)
+        assert len(out) == 300
+        assert out["cluster"].between(0, 3).all()
+
+    def test_fit_separates_obvious_clusters(self) -> None:
+        """Two well-separated directional blobs must land in different
+        clusters."""
+        rng = np.random.default_rng(11)
+        a = rng.normal([10, 0, 0, 0], 0.1, size=(50, 4))
+        b = rng.normal([0, 10, 0, 0], 0.1, size=(50, 4))
+        mat = np.vstack([a, b]).astype(np.float32)
+        ids = np.arange(100, dtype=np.int64)
+        cent = kmeans_fit_flat(ids, mat, k=2, iters=4, target_sample=100)
+        out = kmeans_labels_flat(ids, mat, cent)
+        la = set(out["cluster"][:50])
+        lb = set(out["cluster"][50:])
+        assert len(la) == 1 and len(lb) == 1 and la != lb
+
+
+class TestPQ:
+    def test_encode_batch_invariant(self) -> None:
+        unit = _rand_unit(123, 16)
+        books = pq_train(_rand_unit(400, 16, seed=5), m=4, ks=8)
+        full = pq_encode(unit, books)
+        for lo, hi in [(0, 1), (1, 60), (60, 123)]:
+            np.testing.assert_array_equal(pq_encode(unit[lo:hi], books), full[lo:hi])
+
+    def test_adc_approximates_cosine(self) -> None:
+        """ADC score must correlate strongly with the true inner product
+        on unit vectors (compression, not garbage)."""
+        unit = _rand_unit(500, 32)
+        books = pq_train(unit, m=8, ks=16)
+        q = _rand_unit(1, 32, seed=77)[0]
+        lut = np.einsum("mkd,md->mk", books, q.reshape(8, 4))
+        approx = adc_scores(pq_encode(unit, books), lut.astype(np.float32))
+        true = unit @ q
+        corr = np.corrcoef(approx, true)[0, 1]
+        assert corr > 0.8, corr
+
+    def test_topk_flat_recall_vs_exact(self) -> None:
+        unit = _rand_unit(400, 16)
+        ids = np.arange(400, dtype=np.int64)
+        books = pq_train(unit, m=4, ks=16)
+        q = _rand_unit(1, 16, seed=31)[0]
+        got = set(pq_topk_flat(ids, unit, q, books, k=10)["vec_id"])
+        exact = set(np.argsort(-(unit @ q))[:20].tolist())  # top-20 pool
+        assert len(got & exact) >= 5  # PQ top-10 overlaps the true top-20
+
+    def test_train_rejects_indivisible_dim(self) -> None:
+        with pytest.raises(ValueError):
+            pq_train(_rand_unit(10, 10), m=4, ks=4)
+
+
+class TestRidge:
+    def test_solve_recovers_exact_linear_data(self) -> None:
+        """With y an exact integer linear function of the features, the
+        (lightly regularized) fit must predict it almost perfectly."""
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(50, dtype=np.int64),
+                "text": [
+                    " ".join(f"w{j}" for j in range(i % 7 + 1)) + "." * (i % 3)
+                    for i in range(50)
+                ],
+            }
+        )
+        df["n_chars"] = 0  # placeholder so doc_features can read y
+        x, _ = doc_features(df)
+        true_beta = np.array([5.0, 3.0, 2.0, 1.0, 0.0])
+        df["n_chars"] = (x @ true_beta).astype(np.int64)
+        beta, out = ridge_flat(df)
+        assert np.abs(out["resid"]).max() < 1.0
+
+    def test_features_handle_blank_docs(self) -> None:
+        df = pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["", "a b c 123."], "n_chars": [0, 10]}
+        )
+        x, y = doc_features(df)
+        assert x[0].tolist() == [1, 0, 0, 0, 0]
+        assert x[1].tolist() == [1, 4, 4, 1, 3]
+
+    def test_regularization_excludes_intercept(self) -> None:
+        xtx = np.eye(3) * 10
+        xty = np.array([10.0, 10.0, 10.0])
+        beta = ridge_solve(xtx, xty, lam=10.0)
+        assert beta[0] == pytest.approx(1.0)
+        assert beta[1] == pytest.approx(0.5)
+
+
+class TestBPE:
+    def test_golden_tiny_corpus(self) -> None:
+        """Classic BPE example: 'ab' is the most frequent pair."""
+        out = bpe_merges_from_wordfreq(
+            ["abab", "abc", "bc"], [10, 5, 3], n_merges=3
+        )
+        assert out.iloc[0][["left_sym", "right_sym"]].tolist() == ["a", "b"]
+        assert out.iloc[0]["freq"] == 25  # 2×10 + 1×5
+        # second merge: 'ab'+'ab' (10) vs 'ab'+'c' (5) vs 'b'+'c' (3)
+        assert out.iloc[1][["left_sym", "right_sym"]].tolist() == ["ab", "ab"]
+
+    def test_tie_breaks_lexicographic(self) -> None:
+        out = bpe_merges_from_wordfreq(["xy", "ab"], [4, 4], n_merges=1)
+        assert out.iloc[0][["left_sym", "right_sym"]].tolist() == ["a", "b"]
+
+    def test_stops_below_min_freq(self) -> None:
+        out = bpe_merges_from_wordfreq(["ab"], [1], n_merges=5)
+        assert len(out) == 0
+
+    def test_word_freq_flat_cap_order(self) -> None:
+        df = pd.DataFrame({"text": ["b b b", "a a a", "c"]})
+        wf = word_freq_flat(df, cap=2)
+        assert wf["token"].tolist() == ["a", "b"]  # tie → token asc
+        assert wf["n"].tolist() == [3, 3]
