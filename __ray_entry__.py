@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_doc_clusters": mlops.kmeans_doc_clusters,
         "ridge_quality_model": mlops.ridge_quality_model,
         "bpe_train_merges": mlops.bpe_train_merges,
+        # (bpe_encode_docs and heavy_hitters_cms are family variants —
+        # they live in the long tail below)
         # --- sketches (HLL SQL-checked vs flat recompute; the grid
         # sketches are batch-boundary-dependent → rows-only + error-bound
         # pytests; the exact quantile variant is SQL-checked) ---
@@ -234,10 +236,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": corpus_stats.doc_length_histogram,
         "benchmark_contamination": corpus_stats.benchmark_contamination,
         "heavy_hitter_tokens": corpus_stats.heavy_hitter_tokens,
+        "heavy_hitters_cms": corpus_stats.heavy_hitters_cms,
         "token_postings": corpus_stats.token_postings,
         "unigram_logprob_scores": corpus_stats.unigram_logprob_scores,
         "token_chunks": textops.token_chunks,
         "doc_length_percentiles": textops.doc_length_percentiles,
+        "bpe_encode_docs": mlops.bpe_encode_docs,
         # --- raw-output entries (rows-only: list/binary columns) ---
         "text_embeddings": textops.text_embeddings,
         "pages_image_features": textops.pages_image_features,
@@ -414,6 +418,8 @@ def oracle_sql() -> dict[str, str]:
     _pq_oracle = _rro._oracle_path(_oracle_sf, "pq_topk")
     _ridge_oracle = _rro._oracle_path(_oracle_sf, "ridge_model")
     _bpe_oracle = _rro._oracle_path(_oracle_sf, "bpe_merges")
+    _bpe_enc_oracle = _rro._oracle_path(_oracle_sf, "bpe_encode")
+    _cms_oracle = _rro._oracle_path(_oracle_sf, "cms_heavy_hitters")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -435,6 +441,8 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_pq_topk_oracle(_oracle_sf)
         _rro.write_ridge_oracle(_oracle_sf)
         _rro.write_bpe_oracle(_oracle_sf)
+        _rro.write_bpe_encode_oracle(_oracle_sf)
+        _rro.write_cms_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -543,6 +551,13 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train_merges": f"""
             SELECT merge_rank, left_sym, right_sym, freq
             FROM read_parquet('{_bpe_oracle}')
+        """,
+        "bpe_encode_docs": f"""
+            SELECT doc_id, n_words, n_bpe_tokens, bpe_ratio
+            FROM read_parquet('{_bpe_enc_oracle}')
+        """,
+        "heavy_hitters_cms": f"""
+            SELECT token, n_true, n_est FROM read_parquet('{_cms_oracle}')
         """,
         "context_pack_bins": f"""
             SELECT doc_id, shard, bin_id, n_tokens

@@ -217,6 +217,11 @@ def bench_queries() -> dict[str, float]:
         "heavy_hitter_tokens",
         "semantic_dedup",
         "cross_doc_duplicate_spans",
+        "kmeans_doc_clusters",
+        "similarity_topk_pq",
+        "ridge_quality_model",
+        "bpe_train_merges",
+        "bpe_encode_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

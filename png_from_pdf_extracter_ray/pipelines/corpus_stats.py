@@ -523,3 +523,25 @@ def benchmark_contamination_bloom(sf_dir: str) -> pd.DataFrame:
     if out.empty and list(out.columns) != ["doc_id", "n_contam"]:
         out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "n_contam": pd.Series([], dtype="int64")})
     return out.sort_values("doc_id", ignore_index=True)[["doc_id", "n_contam"]]
+
+
+def heavy_hitters_cms(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Count-min-sketch point estimates for the top-k tokens, next to
+    their exact counts — the bounded-memory frequency estimator
+    (stages/sketch.py CMS).  The sketch is one streaming pass with a
+    constant 64 KiB of state per batch (mergeable integer adds); the
+    exact counts reuse the vocabulary path.  CM estimates never
+    under-count: n_est ≥ n_true, equality whenever no hash collision
+    lands in all four rows."""
+    from ..stages.sketch import cms_query, cms_token_counts
+
+    sk = cms_token_counts(_docs(sf_dir, ["text"]))
+    top = vocab_top_tokens(sf_dir, k=k)
+    est = cms_query(sk, top["token"].to_numpy(dtype=object))
+    return pd.DataFrame(
+        {
+            "token": top["token"],
+            "n_true": top["n"].astype("int64"),
+            "n_est": pd.Series(est, dtype="int64"),
+        }
+    )

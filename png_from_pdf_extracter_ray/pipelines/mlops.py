@@ -77,3 +77,12 @@ def bpe_train_merges(sf_dir: str) -> pd.DataFrame:
     from .tokenizer import bpe_train
 
     return bpe_train(sf_dir)
+
+
+def bpe_encode_docs(sf_dir: str) -> rd.Dataset:
+    """Apply the trained BPE merges to every document via the
+    BpeEncoder actor pool (pipelines/tokenizer.py).  Output:
+    (doc_id, n_words, n_bpe_tokens, bpe_ratio)."""
+    from .tokenizer import bpe_encode_docs as _encode
+
+    return _encode(sf_dir)

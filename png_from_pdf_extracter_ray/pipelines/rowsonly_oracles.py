@@ -862,3 +862,69 @@ def write_bpe_oracle(sf_dir: str) -> str:
         ),
         path,
     )
+
+
+def write_cms_oracle(sf_dir: str, k: int = 50) -> str:
+    """Oracle for ``heavy_hitters_cms``: flat token totals → one flat
+    CMS build (integer adds — identical to the distributed fold by
+    construction) → same top-k and point queries."""
+    from ..pipelines.corpus_stats import _token_partials
+    from ..stages.sketch import cms_partial, cms_query
+
+    path = _oracle_path(sf_dir, "cms_heavy_hitters")
+    if os.path.exists(path):
+        return path
+    df = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    ).to_pandas()
+    parts = _token_partials(df, distinct_per_doc=False)
+    totals = parts.groupby("token", as_index=False, sort=False)["n"].sum()
+    sk = cms_partial(
+        totals["token"].to_numpy(dtype=object), totals["n"].to_numpy(np.int64)
+    )
+    top = totals.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    est = cms_query(sk, top["token"].to_numpy(dtype=object))
+    out = pd.DataFrame(
+        {
+            "token": top["token"].to_numpy(dtype=object),
+            "n_true": top["n"].to_numpy(np.int64),
+            "n_est": est,
+        }
+    )
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [("token", pa.string()), ("n_true", pa.int64()), ("n_est", pa.int64())]
+            ),
+        ),
+        path,
+    )
+
+
+def write_bpe_encode_oracle(sf_dir: str) -> str:
+    """Oracle for ``bpe_encode_docs``: flat train + flat encode
+    (pipelines/tokenizer.bpe_encode_flat — same merges, same loop)."""
+    from ..pipelines.tokenizer import bpe_encode_flat
+
+    path = _oracle_path(sf_dir, "bpe_encode")
+    if os.path.exists(path):
+        return path
+    df = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    out = bpe_encode_flat(df)
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_words", pa.int64()),
+                    ("n_bpe_tokens", pa.int64()),
+                    ("bpe_ratio", pa.float64()),
+                ]
+            ),
+        ),
+        path,
+    )

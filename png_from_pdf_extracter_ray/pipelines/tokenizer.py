@@ -23,10 +23,15 @@ No reference analog — our addition per the training-data-pipeline brief.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
+
+# module-level, NOT inside worker-executed callables (a function-local
+# relative import runs a real import on foreign-cwd workers and fails)
+from .corpus_stats import _WS
 
 BPE_VOCAB_CAP = 1024
 BPE_N_MERGES = 64
@@ -126,3 +131,107 @@ def bpe_train_flat(df: pd.DataFrame) -> pd.DataFrame:
     """Single-process twin for the oracle."""
     wf = word_freq_flat(df)
     return bpe_merges_from_wordfreq(wf["token"].tolist(), wf["n"].tolist())
+
+
+# ---------------------------------------------------------------------------
+# BPE apply (encode) — the trained tokenizer driving the corpus
+# ---------------------------------------------------------------------------
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Canonical BPE encode: repeatedly merge the adjacent pair with the
+    LOWEST merge rank until none applies (the GPT-2 bpe loop).  Shared
+    by the actor stage and the flat oracle — one implementation."""
+    seq = list(word)
+    while len(seq) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+    return seq
+
+
+class BpeEncoder:
+    """Actor-pool encode stage: the merge-rank table is actor state
+    (built once per worker in ``__init__`` — the tokenizer-load slot),
+    and a per-actor word→length memo makes repeated words O(1) (Zipf:
+    almost every token repeats).  Output per doc: word and BPE-token
+    counts + the compression ratio."""
+
+    def __init__(
+        self,
+        merges: list[tuple[str, str]] | None = None,
+        merges_json: str | None = None,
+        id_col: str = "doc_id",
+    ) -> None:
+        # actor ctor args ship inline when they are small plain scalars —
+        # a JSON string avoids the object-store ctor-arg restart warning
+        # (ray#53727) that a list-of-tuples arg triggers
+        if merges is None:
+            import json
+
+            merges = [tuple(p) for p in json.loads(merges_json or "[]")]
+        self.ranks = {tuple(pair): i for i, pair in enumerate(merges)}
+        self.id_col = id_col
+        self.memo: dict[str, int] = {}
+
+    def _word_len(self, w: str) -> int:
+        n = self.memo.get(w)
+        if n is None:
+            n = len(bpe_encode_word(w, self.ranks))
+            self.memo[w] = n
+        return n
+
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
+        s = df["text"].fillna("").str.strip().str.lower()
+        n_words = np.zeros(len(df), dtype=np.int64)
+        n_bpe = np.zeros(len(df), dtype=np.int64)
+        for i, text in enumerate(s):
+            if not text:
+                continue
+            toks = _WS.split(text)
+            n_words[i] = len(toks)
+            n_bpe[i] = sum(self._word_len(w) for w in toks)
+        ratio = np.where(n_words > 0, n_bpe / np.maximum(n_words, 1), 0.0)
+        return pa.Table.from_pydict(
+            {
+                self.id_col: pa.array(df[self.id_col].to_numpy("int64")),
+                "n_words": pa.array(n_words),
+                "n_bpe_tokens": pa.array(n_bpe),
+                "bpe_ratio": pa.array(np.round(ratio, 6)),
+            }
+        )
+
+
+def bpe_encode_docs(sf_dir: str) -> rd.Dataset:
+    """Train merges (distributed word count → driver loop), then encode
+    every document with a BpeEncoder actor pool."""
+    import os
+
+    import json
+
+    merges_df = bpe_train(sf_dir)
+    merges = list(zip(merges_df["left_sym"], merges_df["right_sym"]))
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        BpeEncoder,
+        fn_constructor_kwargs={"merges_json": json.dumps(merges)},
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+
+def bpe_encode_flat(df: pd.DataFrame) -> pd.DataFrame:
+    """Single-process twin of ``bpe_encode_docs`` for the oracle (same
+    trained merges, same encode loop)."""
+    merges_df = bpe_train_flat(df)
+    enc = BpeEncoder(list(zip(merges_df["left_sym"], merges_df["right_sym"])))
+    out = enc(df).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)

@@ -264,3 +264,88 @@ def hll_count_distinct_by_key(
     return pd.DataFrame(
         {key_col: out_keys, "n_distinct_est": pd.Series(out_est, dtype="int64")}
     ).sort_values(key_col, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, "An improved data
+# stream summary: the count-min sketch and its applications", J.Alg 55)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+# depth pairwise-independent hash rows derived from ONE 64-bit value
+# hash (odd multipliers → bijective mixing mod 2^64); constants are part
+# of the sketch contract, shared by engine and flat oracle
+_CMS_A = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+_CMS_B = np.array(
+    [0xD6E8FEB86659FD93, 0xA5CB9243D8E1F2C7, 0x8CB92BA72F3D8E11, 0xE7037ED1A0B428DB],
+    dtype=np.uint64,
+)
+
+
+def cms_indices(h: np.ndarray) -> np.ndarray:
+    """(depth, n) column indices from a uint64 value-hash vector — the
+    top bits of an odd-multiplier mix (better-avalanched than low bits)."""
+    mixed = (_CMS_A[:, None] * h[None, :] + _CMS_B[:, None])  # uint64 wrap
+    return (mixed >> np.uint64(53)).astype(np.int64) % CMS_WIDTH
+
+
+def cms_partial(tokens: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """One batch of (token, count) partials → a (CMS_DEPTH, CMS_WIDTH)
+    int64 sketch.  Integer adds → mergeable and order-independent, so
+    the distributed fold is bit-identical to the flat recompute."""
+    sk = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    if tokens.size == 0:
+        return sk
+    h = pd.util.hash_array(np.asarray(tokens, dtype=object))
+    idx = cms_indices(h)
+    w = weights.astype(np.int64)
+    for d in range(CMS_DEPTH):
+        np.add.at(sk[d], idx[d], w)
+    return sk
+
+
+def cms_query(sk: np.ndarray, tokens: np.ndarray) -> np.ndarray:
+    """Point estimates: min over depth rows (classic CM upper-bound
+    estimator — never under-counts)."""
+    if tokens.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    h = pd.util.hash_array(np.asarray(tokens, dtype=object))
+    idx = cms_indices(h)
+    ests = np.stack([sk[d, idx[d]] for d in range(CMS_DEPTH)])
+    return ests.min(axis=0)
+
+
+def cms_token_counts(ds: rd.Dataset) -> np.ndarray:
+    """Distributed CMS over the token stream of a ``text`` Dataset: one
+    ``map_batches`` emits a 64 KiB sketch row per batch, the driver folds
+    integer sums.  At web scale the fold becomes a tree-reduce (the
+    sketch is associative); the per-batch sketch size is constant, so
+    nothing grows with the corpus."""
+    from ..pipelines.corpus_stats import _token_partials
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        parts = _token_partials(df, distinct_per_doc=False)
+        sk = cms_partial(
+            parts["token"].to_numpy(dtype=object), parts["n"].to_numpy(np.int64)
+        )
+        flat = sk.ravel()
+        offs = pa.array(np.array([0, flat.size], dtype=np.int32))
+        return pa.Table.from_pydict(
+            {"sketch": pa.ListArray.from_arrays(offs, pa.array(flat, pa.int64()))}
+        )
+
+    acc = np.zeros(CMS_DEPTH * CMS_WIDTH, dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            acc += (
+                np.asarray(b["sketch"].combine_chunks().flatten())
+                .reshape(b.num_rows, acc.size)
+                .sum(axis=0)
+            )
+    return acc.reshape(CMS_DEPTH, CMS_WIDTH)

@@ -168,3 +168,57 @@ class TestBPE:
         wf = word_freq_flat(df, cap=2)
         assert wf["token"].tolist() == ["a", "b"]  # tie → token asc
         assert wf["n"].tolist() == [3, 3]
+
+
+class TestCMS:
+    def test_never_undercounts_and_merges_exactly(self) -> None:
+        from png_from_pdf_extracter_ray.stages.sketch import (
+            cms_partial,
+            cms_query,
+        )
+
+        toks = np.array(["a", "b", "c", "a"], dtype=object)
+        w = np.array([10, 5, 3, 7], dtype=np.int64)
+        full = cms_partial(toks, w)
+        # split into two partials and merge by addition — must be
+        # bit-identical (the mergeability contract)
+        merged = cms_partial(toks[:2], w[:2]) + cms_partial(toks[2:], w[2:])
+        np.testing.assert_array_equal(full, merged)
+        est = cms_query(full, np.array(["a", "b", "c"], dtype=object))
+        assert (est >= np.array([17, 5, 3])).all()
+
+    def test_exact_on_sparse_vocab(self) -> None:
+        """With a handful of tokens in a 4×2048 sketch, collisions are
+        absent and estimates are exact."""
+        from png_from_pdf_extracter_ray.stages.sketch import (
+            cms_partial,
+            cms_query,
+        )
+
+        toks = np.array([f"t{i}" for i in range(20)], dtype=object)
+        w = np.arange(1, 21, dtype=np.int64)
+        est = cms_query(cms_partial(toks, w), toks)
+        np.testing.assert_array_equal(est, w)
+
+
+class TestBpeEncode:
+    def test_encode_word_applies_lowest_rank_first(self) -> None:
+        from png_from_pdf_extracter_ray.pipelines.tokenizer import (
+            bpe_encode_word,
+        )
+
+        ranks = {("a", "b"): 0, ("ab", "c"): 1, ("b", "c"): 2}
+        assert bpe_encode_word("abc", ranks) == ["abc"]
+        assert bpe_encode_word("bc", ranks) == ["bc"]
+        assert bpe_encode_word("xyz", ranks) == ["x", "y", "z"]
+
+    def test_encoder_counts_and_ratio(self) -> None:
+        from png_from_pdf_extracter_ray.pipelines.tokenizer import BpeEncoder
+
+        enc = BpeEncoder([("a", "b")])
+        df = pd.DataFrame({"doc_id": [1, 2], "text": ["ab ab cd", ""]})
+        out = enc(df).to_pandas()
+        assert out["n_words"].tolist() == [3, 0]
+        # "ab"→1 token ×2, "cd"→2 tokens
+        assert out["n_bpe_tokens"].tolist() == [4, 0]
+        assert out["bpe_ratio"].iloc[0] == pytest.approx(4 / 3, abs=1e-6)
