@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_doc_clusters": mlops.kmeans_doc_clusters,
         "ridge_quality_model": mlops.ridge_quality_model,
         "bpe_train_merges": mlops.bpe_train_merges,
+        "pca_doc_projections": mlops.pca_doc_projections,
         # (bpe_encode_docs and heavy_hitters_cms are family variants —
         # they live in the long tail below)
         # --- sketches (HLL SQL-checked vs flat recompute; the grid
@@ -159,7 +160,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": rel.q6_forecast_revenue,
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q8_market_share": rel.q8_market_share,
-        "q14_promo_revenue": rel.q14_promo_revenue,
         # --- windows / as-of / pivot / funnel / correlation ---
         "events_asof_last_purchase": rel.events_asof_last_purchase,
         "events_sessionize": rel.events_sessionize,
@@ -177,7 +177,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_keep_best": textops.minhash_dedup_keep_best,
         "pages_phash_dedup_groups": textops.pages_phash_dedup_groups,
         "pages_frame_sample": textops.pages_frame_sample,
+        # --- ANN long tail ---
+        "similarity_topk_ivfpq": mlops.similarity_topk_ivfpq,
         # --- TPC-H long tail ---
+        "q14_promo_revenue": rel.q14_promo_revenue,
         "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
         "q18_large_orders": rel.q18_large_orders,
         "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
@@ -420,6 +423,8 @@ def oracle_sql() -> dict[str, str]:
     _bpe_oracle = _rro._oracle_path(_oracle_sf, "bpe_merges")
     _bpe_enc_oracle = _rro._oracle_path(_oracle_sf, "bpe_encode")
     _cms_oracle = _rro._oracle_path(_oracle_sf, "cms_heavy_hitters")
+    _pca_oracle = _rro._oracle_path(_oracle_sf, "pca_projections")
+    _ivfpq_oracle = _rro._oracle_path(_oracle_sf, "ivfpq_topk")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -443,6 +448,8 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_bpe_oracle(_oracle_sf)
         _rro.write_bpe_encode_oracle(_oracle_sf)
         _rro.write_cms_oracle(_oracle_sf)
+        _rro.write_pca_oracle(_oracle_sf)
+        _rro.write_ivfpq_topk_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -558,6 +565,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "heavy_hitters_cms": f"""
             SELECT token, n_true, n_est FROM read_parquet('{_cms_oracle}')
+        """,
+        "pca_doc_projections": f"""
+            SELECT vec_id, pc0, pc1, pc2, pc3 FROM read_parquet('{_pca_oracle}')
+        """,
+        "similarity_topk_ivfpq": f"""
+            SELECT vec_id, score FROM read_parquet('{_ivfpq_oracle}')
         """,
         "context_pack_bins": f"""
             SELECT doc_id, shard, bin_id, n_tokens

@@ -219,6 +219,8 @@ def bench_queries() -> dict[str, float]:
         "cross_doc_duplicate_spans",
         "kmeans_doc_clusters",
         "similarity_topk_pq",
+        "similarity_topk_ivfpq",
+        "pca_doc_projections",
         "ridge_quality_model",
         "bpe_train_merges",
         "bpe_encode_docs",

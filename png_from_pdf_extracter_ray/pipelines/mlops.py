@@ -86,3 +86,30 @@ def bpe_encode_docs(sf_dir: str) -> rd.Dataset:
     from .tokenizer import bpe_encode_docs as _encode
 
     return _encode(sf_dir)
+
+
+def pca_doc_projections(sf_dir: str, p: int = 4) -> rd.Dataset:
+    """Distributed PCA (stages/ml.py): one integer-moment pass → driver
+    eigh → stateless projection.  Output: (vec_id, pc0..pc{p-1})."""
+    from ..stages.ml import pca_fit, pca_project
+
+    ds = _embeddings(sf_dir)
+    axes = pca_fit(ds, p=p)
+    return pca_project(ds, axes)
+
+
+def similarity_topk_ivfpq(sf_dir: str, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+    """IVF-PQ ANN (stages/pq.py): coarse cells + residual PQ codes —
+    the composed billion-scale index shape."""
+    from ..stages.ml import _unit_rows
+    from ..stages.pq import ivfpq_topk, ivfpq_train
+    from ..stages.semdedup import deterministic_sample_matrix
+    from ..stages.similarity import load_query_vector
+
+    ds = _embeddings(sf_dir)
+    sample = deterministic_sample_matrix(ds, "vec_id", "embedding", target=PQ_SAMPLE)
+    if sample.size == 0:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    cent, books = ivfpq_train(_unit_rows(sample), n_cells=16, m=PQ_M, ks=PQ_KS)
+    return ivfpq_topk(ds, load_query_vector(sf_dir, 0), cent, books, k=k, nprobe=nprobe)

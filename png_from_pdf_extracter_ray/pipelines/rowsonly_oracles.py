@@ -928,3 +928,47 @@ def write_bpe_encode_oracle(sf_dir: str) -> str:
         ),
         path,
     )
+
+
+def write_pca_oracle(sf_dir: str, p: int = 4) -> str:
+    """Oracle for ``pca_doc_projections``: flat integer moments → the
+    same eigh + canonical sign + rounded projections (stages/ml.pca_flat)."""
+    from ..stages.ml import pca_flat
+
+    path = _oracle_path(sf_dir, "pca_projections")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = _ids_np(t["vec_id"])
+    mat = _stack(t["embedding"])
+    out = pca_flat(ids, mat, p=p)
+    schema = pa.schema(
+        [("vec_id", pa.int64())] + [(f"pc{i}", pa.float64()) for i in range(p)]
+    )
+    return _commit(_from_pandas(out, schema), path)
+
+
+def write_ivfpq_topk_oracle(sf_dir: str, k: int = 10, nprobe: int = 4) -> str:
+    """Oracle for ``similarity_topk_ivfpq``: same sample → same coarse
+    centroids + residual codebooks → flat integer assign/encode + ADC."""
+    from ..pipelines.mlops import PQ_KS, PQ_M, PQ_SAMPLE
+    from ..stages.ml import _unit_rows
+    from ..stages.pq import ivfpq_topk_flat, ivfpq_train
+    from ..stages.semdedup import flat_hash_sample
+    from ..stages.similarity import load_query_vector
+
+    path = _oracle_path(sf_dir, "ivfpq_topk")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = _ids_np(t["vec_id"])
+    mat = _stack(t["embedding"])
+    sample = flat_hash_sample(ids, mat, PQ_SAMPLE)
+    cent, books = ivfpq_train(_unit_rows(sample), n_cells=16, m=PQ_M, ks=PQ_KS)
+    out = ivfpq_topk_flat(
+        ids, mat, load_query_vector(sf_dir, 0), cent, books, k=k, nprobe=nprobe
+    )
+    return _commit(
+        _from_pandas(out, pa.schema([("vec_id", pa.int64()), ("score", pa.float64())])),
+        path,
+    )

@@ -350,3 +350,119 @@ def ridge_flat(df: pd.DataFrame, id_col: str = "doc_id") -> tuple[np.ndarray, pd
         }
     ).sort_values(id_col, ignore_index=True)
     return beta, out
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA via integer-quantized covariance partials
+# ---------------------------------------------------------------------------
+
+PCA_SCALE = 1 << 18  # fixed-point scale for the moment sums
+PCA_COMPONENTS = 4
+
+
+def _pca_partial(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """(Σ q qᵀ, Σ q, n) over PCA_SCALE-quantized rows — integer sums,
+    so the distributed fold is bit-identical to the flat recompute.
+    Envelope: |q|≤PCA_SCALE per unit-vector component, so Σqqᵀ fits
+    int64 up to ~2^63/2^36 ≈ 1.3·10^8 rows per fold; beyond that, fold
+    hierarchically (the sums are associative) or re-scale."""
+    q = _quantize(_unit_rows(mat), PCA_SCALE)
+    return q.T @ q, q.sum(axis=0), len(q)
+
+
+def pca_components_from_moments(
+    xtx: np.ndarray, xsum: np.ndarray, n: int, p: int = PCA_COMPONENTS
+) -> np.ndarray:
+    """Top-p principal axes from exact integer moments: covariance =
+    (Σqqᵀ − Σq Σqᵀ/n)/(n·S²), eigh (float64, driver-side, same LAPACK
+    everywhere), canonical sign (largest-|component| entry positive) so
+    the axes are unique."""
+    s2 = float(PCA_SCALE) ** 2
+    mean = xsum.astype(np.float64) / n
+    cov = (xtx.astype(np.float64) - np.outer(mean, mean) * n) / (n * s2)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:p]
+    axes = vecs[:, order].T  # (p, d)
+    for i in range(len(axes)):
+        j = int(np.argmax(np.abs(axes[i])))
+        if axes[i, j] < 0:
+            axes[i] = -axes[i]
+    return axes
+
+
+def pca_fit(ds: rd.Dataset, vec_col: str = "embedding", p: int = PCA_COMPONENTS) -> np.ndarray:
+    """One streaming pass → (d², d, 1)-sized integer partials per batch
+    → driver fold + eigh.  Nothing corpus-sized leaves the workers."""
+    from .similarity import _stack
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _stack(batch[vec_col])
+        if mat.size == 0:
+            return pa.Table.from_pydict(
+                {"moments": pa.array([], pa.list_(pa.int64()))}
+            )
+        xtx, xsum, n = _pca_partial(mat)
+        row = np.concatenate([xtx.ravel(), xsum, [n]])
+        offs = pa.array(np.array([0, row.size], dtype=np.int32))
+        return pa.Table.from_pydict(
+            {"moments": pa.ListArray.from_arrays(offs, pa.array(row, pa.int64()))}
+        )
+
+    acc: np.ndarray | None = None
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            rows = np.asarray(b["moments"].combine_chunks().flatten()).reshape(
+                b.num_rows, -1
+            )
+            s = rows.sum(axis=0)
+            acc = s if acc is None else acc + s
+    if acc is None:
+        return np.empty((0, 0))
+    d = int(round((np.sqrt(4 * acc.size - 3) - 1) / 2))  # size = d² + d + 1
+    xtx = acc[: d * d].reshape(d, d)
+    return pca_components_from_moments(xtx, acc[d * d : d * d + d], int(acc[-1]), p)
+
+
+def pca_project(
+    ds: rd.Dataset,
+    axes: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Stateless projection pass → (id, pc0..pc{p-1}) rounded to 6
+    decimals (per-row float64 dots in fixed order — batch-invariant)."""
+    from ..pipelines.relational import _cached_broadcast
+    from .similarity import _ids_np, _stack
+
+    aref = ray.put(axes.astype(np.float64))
+
+    def project(batch: pa.Table) -> pa.Table:
+        a = _cached_broadcast(aref)
+        mat = _stack(batch[vec_col])
+        cols: dict = {id_col: batch[id_col]}
+        if mat.size == 0:
+            for i in range(len(a)):
+                cols[f"pc{i}"] = pa.array([], pa.float64())
+            return pa.Table.from_pydict(cols)
+        proj = np.round(_unit_rows(mat).astype(np.float64) @ a.T, 6)
+        for i in range(len(a)):
+            cols[f"pc{i}"] = pa.array(proj[:, i])
+        return pa.Table.from_pydict(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def pca_flat(
+    ids: np.ndarray, mat: np.ndarray, p: int = PCA_COMPONENTS, id_col: str = "vec_id"
+) -> pd.DataFrame:
+    """Single-process twin of fit+project (same integer moments, same
+    eigh, same canonical sign, same rounding)."""
+    xtx, xsum, n = _pca_partial(mat)
+    axes = pca_components_from_moments(xtx, xsum, n, p)
+    proj = np.round(_unit_rows(mat).astype(np.float64) @ axes.T, 6)
+    out = pd.DataFrame({id_col: ids})
+    for i in range(p):
+        out[f"pc{i}"] = proj[:, i]
+    return out.sort_values(id_col, ignore_index=True)

@@ -175,3 +175,138 @@ def pq_topk_flat(
         .reset_index(drop=True)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + PQ on residuals (the standard composed
+# billion-scale index — Jégou et al. 2011 §IV; FAISS IVFPQ shape)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_train(
+    sample_unit: np.ndarray, n_cells: int = 16, m: int = 8, ks: int = 16, seed: int = 42
+) -> tuple[np.ndarray, np.ndarray]:
+    """(coarse centroids, residual codebooks) from a normalized sample.
+    The coarse quantizer is the existing spherical k-means; the PQ books
+    are trained on the sample's RESIDUALS to its assigned centroids —
+    residuals are far smaller than raw vectors, so the same ks covers
+    them much more finely (the point of the composition)."""
+    from .ml import ASSIGN_SCALE, _quantize, assign_clusters_int
+    from .similarity import kmeans_centroids
+
+    cent = kmeans_centroids(sample_unit, n_cells=n_cells)
+    cells = assign_clusters_int(sample_unit, _quantize(cent, ASSIGN_SCALE))
+    resid = sample_unit - cent[cells]
+    return cent, pq_train(resid, m=m, ks=ks, seed=seed)
+
+
+def ivfpq_topk(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    cent: np.ndarray,
+    books: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """ADC search over residual codes in the ``nprobe`` cells nearest
+    the query: score ≈ q·c_cell + Σ_j lut[j, code_j].  Per batch: one
+    integer cell assignment, residual encode of surviving rows, LUT
+    gather — candidate cost drops ~n_cells/nprobe× AND each candidate
+    costs m lookups instead of a d-dot."""
+    from ..pipelines.relational import _cached_broadcast
+    from .ml import ASSIGN_SCALE, _quantize, _unit_rows, assign_clusters_int
+    from .similarity import _ids_np, _stack
+
+    q = np.asarray(query, dtype=np.float32)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    m, ks, dsub = books.shape
+    lut = np.einsum("mkd,md->mk", books, qn.reshape(m, dsub)).astype(np.float32)
+    cdot = (cent @ qn).astype(np.float64)  # q·centroid per cell (driver)
+    probe = np.sort(np.argsort(-cdot)[:nprobe])
+    cent_q = _quantize(cent, ASSIGN_SCALE)
+    refs = {
+        "cent_q": ray.put(cent_q),
+        "books": ray.put(books),
+        "lut": ray.put(lut),
+        "cdot": ray.put(cdot),
+        "probe": ray.put(probe),
+    }
+
+    # the worker needs the FLOAT centroids for residuals as well as the
+    # quantized ones for assignment — ship both
+    cref_f = ray.put(cent.astype(np.float32))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cq = _cached_broadcast(refs["cent_q"])
+        cf = _cached_broadcast(cref_f)
+        b = _cached_broadcast(refs["books"])
+        table = _cached_broadcast(refs["lut"])
+        cd = _cached_broadcast(refs["cdot"])
+        pr = _cached_broadcast(refs["probe"])
+        mat = _stack(batch[vec_col])
+        empty = pa.Table.from_pydict(
+            {id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+        )
+        if mat.size == 0:
+            return empty
+        unit = _unit_rows(mat)
+        cells = assign_clusters_int(unit, cq)
+        mask = np.isin(cells, pr)
+        if not mask.any():
+            return empty
+        sub = unit[mask]
+        sub_cells = cells[mask]
+        codes = pq_encode(sub - cf[sub_cells], b)
+        s = cd[sub_cells] + adc_scores(codes, table).astype(np.float64)
+        r = np.round(s, 3)
+        ids = _ids_np(batch[id_col])[mask]
+        order = np.lexsort((ids, -r))[:k]
+        return pa.Table.from_pydict(
+            {id_col: pa.array(ids[order], pa.int64()), "score": pa.array(r[order])}
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    out = scored.sort(["score", id_col], descending=[True, False]).limit(k).to_pandas()
+    if out.empty and list(out.columns) != [id_col, "score"]:
+        out = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                            "score": pd.Series([], dtype="float64")})
+    return out
+
+
+def ivfpq_topk_flat(
+    ids: np.ndarray,
+    mat: np.ndarray,
+    query: np.ndarray,
+    cent: np.ndarray,
+    books: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Single-process twin of ``ivfpq_topk``."""
+    from .ml import ASSIGN_SCALE, _quantize, _unit_rows, assign_clusters_int
+
+    q = np.asarray(query, dtype=np.float32)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    m, ks, dsub = books.shape
+    lut = np.einsum("mkd,md->mk", books, qn.reshape(m, dsub)).astype(np.float32)
+    cdot = (cent @ qn).astype(np.float64)
+    probe = np.sort(np.argsort(-cdot)[:nprobe])
+    unit = _unit_rows(mat)
+    cells = assign_clusters_int(unit, _quantize(cent, ASSIGN_SCALE))
+    mask = np.isin(cells, probe)
+    if not mask.any():
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    sub_cells = cells[mask]
+    codes = pq_encode(unit[mask] - cent.astype(np.float32)[sub_cells], books)
+    s = cdot[sub_cells] + adc_scores(codes, lut).astype(np.float64)
+    r = np.round(s, 3)
+    return (
+        pd.DataFrame({id_col: ids[mask], "score": r})
+        .sort_values(["score", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

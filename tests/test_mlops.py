@@ -32,6 +32,12 @@ from png_from_pdf_extracter_ray.stages.pq import (
 )
 
 
+
+
+def _unit_rows_t(mat):
+    from png_from_pdf_extracter_ray.stages.ml import _unit_rows
+    return _unit_rows(mat)
+
 def _rand_unit(n: int, d: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return _unit_rows(rng.standard_normal((n, d)).astype(np.float32))
@@ -222,3 +228,88 @@ class TestBpeEncode:
         # "ab"→1 token ×2, "cd"→2 tokens
         assert out["n_bpe_tokens"].tolist() == [4, 0]
         assert out["bpe_ratio"].iloc[0] == pytest.approx(4 / 3, abs=1e-6)
+
+
+class TestPCA:
+    def test_moment_partials_merge_exactly(self) -> None:
+        from png_from_pdf_extracter_ray.stages.ml import _pca_partial
+
+        mat = _rand_unit(100, 8, seed=21)
+        xtx_a, xs_a, n_a = _pca_partial(mat[:37])
+        xtx_b, xs_b, n_b = _pca_partial(mat[37:])
+        xtx, xs, n = _pca_partial(mat)
+        np.testing.assert_array_equal(xtx_a + xtx_b, xtx)
+        np.testing.assert_array_equal(xs_a + xs_b, xs)
+        assert n_a + n_b == n
+
+    def test_recovers_dominant_direction(self) -> None:
+        from png_from_pdf_extracter_ray.stages.ml import pca_flat
+
+        rng = np.random.default_rng(4)
+        base = rng.standard_normal((400, 6)).astype(np.float32) * 0.05
+        base[:, 2] += rng.standard_normal(400).astype(np.float32) * 3.0
+        ids = np.arange(400, dtype=np.int64)
+        out = pca_flat(ids, base, p=2)
+        # pc0 must carry far more variance than pc1
+        assert out["pc0"].var() > 5 * out["pc1"].var()
+
+    def test_canonical_sign(self) -> None:
+        from png_from_pdf_extracter_ray.stages.ml import (
+            _pca_partial,
+            pca_components_from_moments,
+        )
+
+        mat = _rand_unit(200, 5, seed=13)
+        xtx, xs, n = _pca_partial(mat)
+        axes = pca_components_from_moments(xtx, xs, n, p=3)
+        for ax in axes:
+            assert ax[int(np.argmax(np.abs(ax)))] > 0
+
+
+class TestIVFPQ:
+    def test_flat_topk_recall(self) -> None:
+        from png_from_pdf_extracter_ray.stages.pq import (
+            ivfpq_topk_flat,
+            ivfpq_train,
+        )
+
+        unit = _rand_unit(600, 16, seed=2)
+        ids = np.arange(600, dtype=np.int64)
+        cent, books = ivfpq_train(unit, n_cells=8, m=4, ks=16)
+        q = unit[5]  # a corpus vector: its own cell is certainly probed
+        out = ivfpq_topk_flat(ids, unit, q, cent, books, k=10, nprobe=4)
+        assert len(out) == 10
+        assert 5 in set(out["vec_id"])  # the query vector itself found
+        assert out["score"].is_monotonic_decreasing or len(out["score"].unique()) < 10
+
+    def test_residual_books_beat_plain_pq_on_clustered_data(self) -> None:
+        """On strongly clustered data, IVF-PQ's residual quantization
+        error must be below plain PQ's (the reason the composition
+        exists)."""
+        from png_from_pdf_extracter_ray.stages.ml import (
+            ASSIGN_SCALE,
+            _quantize,
+            assign_clusters_int,
+        )
+        from png_from_pdf_extracter_ray.stages.pq import (
+            adc_scores,
+            ivfpq_train,
+            pq_encode,
+            pq_train,
+        )
+
+        rng = np.random.default_rng(9)
+        centers = rng.standard_normal((4, 16)).astype(np.float32) * 3
+        pts = np.vstack([c + rng.standard_normal((100, 16)).astype(np.float32) * 0.1 for c in centers])
+        unit = _unit_rows_t(pts)
+        q = unit[0]
+        cent, books_r = ivfpq_train(unit, n_cells=4, m=4, ks=8)
+        books_p = pq_train(unit, m=4, ks=8)
+        # reconstruct scores both ways for the query against all rows
+        lut_r = np.einsum("mkd,md->mk", books_r, q.reshape(4, 4)).astype(np.float32)
+        lut_p = np.einsum("mkd,md->mk", books_p, q.reshape(4, 4)).astype(np.float32)
+        cells = assign_clusters_int(unit, _quantize(cent, ASSIGN_SCALE))
+        s_r = (cent @ q)[cells] + adc_scores(pq_encode(unit - cent[cells], books_r), lut_r)
+        s_p = adc_scores(pq_encode(unit, books_p), lut_p)
+        true = unit @ q
+        assert np.abs(s_r - true).mean() <= np.abs(s_p - true).mean() + 1e-3
