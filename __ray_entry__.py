@@ -77,6 +77,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from png_from_pdf_extracter_ray.pipelines import corpus_stats
     from png_from_pdf_extracter_ray.pipelines import data_quality as dq
+    from png_from_pdf_extracter_ray.pipelines import dsir as dsel
     from png_from_pdf_extracter_ray.pipelines import mlops
     from png_from_pdf_extracter_ray.pipelines import relational as rel
     from png_from_pdf_extracter_ray.pipelines import textops
@@ -139,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ridge_quality_model": mlops.ridge_quality_model,
         "bpe_train_merges": mlops.bpe_train_merges,
         "pca_doc_projections": mlops.pca_doc_projections,
+        "dsir_importance_weights": dsel.dsir_importance_weights,
         # (bpe_encode_docs and heavy_hitters_cms are family variants —
         # they live in the long tail below)
         # --- sketches (HLL SQL-checked vs flat recompute; the grid
@@ -163,7 +165,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- windows / as-of / pivot / funnel / correlation ---
         "events_asof_last_purchase": rel.events_asof_last_purchase,
         "events_sessionize": rel.events_sessionize,
-        "events_sliding_window": rel.events_sliding_window,
         "events_type_hour_pivot": rel.events_type_hour_pivot,
         "events_funnel_counts": rel.events_funnel_counts,
         "lineitem_correlations": rel.lineitem_correlations,
@@ -179,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_frame_sample": textops.pages_frame_sample,
         # --- ANN long tail ---
         "similarity_topk_ivfpq": mlops.similarity_topk_ivfpq,
+        # --- windows long tail ---
+        "events_sliding_window": rel.events_sliding_window,
         # --- TPC-H long tail ---
         "q14_promo_revenue": rel.q14_promo_revenue,
         "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
@@ -425,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
     _cms_oracle = _rro._oracle_path(_oracle_sf, "cms_heavy_hitters")
     _pca_oracle = _rro._oracle_path(_oracle_sf, "pca_projections")
     _ivfpq_oracle = _rro._oracle_path(_oracle_sf, "ivfpq_topk")
+    _dsir_oracle = _rro._oracle_path(_oracle_sf, "dsir_weights")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -450,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_cms_oracle(_oracle_sf)
         _rro.write_pca_oracle(_oracle_sf)
         _rro.write_ivfpq_topk_oracle(_oracle_sf)
+        _rro.write_dsir_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -571,6 +576,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_topk_ivfpq": f"""
             SELECT vec_id, score FROM read_parquet('{_ivfpq_oracle}')
+        """,
+        "dsir_importance_weights": f"""
+            SELECT doc_id, n_tokens, dsir_logratio, keep
+            FROM read_parquet('{_dsir_oracle}')
         """,
         "context_pack_bins": f"""
             SELECT doc_id, shard, bin_id, n_tokens

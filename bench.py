@@ -224,6 +224,7 @@ def bench_queries() -> dict[str, float]:
         "ridge_quality_model",
         "bpe_train_merges",
         "bpe_encode_docs",
+        "dsir_importance_weights",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -972,3 +972,32 @@ def write_ivfpq_topk_oracle(sf_dir: str, k: int = 10, nprobe: int = 4) -> str:
         _from_pandas(out, pa.schema([("vec_id", pa.int64()), ("score", pa.float64())])),
         path,
     )
+
+
+def write_dsir_oracle(sf_dir: str) -> str:
+    """Oracle for ``dsir_importance_weights``: flat recompute of the
+    bucket distributions, log-ratio table and per-doc scores
+    (pipelines/dsir.dsir_flat)."""
+    from ..pipelines.dsir import dsir_flat
+
+    path = _oracle_path(sf_dir, "dsir_weights")
+    if os.path.exists(path):
+        return path
+    df = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    out = dsir_flat(df)
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_tokens", pa.int64()),
+                    ("dsir_logratio", pa.float64()),
+                    ("keep", pa.bool_()),
+                ]
+            ),
+        ),
+        path,
+    )

@@ -313,3 +313,49 @@ class TestIVFPQ:
         s_p = adc_scores(pq_encode(unit, books_p), lut_p)
         true = unit @ q
         assert np.abs(s_r - true).mean() <= np.abs(s_p - true).mean() + 1e-3
+
+
+class TestDSIR:
+    def test_count_partials_merge_exactly(self) -> None:
+        from png_from_pdf_extracter_ray.pipelines.dsir import _count_partial
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 97, 194],
+                "text": ["alpha beta", "beta gamma", "alpha alpha", "delta"],
+            }
+        )
+        t_a, r_a = _count_partial(df.iloc[:2])
+        t_b, r_b = _count_partial(df.iloc[2:])
+        t, r = _count_partial(df)
+        np.testing.assert_array_equal(t_a + t_b, t)
+        np.testing.assert_array_equal(r_a + r_b, r)
+        # docs 0, 97, 194 are target (doc_id % 97 == 0): 5 target tokens
+        assert t.sum() == 5 and r.sum() == 7
+
+    def test_target_like_docs_score_higher(self) -> None:
+        from png_from_pdf_extracter_ray.pipelines.dsir import dsir_flat
+
+        rows = []
+        # target slice (doc_id % 97 == 0) speaks "target" vocabulary
+        for i in range(5):
+            rows.append({"doc_id": i * 97, "text": "quark boson lepton " * 5})
+        # raw docs: most speak "web" vocabulary, a few speak target-ese
+        for i in range(40):
+            rows.append({"doc_id": i * 97 + 1, "text": "click here buy now " * 5})
+        for i in range(5):
+            rows.append({"doc_id": i * 97 + 2, "text": "quark boson lepton " * 5})
+        out = dsir_flat(pd.DataFrame(rows))
+        by_id = out.set_index("doc_id")
+        target_like = [i * 97 + 2 for i in range(5)]
+        web_like = [i * 97 + 1 for i in range(5)]
+        assert by_id.loc[target_like, "dsir_logratio"].min() > by_id.loc[web_like, "dsir_logratio"].max()
+        assert by_id.loc[target_like, "keep"].all()
+        assert not by_id.loc[web_like, "keep"].any()
+
+    def test_blank_docs_score_zero(self) -> None:
+        from png_from_pdf_extracter_ray.pipelines.dsir import dsir_flat
+
+        out = dsir_flat(pd.DataFrame({"doc_id": [0, 1], "text": ["", "a b"]}))
+        assert out.loc[out["doc_id"] == 0, "dsir_logratio"].iloc[0] == 0.0
+        assert out.loc[out["doc_id"] == 0, "n_tokens"].iloc[0] == 0
