@@ -284,6 +284,41 @@ def run_once(shuffle_bench: bool = True, flagship_only: bool = False) -> dict:
     return result
 
 
+def _probe_work(seed: int) -> float:
+    """One probe worker: seeded-deterministic compress loop (module-level
+    so Pool.map can pickle it)."""
+    import zlib
+
+    rng = __import__("random").Random(seed)
+    data = bytes(rng.getrandbits(8) for _ in range(200_000)) * 10
+    t0 = time.perf_counter()
+    for _ in range(20):
+        zlib.compress(data, 6)
+    return time.perf_counter() - t0
+
+
+def _host_ceiling_probe(hi: int = 30) -> dict:
+    """Raw-CPU N→4N ceiling of the HOST right now (no Ray): per-core
+    zlib throughput at 1-way, 8-way and ``hi``-way load.  On a shared
+    sandbox, fully-loaded cores can run 1.4× slower than idle cores —
+    a scaling measurement taken in such a window grades the neighbors,
+    not the engine (BASELINE.md late-r4 protocol).  The ceiling is
+    (8-way per-core time) / (hi-way per-core time): the best efficiency
+    ANY 8→32 job could show on this host at this moment."""
+    import multiprocessing as mp
+
+    out = {}
+    for n in (1, 8, hi):
+        with mp.Pool(n) as p:
+            out[n] = max(p.map(_probe_work, range(n)))
+    return {
+        "percore_sec_1": round(out[1], 2),
+        "percore_sec_8": round(out[8], 2),
+        f"percore_sec_{hi}": round(out[hi], 2),
+        "host_raw_ceiling": round(out[8] / out[hi], 3),
+    }
+
+
 def run_scaling() -> dict:
     def sub(ncpu: int, extra: list[str] | None = None) -> dict:
         # scaling reps time the headline (broadcast) flagship only —
@@ -310,6 +345,7 @@ def run_scaling() -> dict:
         runs = sorted((sub(ncpu) for _ in range(reps)), key=lambda r: r["value"])
         return runs[len(runs) // 2]
 
+    probe = _host_ceiling_probe()
     r_lo, r_hi = median_run(lo), median_run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
@@ -319,6 +355,10 @@ def run_scaling() -> dict:
         "docs_per_sec_8": r_lo["docs_per_sec"],
         "docs_per_sec_32": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # raw host ceiling measured immediately before the reps: if this
+        # is itself below the bar, the window cannot evidence the
+        # criterion no matter what the engine does (BASELINE.md)
+        "host_probe": probe,
         "sf": SF_DIR,
         "expand": EXPAND,
     }
