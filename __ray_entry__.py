@@ -183,7 +183,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- windows long tail ---
         "events_sliding_window": rel.events_sliding_window,
         # --- TPC-H long tail ---
+        "q13_customer_distribution": rel.q13_customer_distribution,
         "q14_promo_revenue": rel.q14_promo_revenue,
+        "q22_sales_opportunity": rel.q22_sales_opportunity,
         "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
         "q18_large_orders": rel.q18_large_orders,
         "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
@@ -580,6 +582,34 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance_weights": f"""
             SELECT doc_id, n_tokens, dsir_logratio, keep
             FROM read_parquet('{_dsir_oracle}')
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+                SELECT c_custkey, COUNT(o_custkey) AS c_count
+                FROM customer LEFT JOIN (
+                    SELECT o_custkey FROM orders
+                    WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                ) o ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            ) t
+            GROUP BY c_count
+        """,
+        "q22_sales_opportunity": """
+            WITH avg_bal AS (
+                SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS q,
+                       COUNT(*) AS n
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_mktsegment,
+                   COUNT(*) AS numcust,
+                   ROUND(SUM(c_acctbal), 2) AS totacctbal
+            FROM customer, avg_bal
+            WHERE c_acctbal > (CAST(q AS DOUBLE) / n) / 100.0
+              AND c_custkey NOT IN (
+                  SELECT o_custkey FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+              )
+            GROUP BY c_mktsegment
         """,
         "context_pack_bins": f"""
             SELECT doc_id, shard, bin_id, n_tokens

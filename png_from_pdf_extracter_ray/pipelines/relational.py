@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -2089,3 +2090,123 @@ def q8_market_share(
         return empty
     out["mkt_share"] = (out["nation_rev"] / out["total_rev"]).round(6)
     return out[["o_year", "mkt_share"]].sort_values("o_year", ignore_index=True)
+
+
+def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: customer order-count DISTRIBUTION — a left join
+    against a filtered orders side (priority NOT IN urgent/high, the
+    o_comment-NOT-LIKE stand-in; zero-order customers count as 0),
+    then a second tiny groupby over the counts themselves.
+
+    Scale shape: orders pre-aggregate to (custkey, cnt) partials before
+    the one bucketed join; the distribution groupby runs distributed on
+    the count column (cardinality ≈ max orders per customer), so the
+    driver only ever sees the distribution rows."""
+    import pyarrow.compute as pc
+
+    counts = grouped_sum_arrow(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+            lambda t: t.filter(
+                pc.invert(
+                    pc.is_in(
+                        t["o_orderpriority"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]),
+                    )
+                )
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        ),
+        ["o_custkey"],
+        None,
+        [],
+        count_col="cnt",
+    ).map_batches(lambda t: t.rename_columns(["c_custkey", "cnt"]), batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    j = bucketed_hash_join(cust, counts, on="c_custkey", how="left")
+
+    def to_ccount(t: pa.Table) -> pa.Table:
+        c = pc.fill_null(t["cnt"], 0)
+        return pa.Table.from_pydict({"c_count": pc.cast(c, pa.int64())})
+
+    out = (
+        grouped_sum_arrow(
+            j.map_batches(to_ccount, batch_format="pyarrow"),
+            ["c_count"],
+            None,
+            [],
+            count_col="custdist",
+        )
+        .to_pandas()
+        .sort_values(["custdist", "c_count"], ascending=[False, False], ignore_index=True)
+    )
+    out["custdist"] = out["custdist"].astype("int64")
+    return out[["c_count", "custdist"]]
+
+
+def q22_sales_opportunity(sf_dir: str, since: str = "1998-06-01") -> pd.DataFrame:
+    """TPC-H Q22 shape: global SCALAR subquery + anti-join — customers
+    whose balance beats the global positive-balance average AND who
+    placed no order since ``since`` (every customer has SOME order in
+    this corpus, so the date-restricted anti-join is the non-degenerate
+    stand-in for Q22's no-orders predicate), grouped by segment (the
+    country-code stand-in).
+
+    The scalar subquery is made EXACT and batch-invariant by summing
+    integer cents (money values are 2-decimal, so round(bal·100) is an
+    integer) — the identical integer sum is expressible in the DuckDB
+    oracle, so engine and oracle derive bit-identical averages where a
+    float AVG could disagree in the last bit and flip a boundary row."""
+    import pyarrow.compute as pc
+
+    cut = pd.Timestamp(since).to_pydatetime()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        bal = np.asarray(t["c_acctbal"].combine_chunks(), dtype=np.float64)
+        pos = bal[bal > 0]
+        return pa.Table.from_pydict(
+            {
+                "q": pa.array([int(np.round(pos * 100).astype(np.int64).sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    q = 0
+    n = 0
+    for b in cust.map_batches(cents_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            q += int(np.asarray(b["q"].combine_chunks()).sum())
+            n += int(np.asarray(b["n"].combine_chunks()).sum())
+    avg = (q / n) / 100.0 if n else 0.0
+
+    rich = cust.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], pa.scalar(avg))),
+        batch_format="pyarrow",
+    )
+    order_keys = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(cut)))
+        .select(["o_custkey"])
+        .rename_columns(["c_custkey"])
+        .combine_chunks()
+        .group_by(["c_custkey"])
+        .aggregate([]),
+        batch_format="pyarrow",
+    )
+    lonely = bucketed_hash_join(rich, order_keys, on="c_custkey", how="anti")
+    out = grouped_sum_arrow(
+        lonely, ["c_mktsegment"], None, ["c_acctbal"], count_col="numcust"
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": pd.Series([], dtype=object),
+                "numcust": pd.Series([], dtype="int64"),
+                "totacctbal": pd.Series([], dtype="float64"),
+            }
+        )
+    out = out.sort_values("c_mktsegment", ignore_index=True)
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["c_acctbal"].round(2)
+    return out[["c_mktsegment", "numcust", "totacctbal"]]
