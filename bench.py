@@ -299,7 +299,10 @@ def _probe_work(seed: int) -> float:
 
 def _host_ceiling_probe(hi: int = 30) -> dict:
     """Raw-CPU N→4N ceiling of the HOST right now (no Ray): per-core
-    zlib throughput at 1-way, 8-way and ``hi``-way load.  On a shared
+    zlib throughput at 1-way, 8-way and ``hi``-way load.  ``hi`` is 30,
+    not 32, because the 32-cpu flagship leg actually runs a cpus−2
+    actor pool (30 concurrent extraction workers) — the probe mirrors
+    the real high-parallelism load shape.  On a shared
     sandbox, fully-loaded cores can run 1.4× slower than idle cores —
     a scaling measurement taken in such a window grades the neighbors,
     not the engine (BASELINE.md late-r4 protocol).  The ceiling is

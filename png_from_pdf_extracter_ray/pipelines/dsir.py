@@ -58,8 +58,10 @@ def _doc_token_arrays(df: pd.DataFrame) -> list[np.ndarray]:
     (corpus_stats._token_partials tokenization, kept per-doc)."""
     s = df["text"].fillna("").str.strip().str.lower()
     toks = s.str.split(r"\s+")
+    # blank docs arrive as None/NaN after the .where — everything else is
+    # a non-empty token list (split of a stripped non-empty string)
     return [
-        np.asarray(t, dtype=object) if isinstance(t, list) and t != [""] and len(t) else np.empty(0, dtype=object)
+        np.asarray(t, dtype=object) if isinstance(t, list) else np.empty(0, dtype=object)
         for t in toks.where(s != "", None)
     ]
 
@@ -87,14 +89,23 @@ def logratio_table(tgt: np.ndarray, raw: np.ndarray) -> np.ndarray:
 
 
 def _score_docs(df: pd.DataFrame, table: np.ndarray) -> pa.Table:
-    """Per-doc length-normalized log-ratio sum (float64, the doc's own
-    token order — batch-invariant), rounded to 6 decimals."""
+    """Per-doc length-normalized log-ratio sum, rounded to 6 decimals.
+
+    Vectorized over the WHOLE batch: one concatenated token array, one
+    ``pd.util.hash_array`` call, one ``np.add.at`` fold keyed by doc
+    index (the _token_partials/CMS pattern) — no per-doc Python hash
+    setup.  np.add.at accumulates sequentially in array order, i.e.
+    each doc's tokens in their own order — a per-row float64 reduction
+    independent of how docs are batched."""
     tok_arrays = _doc_token_arrays(df)
     n_tok = np.fromiter((len(t) for t in tok_arrays), dtype=np.int64, count=len(tok_arrays))
     scores = np.zeros(len(df), dtype=np.float64)
-    for i, toks in enumerate(tok_arrays):
-        if len(toks):
-            scores[i] = table[_bucket_of(toks)].sum() / len(toks)
+    total = int(n_tok.sum())
+    if total:
+        flat = np.concatenate([t for t in tok_arrays if len(t)])
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), n_tok)
+        np.add.at(scores, doc_idx, table[_bucket_of(flat)])
+        scores = np.where(n_tok > 0, scores / np.maximum(n_tok, 1), 0.0)
     scores = np.round(scores, 6)
     return pa.Table.from_pydict(
         {

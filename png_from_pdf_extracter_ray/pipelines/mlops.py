@@ -34,7 +34,10 @@ def kmeans_doc_clusters(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITER
     Output: (vec_id, cluster) Dataset, N-sized."""
     from ..stages.ml import kmeans_fit, kmeans_labels
 
-    ds = _embeddings(sf_dir)
+    # materialize once: the sample pass + every Lloyd iteration + the
+    # label pass would otherwise each re-read the parquet (iterative
+    # consumers are the one case where caching the input blocks pays)
+    ds = _embeddings(sf_dir).materialize()
     cent = kmeans_fit(ds, k=k, iters=iters, target_sample=KMEANS_SAMPLE)
     return kmeans_labels(ds, cent)
 

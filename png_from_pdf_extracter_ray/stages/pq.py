@@ -67,15 +67,19 @@ def kmeans_l2(
 def pq_train(
     sample_unit: np.ndarray, m: int = 8, ks: int = 16, seed: int = 42
 ) -> np.ndarray:
-    """(m, ks, d/m) float32 codebooks from a row-normalized sample."""
+    """(m, ks_eff, d/m) float32 codebooks from a row-normalized sample.
+    ``ks_eff = min(ks, n_sample)``: a sample smaller than ks trains a
+    smaller (still valid) codebook instead of crashing — engine and
+    flat oracle share this function, so both shrink identically."""
     n, d = sample_unit.shape
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
+    ks_eff = min(ks, n)
     dsub = d // m
-    books = np.empty((m, ks, dsub), dtype=np.float32)
+    books = np.empty((m, ks_eff, dsub), dtype=np.float32)
     for j in range(m):
         books[j] = kmeans_l2(
-            sample_unit[:, j * dsub : (j + 1) * dsub], ks, seed=seed + j
+            sample_unit[:, j * dsub : (j + 1) * dsub], ks_eff, seed=seed + j
         )
     return books
 

@@ -286,11 +286,17 @@ _CMS_B = np.array(
 )
 
 
+# shift derived FROM the width (top log2(width) bits of the mix): a
+# hard-coded shift would silently strand columns if CMS_WIDTH changed
+assert CMS_WIDTH & (CMS_WIDTH - 1) == 0, "CMS_WIDTH must be a power of two"
+_CMS_SHIFT = np.uint64(64 - (CMS_WIDTH.bit_length() - 1))
+
+
 def cms_indices(h: np.ndarray) -> np.ndarray:
     """(depth, n) column indices from a uint64 value-hash vector — the
     top bits of an odd-multiplier mix (better-avalanched than low bits)."""
     mixed = (_CMS_A[:, None] * h[None, :] + _CMS_B[:, None])  # uint64 wrap
-    return (mixed >> np.uint64(53)).astype(np.int64) % CMS_WIDTH
+    return (mixed >> _CMS_SHIFT).astype(np.int64)
 
 
 def cms_partial(tokens: np.ndarray, weights: np.ndarray) -> np.ndarray:
