@@ -1,6 +1,7 @@
 """GIF decoder — pure stdlib + numpy (kernel/jpeg.py's sibling; together
-they retire the "entropy-coded formats dead-letter" list down to
-WebP/compressed-TIFF, which genuinely have no pure-Python baseline).
+with the TIFF LZW/Deflate/PackBits codecs in kernel/image.py they
+retire the "entropy-coded formats dead-letter" list down to WebP and
+progressive JPEG, which genuinely have no pure-Python baseline).
 
 ``decode_gif`` handles GIF87a/GIF89a: global/local color tables, LZW
 with variable code width and dictionary resets, interlaced frames, and

@@ -20,9 +20,11 @@ GRAYSCALE array for:
   ``UnsupportedImageError``.
 - **GIF** — real LZW decode of the first frame (kernel/gif.py):
   87a/89a, global/local palettes, interlacing.
-- **TIFF** — uncompressed baseline only (8-bit gray / RGB, strips,
-  II/MM byte orders); any Compression ≠ 1 raises
-  ``UnsupportedImageError``.
+- **TIFF** — 8-bit gray / RGB in strips, II/MM byte orders;
+  Compression 1 (none), 5 (LZW, MSB-first with the spec's
+  early-change rule), 8/32946 (Deflate via zlib), 32773 (PackBits),
+  and horizontal-differencing Predictor 2.  Other compressions
+  (JPEG-in-TIFF, CCITT) raise ``UnsupportedImageError``.
 
 WebP raises ``UnsupportedImageError`` — VP8 has no reasonable
 pure-Python baseline here.
@@ -270,12 +272,86 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     return _to_gray(rgb)
 
 
-def _decode_tiff(data: bytes) -> np.ndarray:
-    """Uncompressed baseline TIFF → (H, W) uint8 grayscale.
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first bit packing, early-change width
+    bump at next_code == 2^w - 1; Clear=256, EOI=257).
 
-    Supports 8-bit grayscale and RGB in strips, both byte orders.
-    Compression other than 1 (none) raises ``UnsupportedImageError`` —
-    LZW/JPEG-in-TIFF have no pure-Python baseline here."""
+    This differs from GIF's LZW (kernel/gif.py) in bit order and the
+    early-change rule, so it gets its own decoder.  A missing EOI at
+    end-of-stream is tolerated (some writers omit it)."""
+    clear, eoi = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, next_code = 9, 258
+    bitbuf = bitcnt = pos = 0
+    n = len(data)
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while bitcnt < width:
+            if pos >= n:
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitcnt += 8
+        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+        bitcnt -= width
+        if code == clear:
+            table = table[:258]
+            width, next_code = 9, 258
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= next_code:
+                raise ValueError("corrupt TIFF LZW stream (bad first code)")
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt TIFF LZW stream (code gap)")
+            table.append(prev + entry[:1])
+            next_code += 1
+            # early change: width grows one entry sooner than GIF
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF Compression 32773)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:
+            cnt = b + 1
+            if i + cnt > n:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + cnt]
+            i += cnt
+        elif b > 128:
+            if i >= n:
+                raise ValueError("truncated PackBits repeat run")
+            out += data[i : i + 1] * (257 - b)
+            i += 1
+        # 128 is a no-op per the spec
+    return bytes(out)
+
+
+def _decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF → (H, W) uint8 grayscale.
+
+    Supports 8-bit grayscale and RGB in strips, both byte orders;
+    Compression 1 (none), 5 (LZW), 8/32946 (Deflate), 32773
+    (PackBits); Predictor 2 (horizontal differencing).  Entropy-coded
+    compressions with no pure-Python baseline (JPEG-in-TIFF, CCITT)
+    raise ``UnsupportedImageError``."""
     if data[:4] == b"II*\x00":
         bo = "<"
     elif data[:4] == b"MM\x00*":
@@ -314,20 +390,35 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag: {exc}") from exc
     comp = tags.get(259, [1])[0]
-    if comp != 1:
+    decomp = {
+        1: lambda b: b,
+        5: _tiff_lzw_decode,
+        8: zlib.decompress,
+        32946: zlib.decompress,
+        32773: _packbits_decode,
+    }
+    if comp not in decomp:
         raise UnsupportedImageError(
             f"TIFF compression {comp} requires an imaging library not "
-            "present in this environment (only uncompressed supported)"
+            "present in this environment "
+            "(supported: none/LZW/Deflate/PackBits)"
         )
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [8])[0]
+    predictor = tags.get(317, [1])[0]
     if bps != 8 or spp not in (1, 3):
         raise UnsupportedImageError("only 8-bit gray/RGB TIFF supported")
-    raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+    if predictor not in (1, 2):
+        raise UnsupportedImageError(f"TIFF predictor {predictor} unsupported")
+    raw = b"".join(decomp[comp](data[o : o + c]) for o, c in zip(offsets, counts))
     need = h * w * spp
     if len(raw) < need:
         raise ValueError("truncated TIFF strip data")
     arr = np.frombuffer(raw, dtype=np.uint8, count=need).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing: each row stores per-sample deltas;
+        # mod-256 cumsum across the width restores the pixels
+        arr = np.cumsum(arr, axis=1, dtype=np.uint8)
     return _to_gray(arr if spp == 3 else arr[:, :, 0])
 
 

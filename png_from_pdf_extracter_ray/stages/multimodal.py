@@ -13,9 +13,9 @@ metadata multimodal surface.  Stages:
   via kernel.png.decode_png_gray);
 - ``GeneralImageDecoder`` — REAL general decode (kernel/image.py: full
   PNG, PGM/PPM, uncompressed BMP, baseline JPEG via kernel/jpeg.py,
-  GIF via kernel/gif.py, uncompressed TIFF) → grayscale feature
-  extraction; the remainder (progressive JPEG, WebP, compressed TIFF —
-  no pure-Python baseline) dead-letters per row rather than raising;
+  GIF via kernel/gif.py, TIFF incl. LZW/Deflate/PackBits) → grayscale
+  feature extraction; the remainder (progressive JPEG, WebP — no
+  pure-Python baseline) dead-letters per row rather than raising;
 - ``JpegRoundtrip``   — baseline JPEG encode → decode fidelity rows over
   the engine's own rasters (the lossy-format ingestion stage);
 - ``sample_pages``    — frame-sampling: keep every Nth page of each doc
@@ -134,10 +134,11 @@ class GeneralImageDecoder:
 
     REAL decode for PNG (all filter types / gray / RGB / palette /
     alpha), PGM/PPM, uncompressed BMP, baseline JPEG (kernel/jpeg.py),
-    GIF (kernel/gif.py) and uncompressed TIFF via the pure-Python
-    ``kernel.image.decode_image``; the remainder (progressive JPEG,
-    WebP, compressed TIFF — no pure-Python baseline in this container)
-    dead-letters per ROW (``image_ok=false`` + ``image_error``) —
+    GIF (kernel/gif.py) and TIFF (none/LZW/Deflate/PackBits,
+    Predictor 2) via the pure-Python ``kernel.image.decode_image``;
+    the remainder (progressive JPEG, WebP — no pure-Python baseline
+    in this container) dead-letters per ROW
+    (``image_ok=false`` + ``image_error``) —
     errors are data, same policy as the extraction kernel.
 
     Output per row: true geometry, mean/std intensity, and an
