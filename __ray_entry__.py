@@ -189,6 +189,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
         "q18_large_orders": rel.q18_large_orders,
         "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        "q9_product_type_profit": rel.q9_product_type_profit,
+        "q11_important_parts": rel.q11_important_parts,
+        "q15_top_supplier": rel.q15_top_supplier,
+        "q16_supplier_part_counts": rel.q16_supplier_part_counts,
+        "q20_part_promotion": rel.q20_part_promotion,
+        "q21_waiting_suppliers": rel.q21_waiting_suppliers,
         # --- relational operators (SQL-checked) ---
         "lang_whitelist_filter": rel.lang_whitelist_filter,
         "groupby_lang_counts": rel.groupby_lang_counts,
@@ -1230,6 +1237,150 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        # TPC-H Q15 shape: correlated MAX against a derived revenue view.
+        # Revenue sums integer 0.0001 units on both sides (exact — the
+        # ROUND_NOTES integer-reduction rule), so the winner set and the
+        # reported double are bit-identical.
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey AS s_suppkey,
+                       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                                AS BIGINT)) AS rev_i
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(rev_i AS DOUBLE) / 10000.0 AS total_rev
+            FROM supplier s JOIN revenue r USING (s_suppkey)
+            WHERE rev_i = (SELECT MAX(rev_i) FROM revenue)
+            ORDER BY s.s_suppkey
+        """,
+        # TPC-H Q9 shape (partsupp-free variant: cost = retailprice·qty);
+        # the two money terms round to integer 0.0001 units SEPARATELY on
+        # both sides before the subtraction.
+        "q9_product_type_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                                 AS BIGINT)
+                          - CAST(ROUND(p_retailprice * l_quantity * 10000)
+                                 AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_profit
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        # TPC-H Q11 shape: HAVING against a global scalar over the same
+        # join (partsupp-free variant: value = discounted lineitem
+        # revenue shipped by one nation's suppliers).
+        "q11_important_parts": """
+            WITH vals AS (
+                SELECT l_partkey AS p_partkey,
+                       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                                AS BIGINT)) AS value_i
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation   ON n_nationkey = s_nationkey
+                WHERE n_name = 'NATION_7'
+                GROUP BY l_partkey
+            )
+            SELECT p_partkey, CAST(value_i AS DOUBLE) / 10000.0 AS part_value
+            FROM vals
+            WHERE value_i > CAST(FLOOR(0.001 * (SELECT SUM(value_i) FROM vals))
+                                 AS BIGINT)
+        """,
+        # TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute
+        # group (partsupp-free: the relation is distinct lineitem pairs;
+        # NOT-IN = negative-balance suppliers).
+        "q16_supplier_part_counts": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#3'
+              AND p_type NOT LIKE '%STANDARD%'
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        # TPC-H Q20 shape: nested-aggregate semi-join chain (availqty-free
+        # variant: a supplier qualifies when it shipped more than half of
+        # a filtered part's total windowed volume).
+        "q20_part_promotion": """
+            WITH pq AS (
+                SELECT l_partkey, l_suppkey,
+                       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_i
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01'
+                  AND l_partkey IN
+                      (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+                GROUP BY l_partkey, l_suppkey
+            ), tot AS (
+                SELECT l_partkey, SUM(qty_i) AS tot_i FROM pq GROUP BY l_partkey
+            )
+            SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_nationkey IN
+                  (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+              AND s_suppkey IN (
+                  SELECT DISTINCT l_suppkey FROM pq JOIN tot USING (l_partkey)
+                  WHERE 2 * qty_i > tot_i)
+            ORDER BY s_name
+        """,
+        # TPC-H Q21 shape: EXISTS + NOT-EXISTS self-correlation on
+        # lineitem (return flag stands in for the late-delivery dates the
+        # testdata lacks); the sole returner on a multi-supplier 'F'
+        # order is recovered as SUM(suppkey·flag) under n_ret = 1.
+        "q21_waiting_suppliers": """
+            WITH pair AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+                FROM lineitem GROUP BY l_orderkey, l_suppkey
+            ), per_order AS (
+                SELECT l_orderkey, COUNT(*) AS n_supp, SUM(r) AS n_ret,
+                       SUM(l_suppkey * r) AS ret_supp
+                FROM pair GROUP BY l_orderkey
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM per_order
+            JOIN orders   ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+            JOIN supplier ON s_suppkey = ret_supp
+            WHERE n_supp > 1 AND n_ret = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
+        """,
+        # TPC-H Q2 shape: correlated MIN over a 5-table join
+        # (partsupp-free: cost = min observed extendedprice in cents).
+        "q2_min_cost_supplier": """
+            WITH rs AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                WHERE r_name = 'EUROPE'
+            ), pcost AS (
+                SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                       MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_i
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 25)
+                  AND l_suppkey IN (SELECT s_suppkey FROM rs)
+                GROUP BY l_partkey, l_suppkey
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey,
+                   CAST(cost_i AS DOUBLE) / 100.0 AS min_cost
+            FROM pcost JOIN rs USING (s_suppkey)
+            WHERE cost_i = (SELECT MIN(cost_i) FROM pcost p2
+                            WHERE p2.p_partkey = pcost.p_partkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
         """,
         # national market share per year (TPC-H Q8 shape)
         "q8_market_share": """

@@ -2210,3 +2210,614 @@ def q22_sales_opportunity(sf_dir: str, since: str = "1998-06-01") -> pd.DataFram
     out["numcust"] = out["numcust"].astype("int64")
     out["totacctbal"] = out["c_acctbal"].round(2)
     return out[["c_mktsegment", "numcust", "totacctbal"]]
+
+
+def q15_top_supplier(sf_dir: str, start: str = "1996-01-01") -> pd.DataFrame:
+    """TPC-H Q15 shape: correlated MAX against a derived revenue view —
+    the supplier(s) whose 3-month shipping revenue equals the global
+    maximum.
+
+    Scale shape: lineitem prunes to 3 columns at the read, the window
+    filter + integer-cent revenue partials combine inside
+    ``map_batches``, and only per-supplier partials shuffle (supplier
+    cardinality).  The MAX is taken over the aggregate (supplier-sized,
+    driver-safe) and winners join supplier names.  Revenue sums in
+    0.0001 units (price·(1-disc) is exact at 4 decimals) so the
+    cross-batch reduction is an int64 — batch-invariant and
+    oracle-expressible (ROUND_NOTES integer-reduction rule)."""
+    import pyarrow.compute as pc
+
+    lo = pd.Timestamp(start).to_pydatetime()
+    hi = (pd.Timestamp(start) + pd.DateOffset(months=3)).to_pydatetime()
+
+    def rev_i(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi)),
+        )
+        t = t.filter(m)
+        ext = np.asarray(t["l_extendedprice"].combine_chunks(), dtype=np.float64)
+        dis = np.asarray(t["l_discount"].combine_chunks(), dtype=np.float64)
+        amt = np.round(ext * (1.0 - dis) * 10000.0).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": t["l_suppkey"],
+                "rev_i": pa.array(amt, pa.int64()),
+            }
+        )
+
+    per_supp = grouped_sum_arrow(
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]),
+        ["s_suppkey"],
+        rev_i,
+        ["rev_i"],
+    ).to_pandas()
+    if per_supp.empty:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "s_name": pd.Series([], dtype=object),
+                "total_rev": pd.Series([], dtype="float64"),
+            }
+        )
+    best = per_supp["rev_i"].max()
+    winners = per_supp[per_supp["rev_i"] == best].copy()
+    names = broadcast_join(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        winners,
+        on="s_suppkey",
+    ).to_pandas()
+    names["total_rev"] = names["rev_i"] / 10000.0
+    return names.sort_values("s_suppkey", ignore_index=True)[
+        ["s_suppkey", "s_name", "total_rev"]
+    ]
+
+
+def q9_product_type_profit(
+    sf_dir: str, name_token: str = "widget", num_buckets: int = 32
+) -> pd.DataFrame:
+    """TPC-H Q9 shape: profit per (nation, year) over a 5-table join.
+    The testdata has no partsupp, so cost is ``p_retailprice·quantity``
+    (documented variant; the join/aggregate shape — part-filter
+    broadcast, supplier→nation broadcast, lineitem⋈orders bucketed —
+    is Q9's).
+
+    Scale plan: part filtered by name token → broadcast
+    partkey→retailprice map (small after the selective filter);
+    supplier→nation is a broadcast int map; the only large⋈large is
+    lineitem⋈orders on orderkey, bucketed.  Profit accumulates in
+    integer 0.0001 units (both terms exact at ≤4 decimals)."""
+    import pyarrow.compute as pc
+
+    parts = (
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.match_substring(t["p_name"], name_token)
+            ).select(["p_partkey", "p_retailprice"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    cost_map = dict(zip(parts["p_partkey"], parts["p_retailprice"]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nk2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    supp_map = {
+        int(s): nk2name[int(n)] for s, n in zip(supp["s_suppkey"], supp["s_nationkey"])
+    }
+    cost_ref = ray.put(cost_map)
+    supp_ref = ray.put(supp_map)
+
+    def amount(df: pd.DataFrame) -> pa.Table:
+        cm = _cached_broadcast(cost_ref)
+        sm = _cached_broadcast(supp_ref)
+        cost = df["l_partkey"].map(cm)
+        m = cost.notna()
+        df = df[m]
+        if not len(df):
+            return pa.Table.from_pydict(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "nation": pa.array([], pa.string()),
+                    "amount_i": pa.array([], pa.int64()),
+                }
+            )
+        rev = np.round(
+            df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy()) * 10000.0
+        ).astype(np.int64)
+        cst = np.round(
+            cost[m].to_numpy(dtype=np.float64) * df["l_quantity"].to_numpy() * 10000.0
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pa.array(df["l_orderkey"].to_numpy(), pa.int64()),
+                "nation": pa.array(df["l_suppkey"].map(sm), pa.string()),
+                "amount_i": pa.array(rev - cst, pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(amount, batch_format="pandas")
+
+    years = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "l_orderkey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = bucketed_hash_join(li, years, on="l_orderkey", num_buckets=num_buckets)
+    out = grouped_sum_arrow(j, ["nation", "o_year"], None, ["amount_i"]).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "nation": pd.Series([], dtype=object),
+                "o_year": pd.Series([], dtype="int64"),
+                "sum_profit": pd.Series([], dtype="float64"),
+            }
+        )
+    out = out.sort_values(["nation", "o_year"], ascending=[True, False], ignore_index=True)
+    out["sum_profit"] = out["amount_i"] / 10000.0
+    return out[["nation", "o_year", "sum_profit"]]
+
+
+def q11_important_parts(
+    sf_dir: str, nation: str = "NATION_7", fraction: float = 0.001
+) -> pd.DataFrame:
+    """TPC-H Q11 shape: groupby with HAVING against a GLOBAL scalar
+    aggregate over the same join — parts whose value (discounted
+    revenue shipped by one nation's suppliers; the testdata has no
+    partsupp, so lineitem value stands in for supplycost·availqty)
+    exceeds ``fraction`` of that nation's total.
+
+    Scale plan: the nation's supplier keys broadcast as an int set;
+    per-part int64 partials combine before one groupby; the global
+    total is the SUM of the (part-sized) aggregate, computed
+    distributed via a second tiny pass over the aggregate itself —
+    lineitem streams exactly once."""
+    import pyarrow.compute as pc
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nk = set(nat.loc[nat["n_name"] == nation, "n_nationkey"].astype(int))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    skeys = np.sort(
+        supp.loc[supp["s_nationkey"].isin(nk), "s_suppkey"].to_numpy(dtype=np.int64)
+    )
+    sref = ray.put(skeys)
+
+    def value_i(t: pa.Table) -> pa.Table:
+        sk = _cached_broadcast(sref)
+        supps = np.asarray(t["l_suppkey"].combine_chunks())
+        m = np.isin(supps, sk) if len(sk) else np.zeros(len(supps), bool)
+        t = t.filter(pa.array(m))
+        ext = np.asarray(t["l_extendedprice"].combine_chunks(), dtype=np.float64)
+        dis = np.asarray(t["l_discount"].combine_chunks(), dtype=np.float64)
+        return pa.Table.from_pydict(
+            {
+                "p_partkey": t["l_partkey"],
+                "value_i": pa.array(np.round(ext * (1.0 - dis) * 10000.0).astype(np.int64)),
+            }
+        )
+
+    per_part = grouped_sum_arrow(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+        ["p_partkey"],
+        value_i,
+        ["value_i"],
+    ).materialize()
+    total = per_part.sum("value_i") or 0
+    cut = int(np.floor(fraction * total))
+
+    import pyarrow.compute as _pc
+
+    out = per_part.map_batches(
+        lambda t: t.filter(_pc.greater(t["value_i"], pa.scalar(cut, pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "p_partkey": pd.Series([], dtype="int64"),
+                "part_value": pd.Series([], dtype="float64"),
+            }
+        )
+    out["part_value"] = out["value_i"] / 10000.0
+    out = out.sort_values(
+        ["part_value", "p_partkey"], ascending=[False, True], ignore_index=True
+    )
+    return out[["p_partkey", "part_value"]]
+
+
+def q16_supplier_part_counts(
+    sf_dir: str,
+    exclude_brand: str = "Brand#3",
+    type_token: str = "STANDARD",
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute
+    group, with an excluded-brand/type predicate and a NOT-IN supplier
+    set.  The testdata has no partsupp, so the part↔supplier relation
+    is the distinct (l_partkey, l_suppkey) pairs observed in lineitem,
+    and the Q16 complaint-supplier NOT-IN stand-in is suppliers with
+    negative account balance.
+
+    Scale plan: the part filter runs first and broadcasts the
+    surviving partkey→(brand, type, size) map, so lineitem prunes to
+    matching pairs BEFORE the distinct — the pair-distinct shuffle is
+    sized by the filtered relation, not the fact table.  The NOT-IN
+    supplier keys broadcast as a sorted int array."""
+    import pyarrow.compute as pc
+
+    parts = (
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.invert(pc.equal(t["p_brand"], exclude_brand)),
+                    pc.invert(pc.match_substring(t["p_type"], type_token)),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    parts = parts.sort_values("p_partkey", ignore_index=True)
+    # driver-side attr coding: each surviving part maps to the code of
+    # its DISTINCT (brand, type, size) tuple, so workers dedup on an
+    # int pair and never touch strings
+    codes, uniq = pd.factorize(
+        pd.Series(
+            list(zip(parts["p_brand"], parts["p_type"], parts["p_size"].astype(int)))
+        )
+    )
+    pattrs = (
+        parts["p_partkey"].to_numpy(dtype=np.int64),
+        codes.astype(np.int64),
+        np.array([u[0] for u in uniq], dtype=object),
+        np.array([u[1] for u in uniq], dtype=object),
+        np.array([u[2] for u in uniq], dtype=np.int64),
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = np.sort(supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].to_numpy(dtype=np.int64))
+    pref = ray.put(pattrs)
+    bref = ray.put(bad)
+
+    def attr_pairs(t: pa.Table) -> pa.Table:
+        """Batch-local distinct (attr_code, supplier) int pairs — attrs
+        attach via searchsorted against the broadcast sorted partkeys;
+        the shuffle key is (attr values, supplier), so a supplier of
+        many same-attr parts ships once per batch, counts once."""
+        pkeys, acode, brands, types, sizes = _cached_broadcast(pref)
+        bd = _cached_broadcast(bref)
+        pk = np.asarray(t["l_partkey"].combine_chunks())
+        sk = np.asarray(t["l_suppkey"].combine_chunks())
+        m = np.isin(pk, pkeys) if len(pkeys) else np.zeros(len(pk), bool)
+        if len(bd):
+            m &= ~np.isin(sk, bd)
+        pk, sk = pk[m], sk[m]
+        if len(pk):
+            code = acode[np.searchsorted(pkeys, pk)]
+            u = np.unique(np.stack([code, sk], axis=1), axis=0)
+        else:
+            u = np.empty((0, 2), np.int64)
+        return pa.Table.from_pydict(
+            {
+                "p_brand": pa.array(brands[u[:, 0]], pa.string()),
+                "p_type": pa.array(types[u[:, 0]], pa.string()),
+                "p_size": pa.array(sizes[u[:, 0]], pa.int64()),
+                "s_suppkey": pa.array(u[:, 1], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    group_supp = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(attr_pairs, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size", "s_suppkey"])
+        .aggregate(Count(alias_name="_n"))  # distinct via groupby; _n unused
+    )
+
+    out = grouped_sum_arrow(
+        group_supp,
+        ["p_brand", "p_type", "p_size"],
+        lambda t: t.drop_columns(["_n", "s_suppkey"]).append_column(
+            "supplier_cnt", pa.array(np.ones(t.num_rows, np.int64))
+        ),
+        ["supplier_cnt"],
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "p_brand": pd.Series([], dtype=object),
+                "p_type": pd.Series([], dtype=object),
+                "p_size": pd.Series([], dtype="int64"),
+                "supplier_cnt": pd.Series([], dtype="int64"),
+            }
+        )
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+        ignore_index=True,
+    )[["p_brand", "p_type", "p_size", "supplier_cnt"]]
+
+
+def q20_part_promotion(
+    sf_dir: str,
+    nation: str = "NATION_3",
+    name_token: str = "bolt",
+    year: int = 1997,
+) -> pd.DataFrame:
+    """TPC-H Q20 shape: nested-aggregate semi-join chain — suppliers in
+    one nation who shipped MORE THAN HALF of a filtered part's total
+    volume in one year (the testdata has no partsupp availqty, so the
+    0.5·sum(l_quantity) threshold compares a supplier's shipped share
+    against the part's total, preserving the correlated-aggregate
+    shape).
+
+    Scale plan: the selective part-name filter broadcasts its partkey
+    set; lineitem prunes at the read to 4 columns, filters to (window ×
+    part set) and pre-aggregates (partkey, suppkey)→qty partials per
+    batch; the per-part totals derive FROM the aggregate (filtered-part
+    cardinality), never from a second fact-table pass.  Quantities are
+    integral in this corpus, so int64 sums are exact."""
+    import pyarrow.compute as pc
+
+    parts = (
+        _read(sf_dir, "part", ["p_partkey", "p_name"])
+        .map_batches(
+            lambda t: t.filter(pc.match_substring(t["p_name"], name_token)).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    pkeys = np.sort(parts["p_partkey"].to_numpy(dtype=np.int64))
+    pref = ray.put(pkeys)
+    lo = pd.Timestamp(f"{year}-01-01").to_pydatetime()
+    hi = pd.Timestamp(f"{year + 1}-01-01").to_pydatetime()
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        pk = _cached_broadcast(pref)
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi)),
+        )
+        t = t.filter(m)
+        part = np.asarray(t["l_partkey"].combine_chunks())
+        keep = np.isin(part, pk) if len(pk) else np.zeros(len(part), bool)
+        t = t.filter(pa.array(keep))
+        return pa.Table.from_pydict(
+            {
+                "p_partkey": t["l_partkey"],
+                "s_suppkey": t["l_suppkey"],
+                "qty_i": pa.array(
+                    np.round(
+                        np.asarray(t["l_quantity"].combine_chunks(), dtype=np.float64) * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    pair_qty = grouped_sum_arrow(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]),
+        ["p_partkey", "s_suppkey"],
+        qty_partial,
+        ["qty_i"],
+    ).materialize()
+    part_tot = grouped_sum_arrow(pair_qty, ["p_partkey"], None, ["qty_i"]).map_batches(
+        lambda t: t.rename_columns(["p_partkey", "tot_i"]), batch_format="pyarrow"
+    )
+    j = bucketed_hash_join(pair_qty, part_tot, on="p_partkey", num_buckets=8)
+    major = j.map_batches(
+        lambda t: t.filter(
+            pc.greater(pc.multiply(t["qty_i"], pa.scalar(2, pa.int64())), t["tot_i"])
+        ).select(["s_suppkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    sk = set(major["s_suppkey"].astype(int)) if len(major) else set()
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nk = set(nat.loc[nat["n_name"] == nation, "n_nationkey"].astype(int))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    out = supp[supp["s_suppkey"].isin(sk) & supp["s_nationkey"].isin(nk)]
+    return (
+        out[["s_suppkey", "s_name"]]
+        .sort_values("s_name", ignore_index=True)
+        .astype({"s_suppkey": "int64"})
+    )
+
+
+def q21_waiting_suppliers(
+    sf_dir: str, k: int = 100, num_buckets: int = 32
+) -> pd.DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS self-correlation on the
+    fact table — suppliers who were the SOLE supplier with returned
+    items ('R') on a finalized multi-supplier order.  (The testdata has
+    no commit/receipt dates; the return flag stands in for the
+    late-delivery predicate, preserving the double-correlated shape.)
+
+    Scale plan: lineitem pre-aggregates to (orderkey, suppkey,
+    any_return) partials per batch — the only fact-sized shuffle; the
+    per-order verdict (n_suppliers > 1, exactly one returner, pick it
+    via max(suppkey·flag)) is a second aggregate over pairs; finalized
+    orders semi-join via a bucketed join on orderkey; the final
+    per-supplier count is supplier-sized."""
+    import pyarrow.compute as pc
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        flag = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        g = (
+            pa.Table.from_pydict(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "s_suppkey": t["l_suppkey"],
+                    "r": flag,
+                }
+            )
+            .group_by(["l_orderkey", "s_suppkey"])
+            .aggregate([("r", "max")])
+        )
+        return g.rename_columns(["l_orderkey", "s_suppkey", "r"])
+
+    from ray.data.aggregate import Max
+
+    pairs = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "s_suppkey"])
+        .aggregate(Max("r", alias_name="r"))
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        rs = pc.cast(t["r"], pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "n_supp": pa.array(np.ones(t.num_rows, np.int64)),
+                "n_ret": rs,
+                "ret_supp": pc.multiply(pc.cast(t["s_suppkey"], pa.int64()), rs),
+            }
+        )
+
+    per_order = grouped_sum_arrow(
+        pairs, ["l_orderkey"], order_partial, ["n_supp", "n_ret", "ret_supp"]
+    )
+    culprits = per_order.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater(t["n_supp"], 1), pc.equal(t["n_ret"], 1))
+        ).select(["l_orderkey", "ret_supp"]),
+        batch_format="pyarrow",
+    )
+    final_orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F"))
+        .select(["o_orderkey"])
+        .rename_columns(["l_orderkey"]),
+        batch_format="pyarrow",
+    )
+    kept = bucketed_hash_join(culprits, final_orders, on="l_orderkey", how="semi", num_buckets=num_buckets)
+    counts = grouped_sum_arrow(
+        kept.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"s_suppkey": pc.cast(t["ret_supp"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["s_suppkey"],
+        None,
+        [],
+        count_col="numwait",
+    ).to_pandas()
+    if counts.empty:
+        return pd.DataFrame(
+            {
+                "s_name": pd.Series([], dtype=object),
+                "numwait": pd.Series([], dtype="int64"),
+            }
+        )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = counts.merge(supp, on="s_suppkey", how="inner")
+    out["numwait"] = out["numwait"].astype("int64")
+    out = out.sort_values(
+        ["numwait", "s_name"], ascending=[False, True], ignore_index=True
+    ).head(k)
+    return out[["s_name", "numwait"]]
+
+
+def q2_min_cost_supplier(
+    sf_dir: str, region: str = "EUROPE", size: int = 25, k: int = 100
+) -> pd.DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery over a 5-table join —
+    for each part of one size, the region's supplier(s) offering it at
+    the minimum observed price (min l_extendedprice in cents stands in
+    for ps_supplycost; the testdata has no partsupp).
+
+    Scale plan: region→nation→supplier reduces to a broadcast
+    suppkey→nationkey map; the part-size filter broadcasts its key
+    set; lineitem prunes to 3 columns and pre-aggregates
+    (part, supp)→min-cents per batch, so the only shuffle is over the
+    filtered pair partials; the correlated MIN and the final name
+    attach operate on the pair aggregate (small)."""
+    import pyarrow.compute as pc
+
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rk = set(reg.loc[reg["r_name"] == region, "r_regionkey"].astype(int))
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    nat = nat[nat["n_regionkey"].isin(rk)]
+    nk2name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    supp = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(set(nk2name))]
+    skeys = np.sort(supp["s_suppkey"].to_numpy(dtype=np.int64))
+    parts = (
+        _read(sf_dir, "part", ["p_partkey", "p_size"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["p_size"], size)).select(["p_partkey"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    pkeys = np.sort(parts["p_partkey"].to_numpy(dtype=np.int64))
+    sref, pref = ray.put(skeys), ray.put(pkeys)
+
+    def cost_partial(t: pa.Table) -> pa.Table:
+        sk = _cached_broadcast(sref)
+        pk = _cached_broadcast(pref)
+        part = np.asarray(t["l_partkey"].combine_chunks())
+        sup = np.asarray(t["l_suppkey"].combine_chunks())
+        m = (np.isin(part, pk) if len(pk) else np.zeros(len(part), bool)) & (
+            np.isin(sup, sk) if len(sk) else False
+        )
+        t = t.filter(pa.array(m))
+        cents = pa.array(
+            np.round(
+                np.asarray(t["l_extendedprice"].combine_chunks(), dtype=np.float64) * 100.0
+            ).astype(np.int64)
+        )
+        g = (
+            pa.Table.from_pydict(
+                {"p_partkey": t["l_partkey"], "s_suppkey": t["l_suppkey"], "cost_i": cents}
+            )
+            .group_by(["p_partkey", "s_suppkey"])
+            .aggregate([("cost_i", "min")])
+        )
+        return g.rename_columns(["p_partkey", "s_suppkey", "cost_i"])
+
+    from ray.data.aggregate import Min
+
+    pair_cost = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(cost_partial, batch_format="pyarrow")
+        .groupby(["p_partkey", "s_suppkey"])
+        .aggregate(Min("cost_i", alias_name="cost_i"))
+        .to_pandas()
+    )
+    if pair_cost.empty:
+        return pd.DataFrame(
+            {
+                "s_acctbal": pd.Series([], dtype="float64"),
+                "s_name": pd.Series([], dtype=object),
+                "n_name": pd.Series([], dtype=object),
+                "p_partkey": pd.Series([], dtype="int64"),
+                "min_cost": pd.Series([], dtype="float64"),
+            }
+        )
+    best = pair_cost.groupby("p_partkey")["cost_i"].transform("min")
+    win = pair_cost[pair_cost["cost_i"] == best].merge(supp, on="s_suppkey")
+    win["n_name"] = win["s_nationkey"].map(nk2name)
+    win["min_cost"] = win["cost_i"] / 100.0
+    win = win.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True],
+        ignore_index=True,
+    ).head(k)
+    return win[["s_acctbal", "s_name", "n_name", "p_partkey", "min_cost"]]
