@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from png_from_pdf_extracter_ray.pipelines import corpus_stats
     from png_from_pdf_extracter_ray.pipelines import data_quality as dq
     from png_from_pdf_extracter_ray.pipelines import dsir as dsel
+    from png_from_pdf_extracter_ray.pipelines import linkgraph as lg
     from png_from_pdf_extracter_ray.pipelines import mlops
     from png_from_pdf_extracter_ray.pipelines import relational as rel
     from png_from_pdf_extracter_ray.pipelines import textops
@@ -148,11 +149,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytests; the exact quantile variant is SQL-checked) ---
         "distinct_users_per_event_type_hll": rel.distinct_users_per_event_type_hll,
         "quantity_quantiles_sketch": rel.quantity_quantiles_sketch,
-        "quantity_quantiles_by_returnflag": rel.quantity_quantiles_by_returnflag,
         "order_value_percentile_ranks": rel.order_value_percentile_ranks,
+        # --- link-graph family (hyperlink extraction digest + integer
+        # PageRank; both SQL-checked vs flat single-process oracles) ---
+        "page_links_digest": lg.page_links_digest,
+        "linkgraph_pagerank": lg.linkgraph_pagerank,
         # --- multimodal page operations ---
         "pages_page_meta": textops.pages_page_meta,
-        "pages_resized_thumbs": textops.pages_resized_thumbs,  # digest-checked
         "pages_jpeg_roundtrip": textops.pages_jpeg_roundtrip,
         "pages_image_features_summary": textops.pages_image_features_summary,
         # --- TPC-H query shapes (SQL-checked) ---
@@ -174,6 +177,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "context_pack_bins": textops.pack_documents_greedy,
         "pii_scrub": dq.pii_scrub,
         # ==================== end of the 50-entry driver window =========
+        # --- sketch / multimodal variants displaced by the link-graph reps ---
+        "quantity_quantiles_by_returnflag": rel.quantity_quantiles_by_returnflag,
+        "pages_resized_thumbs": textops.pages_resized_thumbs,  # digest-checked
+        # --- link-graph long tail ---
+        "link_out_degree_hist": lg.link_out_degree_hist,
+        "link_in_degree_topk": lg.link_in_degree_topk,
+        "anchor_text_top_terms": lg.anchor_text_top_terms,
+        "linkgraph_components": lg.linkgraph_components,
+        "linkgraph_hits": lg.linkgraph_hits,
         # --- dedup family long tail ---
         "minhash_dedup_keep_best": textops.minhash_dedup_keep_best,
         "pages_phash_dedup_groups": textops.pages_phash_dedup_groups,
@@ -438,6 +450,13 @@ def oracle_sql() -> dict[str, str]:
     _pca_oracle = _rro._oracle_path(_oracle_sf, "pca_projections")
     _ivfpq_oracle = _rro._oracle_path(_oracle_sf, "ivfpq_topk")
     _dsir_oracle = _rro._oracle_path(_oracle_sf, "dsir_weights")
+    _lg_digest_oracle = _rro._oracle_path(_oracle_sf, "links_digest")
+    _lg_hist_oracle = _rro._oracle_path(_oracle_sf, "link_outdeg_hist")
+    _lg_pr_oracle = _rro._oracle_path(_oracle_sf, "link_pagerank")
+    _lg_indeg_oracle = _rro._oracle_path(_oracle_sf, "link_indeg_topk")
+    _lg_anchor_oracle = _rro._oracle_path(_oracle_sf, "anchor_terms")
+    _lg_comp_oracle = _rro._oracle_path(_oracle_sf, "link_components")
+    _lg_hits_oracle = _rro._oracle_path(_oracle_sf, "link_hits")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -464,6 +483,8 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_pca_oracle(_oracle_sf)
         _rro.write_ivfpq_topk_oracle(_oracle_sf)
         _rro.write_dsir_oracle(_oracle_sf)
+        _rro.write_linkgraph_oracles(_oracle_sf)
+        _rro.write_linkgraph_graph_oracles(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -589,6 +610,28 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance_weights": f"""
             SELECT doc_id, n_tokens, dsir_logratio, keep
             FROM read_parquet('{_dsir_oracle}')
+        """,
+        "page_links_digest": f"""
+            SELECT n_links, n_internal, n_doc_links, xor_digest
+            FROM read_parquet('{_lg_digest_oracle}')
+        """,
+        "linkgraph_pagerank": f"""
+            SELECT node, rank_micros FROM read_parquet('{_lg_pr_oracle}')
+        """,
+        "link_out_degree_hist": f"""
+            SELECT out_degree, n_pages FROM read_parquet('{_lg_hist_oracle}')
+        """,
+        "link_in_degree_topk": f"""
+            SELECT dst_doc, n_inlinks FROM read_parquet('{_lg_indeg_oracle}')
+        """,
+        "anchor_text_top_terms": f"""
+            SELECT term, n FROM read_parquet('{_lg_anchor_oracle}')
+        """,
+        "linkgraph_components": f"""
+            SELECT node, component FROM read_parquet('{_lg_comp_oracle}')
+        """,
+        "linkgraph_hits": f"""
+            SELECT node, hub, auth FROM read_parquet('{_lg_hits_oracle}')
         """,
         "q13_customer_distribution": """
             SELECT c_count, COUNT(*) AS custdist FROM (

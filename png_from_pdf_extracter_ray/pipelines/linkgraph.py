@@ -1,0 +1,304 @@
+"""Link-graph queries over the pages corpus.
+
+Four query surfaces on top of ``stages/linkgraph.py``:
+
+- ``page_links_digest`` — the raw hyperlink table reduced to one
+  XOR-of-blake2b row (the ``pages_digest`` pattern): any link row that
+  differs by one byte flips the digest, so the driver hash-checks the
+  WHOLE extraction without shipping it;
+- ``link_out_degree_hist`` — out-links-per-page histogram (the crawl
+  connectivity diagnostic; low-cardinality key, partial counts per
+  batch before the groupby);
+- ``linkgraph_pagerank`` — integer PageRank over the doc→doc graph
+  (distributed join/aggregate iterations; ``stages/linkgraph.py``);
+- ``link_in_degree_topk`` / ``anchor_text_top_terms`` — in-degree and
+  anchor-term aggregates (hash-bucketed; never one Ray group per key).
+
+All five are SQL-checked against flat single-process oracle parquets
+(pipelines/rowsonly_oracles.py ``write_linkgraph_oracles``) built from
+the SAME link kernel but an opposite (dense, no-Ray) architecture.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..kernel.links import extract_links
+from ..stages.dedup import stable_bucket_ids
+from ..stages.linkgraph import (
+    HITS_ITERS,
+    PAGERANK_ITERS,
+    doc_edges,
+    hits,
+    page_links,
+    pagerank,
+)
+
+LINKS_DIGEST_COLS = ["n_links", "n_internal", "n_doc_links", "xor_digest"]
+TOP_INDEGREE_K = 50
+TOP_ANCHOR_TERMS_K = 100
+# Explicit whitespace class (never \s in a contract regex — ROUND_NOTES).
+_WS_CHARS = " \t\r\n\f\v"
+
+
+def _deduped_pages_payloads(sf_dir: str) -> rd.Dataset:
+    """Deduped pages corpus (url, html) — keep-first-by-warc_ts, the same
+    universe as every other page-level oracle."""
+    from ..sources.pages_source import synthesize_pages
+    from ..stages.dedup import dedup_keep_first
+
+    pages = synthesize_pages(sf_dir, expand=2).select_columns(["url", "warc_ts", "html"])
+    return dedup_keep_first(pages, key="url", order_col="warc_ts").drop_columns(
+        ["warc_ts"]
+    )
+
+
+def link_row_key(src_url: str, href: str, anchor: str, is_internal: int, dst_doc: int) -> bytes:
+    """Canonical serialization of one link row (shared with the oracle)."""
+    return f"{src_url}|{href}|{anchor}|{is_internal}|{dst_doc}".encode()
+
+
+def links_digest_frame(t: pa.Table) -> pd.DataFrame:
+    """One digest row for a links table chunk (engine partial = oracle
+    whole-table call; XOR is order- and partition-invariant)."""
+    acc = np.uint64(0)
+    src = t["src_url"].to_pylist()
+    href = t["href"].to_pylist()
+    anchor = t["anchor"].to_pylist()
+    internal = t["is_internal"].to_pylist()
+    dst = t["dst_doc"].to_pylist()
+    for row in zip(src, href, anchor, internal, dst):
+        d = hashlib.blake2b(link_row_key(*row), digest_size=8).digest()
+        acc ^= np.uint64(int.from_bytes(d, "big"))
+    return pd.DataFrame(
+        {
+            "n_links": [t.num_rows],
+            "n_internal": [int(sum(internal))],
+            "n_doc_links": [int(sum(1 for x in dst if x >= 0))],
+            "xor_digest": [int(acc.astype(np.int64))],
+        }
+    )
+
+
+def _combine_digest_partials(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "n_links": [int(df["n_links"].sum())],
+            "n_internal": [int(df["n_internal"].sum())],
+            "n_doc_links": [int(df["n_doc_links"].sum())],
+            "xor_digest": [
+                int(
+                    np.bitwise_xor.reduce(
+                        df["xor_digest"].to_numpy(dtype=np.int64).view(np.uint64)
+                    ).astype(np.int64)
+                )
+            ],
+        }
+    )
+
+
+def page_links_digest(sf_dir: str) -> pd.DataFrame:
+    """Hyperlink extraction attested as one digest row."""
+    links = page_links(_deduped_pages_payloads(sf_dir))
+    partials = links.map_batches(
+        lambda t: links_digest_frame(t), batch_format="pyarrow", batch_size=2048
+    ).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({c: [0] for c in LINKS_DIGEST_COLS})
+    return _combine_digest_partials(partials)[LINKS_DIGEST_COLS]
+
+
+def link_out_degree_hist(sf_dir: str) -> pd.DataFrame:
+    """Pages per out-degree (every deduped page counts, 0-link pages
+    included — PDFs and adversarial payloads land in the 0 bin)."""
+
+    def per_page(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        degs = [len(extract_links(p, u)) for u, p in zip(urls, payloads)]
+        out = pd.Series(degs, dtype="int64").value_counts()
+        return pa.Table.from_pydict(
+            {
+                "out_degree": pa.array(out.index.to_numpy(np.int64), pa.int64()),
+                "n": pa.array(out.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("out_degree", as_index=False, sort=False)["n"].sum()
+        return pa.Table.from_pandas(
+            out.rename(columns={"n": "n_pages"}),
+            schema=pa.schema([("out_degree", pa.int64()), ("n_pages", pa.int64())]),
+            preserve_index=False,
+        )
+
+    out = (
+        _deduped_pages_payloads(sf_dir)
+        .map_batches(per_page, batch_format="pyarrow", batch_size=64)
+        .groupby("out_degree")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame(
+            {"out_degree": pd.Series([], dtype="int64"), "n_pages": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values("out_degree", ignore_index=True)
+
+
+def linkgraph_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS) -> pd.DataFrame:
+    """Integer PageRank over the doc→doc related-link graph."""
+    edges = doc_edges(_deduped_pages_payloads(sf_dir))
+    out = pagerank(edges, iters=iters).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"), "rank_micros": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values("node", ignore_index=True)
+
+
+def linkgraph_components(sf_dir: str) -> pd.DataFrame:
+    """Weakly-connected components of the doc→doc link graph — the
+    site/cluster structure prior (which documents form one linked
+    neighborhood).  Reuses the distributed min-label propagation the
+    near-dup group machinery runs on (stages/neardup.min_label_components
+    — all Dataset ops, no driver union-find); SQL-checked against a
+    DRIVER union-find over the flat edge list (opposite architecture)."""
+    from ..stages.neardup import min_label_components
+
+    edges = doc_edges(_deduped_pages_payloads(sf_dir)).select_columns(["src", "dst"])
+    pairs = edges.map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+    out = min_label_components(pairs).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"), "component": pd.Series([], dtype="int64")}
+        )
+    out = out.rename(columns={"id": "node", "label": "component"})
+    return out.sort_values("node", ignore_index=True)[["node", "component"]]
+
+
+def linkgraph_hits(sf_dir: str, iters: int = HITS_ITERS) -> pd.DataFrame:
+    """Integer HITS hub/authority scores over the doc→doc link graph."""
+    edges = doc_edges(_deduped_pages_payloads(sf_dir))
+    out = hits(edges, iters=iters).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "node": pd.Series([], dtype="int64"),
+                "hub": pd.Series([], dtype="int64"),
+                "auth": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("node", ignore_index=True)[["node", "hub", "auth"]]
+
+
+def link_in_degree_topk(sf_dir: str, k: int = TOP_INDEGREE_K, num_buckets: int = 32) -> pd.DataFrame:
+    """Top-k document nodes by raw in-link count (every link row counts,
+    page multiplicity included).  Partial counts per batch → hash-bucket
+    sum → per-bucket top-k prune sharing the final total order
+    (n_inlinks desc, dst_doc asc)."""
+    links = page_links(_deduped_pages_payloads(sf_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["dst_doc"] >= 0]
+        out = df.groupby("dst_doc", as_index=False, sort=False).size()
+        out = out.rename(columns={"size": "n"})
+        tt = pa.Table.from_pandas(
+            out, schema=pa.schema([("dst_doc", pa.int64()), ("n", pa.int64())]),
+            preserve_index=False,
+        )
+        b = stable_bucket_ids(tt["dst_doc"], num_buckets) if tt.num_rows else np.empty(0, np.int32)
+        return tt.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("dst_doc", as_index=False, sort=False)["n"].sum()
+        out = out.sort_values(["n", "dst_doc"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(
+            out.rename(columns={"n": "n_inlinks"}),
+            schema=pa.schema([("dst_doc", pa.int64()), ("n_inlinks", pa.int64())]),
+            preserve_index=False,
+        )
+
+    out = (
+        links.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"dst_doc": pd.Series([], dtype="int64"), "n_inlinks": pd.Series([], dtype="int64")}
+        )
+    return (
+        out.sort_values(["n_inlinks", "dst_doc"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def anchor_terms_tokens(anchor: str) -> list[str]:
+    """Anchor tokenization contract (shared with the oracle): lowercase,
+    split on the explicit whitespace class."""
+    out = []
+    for ch in _WS_CHARS:
+        anchor = anchor.replace(ch, " ")
+    for tok in anchor.lower().split(" "):
+        if tok:
+            out.append(tok)
+    return out
+
+
+def anchor_text_top_terms(
+    sf_dir: str, k: int = TOP_ANCHOR_TERMS_K, num_buckets: int = 32
+) -> pd.DataFrame:
+    """Top-k anchor-text terms across the whole link table — the
+    anchor-text corpus diagnostic.  Order: (n desc, term asc)."""
+    links = page_links(_deduped_pages_payloads(sf_dir)).select_columns(["anchor"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for a in t["anchor"].to_pylist():
+            for tok in anchor_terms_tokens(a):
+                counts[tok] = counts.get(tok, 0) + 1
+        tt = pa.Table.from_pydict(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+        b = stable_bucket_ids(tt["term"], num_buckets) if tt.num_rows else np.empty(0, np.int32)
+        return tt.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("term", as_index=False, sort=False)["n"].sum()
+        out = out.sort_values(["n", "term"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema([("term", pa.string()), ("n", pa.int64())]),
+            preserve_index=False,
+        )
+
+    out = (
+        links.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        .groupby("__bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"term": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+        )
+    return (
+        out.sort_values(["n", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

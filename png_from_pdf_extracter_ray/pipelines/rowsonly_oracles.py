@@ -1001,3 +1001,208 @@ def write_dsir_oracle(sf_dir: str) -> str:
         ),
         path,
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-graph family (flat recompute of pipelines/linkgraph.py)
+# ---------------------------------------------------------------------------
+
+_LINKGRAPH_ORACLE_NAMES = (
+    "links_digest",
+    "link_outdeg_hist",
+    "link_pagerank",
+    "link_indeg_topk",
+    "anchor_terms",
+)
+
+
+def _flat_doc_edges(sf_dir: str, expand: int = 2) -> pd.DataFrame:
+    """Flat (src, dst) doc-edge list over the deduped page universe —
+    same parse kernel as stages/linkgraph.doc_edges, one in-memory pass."""
+    from ..kernel.links import extract_links, src_doc_of_url
+    from .summary import oracle_unique_pages
+
+    pages = oracle_unique_pages(sf_dir, expand=expand)
+    pair_src: list[int] = []
+    pair_dst: list[int] = []
+    for url, payload in zip(pages["url"].to_pylist(), pages["html"].to_pylist()):
+        s = src_doc_of_url(url)
+        if s < 0:
+            continue
+        for link in extract_links(payload, url):
+            d = link["dst_doc"]
+            if d >= 0 and d != s:
+                pair_src.append(s)
+                pair_dst.append(d)
+    return pd.DataFrame(
+        {"src": pd.Series(pair_src, dtype="int64"), "dst": pd.Series(pair_dst, dtype="int64")}
+    ).drop_duplicates(["src", "dst"], ignore_index=True)
+
+
+def write_linkgraph_graph_oracles(sf_dir: str, expand: int = 2) -> dict[str, str]:
+    """Flat oracles for the graph-algorithm queries: weakly-connected
+    components (driver union-find — the engine runs distributed min-label
+    propagation) and integer HITS (dense numpy twin,
+    stages/linkgraph.hits_flat)."""
+    from ..stages.linkgraph import hits_flat
+
+    names = ("link_components", "link_hits")
+    paths = {n: _oracle_path(sf_dir, n, expand) for n in names}
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+
+    edges = _flat_doc_edges(sf_dir, expand=expand)
+
+    comp = _union_find_min_labels(
+        edges.rename(columns={"src": "id_a", "dst": "id_b"})
+    ).rename(columns={"url": "node", "group_id": "component"})
+    comp = comp.astype({"node": "int64", "component": "int64"}).sort_values(
+        "node", ignore_index=True
+    )
+    _commit(
+        _from_pandas(
+            comp, pa.schema([("node", pa.int64()), ("component", pa.int64())])
+        ),
+        paths["link_components"],
+    )
+
+    ht = hits_flat(edges).sort_values("node", ignore_index=True)
+    _commit(
+        _from_pandas(
+            ht,
+            pa.schema(
+                [("node", pa.int64()), ("hub", pa.int64()), ("auth", pa.int64())]
+            ),
+        ),
+        paths["link_hits"],
+    )
+    return paths
+
+
+def write_linkgraph_oracles(sf_dir: str, expand: int = 2) -> dict[str, str]:
+    """Flat single-process oracles for the five link-graph queries.
+
+    Same parse kernel (kernel/links.py — the single-implementation
+    rule), opposite architecture: one in-memory pass over the deduped
+    page universe, dense numpy PageRank (stages/linkgraph.pagerank_flat)
+    vs the engine's bucketed join/aggregate iterations.  Any bucketing,
+    shuffle, dedup, or integer-arithmetic divergence breaks the match.
+    """
+    from ..kernel.links import extract_links, src_doc_of_url
+    from ..stages.linkgraph import pagerank_flat
+    from .linkgraph import (
+        LINKS_DIGEST_COLS,
+        TOP_ANCHOR_TERMS_K,
+        TOP_INDEGREE_K,
+        anchor_terms_tokens,
+        links_digest_frame,
+    )
+    from .summary import oracle_unique_pages
+
+    paths = {n: _oracle_path(sf_dir, n, expand) for n in _LINKGRAPH_ORACLE_NAMES}
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+
+    pages = oracle_unique_pages(sf_dir, expand=expand)
+    urls = pages["url"].to_pylist()
+    payloads = pages["html"].to_pylist()
+
+    link_cols: dict[str, list] = {
+        "src_url": [], "href": [], "anchor": [], "is_internal": [], "dst_doc": []
+    }
+    out_degs: list[int] = []
+    pair_src: list[int] = []
+    pair_dst: list[int] = []
+    for url, payload in zip(urls, payloads):
+        links = extract_links(payload, url)
+        out_degs.append(len(links))
+        s = src_doc_of_url(url)
+        for link in links:
+            link_cols["src_url"].append(url)
+            link_cols["href"].append(link["href"])
+            link_cols["anchor"].append(link["anchor"])
+            link_cols["is_internal"].append(1 if link["internal"] else 0)
+            link_cols["dst_doc"].append(link["dst_doc"])
+            d = link["dst_doc"]
+            if s >= 0 and d >= 0 and d != s:
+                pair_src.append(s)
+                pair_dst.append(d)
+
+    links_t = pa.Table.from_pydict(
+        {
+            "src_url": pa.array(link_cols["src_url"], pa.string()),
+            "href": pa.array(link_cols["href"], pa.string()),
+            "anchor": pa.array(link_cols["anchor"], pa.string()),
+            "is_internal": pa.array(link_cols["is_internal"], pa.int8()),
+            "dst_doc": pa.array(link_cols["dst_doc"], pa.int64()),
+        }
+    )
+
+    digest = links_digest_frame(links_t)[LINKS_DIGEST_COLS]
+    _commit(
+        _from_pandas(
+            digest,
+            pa.schema([(c, pa.int64()) for c in LINKS_DIGEST_COLS]),
+        ),
+        paths["links_digest"],
+    )
+
+    hist = (
+        pd.Series(out_degs, dtype="int64")
+        .value_counts()
+        .rename_axis("out_degree")
+        .reset_index(name="n_pages")
+        .sort_values("out_degree", ignore_index=True)
+    )
+    _commit(
+        _from_pandas(
+            hist, pa.schema([("out_degree", pa.int64()), ("n_pages", pa.int64())])
+        ),
+        paths["link_outdeg_hist"],
+    )
+
+    pr = pagerank_flat(
+        pd.DataFrame({"src": pd.Series(pair_src, dtype="int64"),
+                      "dst": pd.Series(pair_dst, dtype="int64")})
+    ).sort_values("node", ignore_index=True)
+    _commit(
+        _from_pandas(
+            pr, pa.schema([("node", pa.int64()), ("rank_micros", pa.int64())])
+        ),
+        paths["link_pagerank"],
+    )
+
+    dd = pd.Series(
+        [d for d in link_cols["dst_doc"] if d >= 0], dtype="int64"
+    )
+    indeg = (
+        dd.value_counts()
+        .rename_axis("dst_doc")
+        .reset_index(name="n_inlinks")
+        .sort_values(["n_inlinks", "dst_doc"], ascending=[False, True])
+        .head(TOP_INDEGREE_K)
+        .reset_index(drop=True)
+    )
+    _commit(
+        _from_pandas(
+            indeg, pa.schema([("dst_doc", pa.int64()), ("n_inlinks", pa.int64())])
+        ),
+        paths["link_indeg_topk"],
+    )
+
+    counts: dict[str, int] = {}
+    for a in link_cols["anchor"]:
+        for tok in anchor_terms_tokens(a):
+            counts[tok] = counts.get(tok, 0) + 1
+    terms = (
+        pd.DataFrame({"term": list(counts.keys()), "n": list(counts.values())})
+        .astype({"n": "int64"})
+        .sort_values(["n", "term"], ascending=[False, True])
+        .head(TOP_ANCHOR_TERMS_K)
+        .reset_index(drop=True)
+    )
+    _commit(
+        _from_pandas(terms, pa.schema([("term", pa.string()), ("n", pa.int64())])),
+        paths["anchor_terms"],
+    )
+    return paths

@@ -1,0 +1,125 @@
+"""Link-graph family: kernel contract, partition invariance, oracle parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from png_from_pdf_extracter_ray.corpus.synth import make_payload, page_url
+from png_from_pdf_extracter_ray.kernel.links import extract_links, src_doc_of_url
+from png_from_pdf_extracter_ray.stages.linkgraph import (
+    PAGERANK_SCALE,
+    pagerank,
+    pagerank_flat,
+)
+
+
+class TestLinkKernel:
+    def test_html_page_yields_links(self):
+        url = page_url(3, 0)
+        payload = make_payload(3, 0, "hello world " * 30, "en")
+        links = extract_links(payload, url)
+        assert links, "synthetic HTML page must contain anchors"
+        # every nav/tag/related href resolves to an absolute same-host url
+        assert all(l["href"].startswith("https://") for l in links)
+        assert all(l["internal"] for l in links)
+        doc_targets = [l["dst_doc"] for l in links if l["dst_doc"] >= 0]
+        assert len(doc_targets) == 5  # the related-articles list
+
+    def test_non_html_payloads_yield_nothing(self):
+        assert extract_links(b"", "https://x.example/doc/1-0") == []
+        assert extract_links(None, "https://x.example/doc/1-0") == []
+        assert extract_links(b"%PDF-1.4 garbage", "https://x.example/doc/1-0") == []
+
+    def test_attribute_variants_and_nested_markup(self):
+        html = (
+            b"<html><body>"
+            b"<a class=\"x\" href='/a/1' id=\"y\">one <b>bold</b>\n two</a>"
+            b'<A HREF="https://other.example/z">ext</A>'
+            b'<a href="mailto:x@y.z">mail</a>'
+            b"</body></html>"
+        )
+        links = extract_links(html, "https://site1.example/doc/7-0")
+        assert [l["href"] for l in links] == [
+            "https://site1.example/a/1",
+            "https://other.example/z",
+        ]
+        assert links[0]["anchor"] == "one bold two"
+        assert links[0]["internal"] and not links[1]["internal"]
+
+    def test_src_doc_of_url(self):
+        assert src_doc_of_url("https://site9.example/doc/42-1") == 42
+        assert src_doc_of_url("https://site9.example/doc/42") == -1
+        assert src_doc_of_url("https://site9.example/other/42-1") == -1
+
+
+class TestPagerankFlat:
+    def test_two_node_cycle_is_symmetric(self):
+        edges = pd.DataFrame({"src": [1, 2], "dst": [2, 1]})
+        pr = pagerank_flat(edges, iters=8)
+        assert pr["rank_micros"].nunique() == 1  # symmetric graph, equal ranks
+
+    def test_sink_gains_rank(self):
+        # star: 1..5 all link to 9 — 9 must outrank the spokes
+        edges = pd.DataFrame({"src": [1, 2, 3, 4, 5], "dst": [9] * 5})
+        pr = pagerank_flat(edges).set_index("node")["rank_micros"]
+        assert pr[9] > pr[1]
+
+    def test_mass_approximately_conserved(self):
+        edges = pd.DataFrame({"src": [1, 1, 2, 3], "dst": [2, 3, 3, 1]})
+        pr = pagerank_flat(edges, iters=4)
+        total = pr["rank_micros"].sum()
+        n = pr["node"].nunique()
+        # integer floors only ever lose mass, never create it
+        assert total <= n * PAGERANK_SCALE
+        assert total >= n * PAGERANK_SCALE * 0.99
+
+    def test_self_loops_and_dup_edges_ignored(self):
+        base = pd.DataFrame({"src": [1, 2], "dst": [2, 1]})
+        noisy = pd.DataFrame(
+            {"src": [1, 2, 1, 1], "dst": [2, 1, 1, 2]}  # + self-loop + dup
+        )
+        assert pagerank_flat(base).equals(pagerank_flat(noisy))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEngineVsFlat:
+    def test_pagerank_partition_invariant_and_matches_flat(self, sf_dir):
+        import ray.data as rd
+
+        from png_from_pdf_extracter_ray.pipelines.linkgraph import (
+            _deduped_pages_payloads,
+        )
+        from png_from_pdf_extracter_ray.stages.linkgraph import doc_edges
+
+        edges_df = (
+            doc_edges(_deduped_pages_payloads(sf_dir))
+            .to_pandas()[["src", "dst"]]
+            .sort_values(["src", "dst"], ignore_index=True)
+        )
+        flat = pagerank_flat(edges_df).sort_values("node", ignore_index=True)
+
+        for buckets in (4, 17):  # different bucketings must agree bit-for-bit
+            eng = (
+                pagerank(rd.from_pandas(edges_df.assign(
+                    outdeg=edges_df.groupby("src")["dst"].transform("size").astype(np.int64)
+                )), num_buckets=buckets)
+                .to_pandas()
+                .sort_values("node", ignore_index=True)
+            )
+            pd.testing.assert_frame_equal(eng, flat)
+
+    def test_digest_query_matches_oracle(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from png_from_pdf_extracter_ray.pipelines import rowsonly_oracles as rro
+        from png_from_pdf_extracter_ray.pipelines.linkgraph import page_links_digest
+
+        paths = rro.write_linkgraph_oracles(sf_dir)
+        eng = page_links_digest(sf_dir)
+        ora = pq.read_table(paths["links_digest"]).to_pandas()
+        pd.testing.assert_frame_equal(
+            eng.astype("int64").reset_index(drop=True), ora
+        )
+        assert int(eng["n_links"].iloc[0]) > 0
