@@ -166,17 +166,18 @@ def linkgraph_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS) -> pd.DataFrame
 def linkgraph_components(sf_dir: str) -> pd.DataFrame:
     """Weakly-connected components of the doc→doc link graph — the
     site/cluster structure prior (which documents form one linked
-    neighborhood).  Reuses the distributed min-label propagation the
-    near-dup group machinery runs on (stages/neardup.min_label_components
-    — all Dataset ops, no driver union-find); SQL-checked against a
-    DRIVER union-find over the flat edge list (opposite architecture)."""
-    from ..stages.neardup import min_label_components
+    neighborhood).  Runs distributed large-star/small-star
+    (stages/linkgraph.star_components — O(log² n) rounds; the near-dup
+    min-label propagation is O(diameter), hopeless on chain-like link
+    graphs); SQL-checked against a DRIVER union-find over the flat edge
+    list (opposite architecture, identical labels)."""
+    from ..stages.linkgraph import star_components
 
     edges = doc_edges(_deduped_pages_payloads(sf_dir)).select_columns(["src", "dst"])
     pairs = edges.map_batches(
-        lambda t: t.rename_columns(["id_a", "id_b"]), batch_format="pyarrow"
+        lambda t: t.rename_columns(["u", "v"]), batch_format="pyarrow"
     )
-    out = min_label_components(pairs).to_pandas()
+    out = star_components(pairs).to_pandas()
     if out.empty:
         return pd.DataFrame(
             {"node": pd.Series([], dtype="int64"), "component": pd.Series([], dtype="int64")}

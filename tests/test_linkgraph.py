@@ -9,7 +9,10 @@ import pytest
 from png_from_pdf_extracter_ray.corpus.synth import make_payload, page_url
 from png_from_pdf_extracter_ray.kernel.links import extract_links, src_doc_of_url
 from png_from_pdf_extracter_ray.stages.linkgraph import (
+    HITS_SCALE,
     PAGERANK_SCALE,
+    hits,
+    hits_flat,
     pagerank,
     pagerank_flat,
 )
@@ -83,6 +86,29 @@ class TestPagerankFlat:
         assert pagerank_flat(base).equals(pagerank_flat(noisy))
 
 
+class TestHitsFlat:
+    def test_star_hub_and_authority(self):
+        # 1..5 all link to 9: the spokes are pure hubs, 9 the sole authority
+        edges = pd.DataFrame({"src": [1, 2, 3, 4, 5], "dst": [9] * 5})
+        ht = hits_flat(edges).set_index("node")
+        assert ht.loc[9, "auth"] > 0 and ht.loc[9, "hub"] == 0
+        assert ht.loc[1, "hub"] > 0 and ht.loc[1, "auth"] == 0
+        assert (ht.loc[[1, 2, 3, 4, 5], "hub"].nunique()) == 1
+
+    def test_scores_bounded_by_normalization(self):
+        edges = pd.DataFrame(
+            {"src": [1, 1, 2, 3, 4, 4, 5], "dst": [2, 3, 3, 1, 1, 5, 2]}
+        )
+        ht = hits_flat(edges, iters=8)
+        assert int(ht["auth"].max()) < 2 * HITS_SCALE
+        assert int(ht["hub"].max()) < 2 * HITS_SCALE
+
+    def test_self_loops_and_dup_edges_ignored(self):
+        base = pd.DataFrame({"src": [1, 2], "dst": [2, 1]})
+        noisy = pd.DataFrame({"src": [1, 2, 1, 1], "dst": [2, 1, 1, 2]})
+        assert hits_flat(base).equals(hits_flat(noisy))
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestEngineVsFlat:
     def test_pagerank_partition_invariant_and_matches_flat(self, sf_dir):
@@ -109,6 +135,62 @@ class TestEngineVsFlat:
                 .sort_values("node", ignore_index=True)
             )
             pd.testing.assert_frame_equal(eng, flat)
+
+    def test_hits_partition_invariant_and_matches_flat(self, sf_dir):
+        import ray.data as rd
+
+        from png_from_pdf_extracter_ray.pipelines.linkgraph import (
+            _deduped_pages_payloads,
+        )
+        from png_from_pdf_extracter_ray.stages.linkgraph import doc_edges
+
+        edges_df = (
+            doc_edges(_deduped_pages_payloads(sf_dir))
+            .to_pandas()[["src", "dst"]]
+            .sort_values(["src", "dst"], ignore_index=True)
+        )
+        flat = hits_flat(edges_df).sort_values("node", ignore_index=True)
+
+        for buckets in (4, 17):
+            eng = (
+                hits(rd.from_pandas(edges_df), num_buckets=buckets)
+                .to_pandas()
+                .sort_values("node", ignore_index=True)
+            )
+            pd.testing.assert_frame_equal(eng, flat)
+
+    def test_star_components_deep_chain(self, sf_dir):
+        # a 300-hop path: min-label propagation would need 300 rounds;
+        # large/small-star must converge in O(log) and label all to 0
+        import ray.data as rd
+
+        from png_from_pdf_extracter_ray.stages.linkgraph import star_components
+
+        n = 300
+        edges = pd.DataFrame(
+            {"u": np.arange(n - 1, dtype=np.int64), "v": np.arange(1, n, dtype=np.int64)}
+        )
+        out = (
+            star_components(rd.from_pandas(edges), num_buckets=5)
+            .to_pandas()
+            .sort_values("id", ignore_index=True)
+        )
+        assert len(out) == n
+        assert (out["label"] == 0).all()
+
+    def test_components_query_matches_union_find(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from png_from_pdf_extracter_ray.pipelines import rowsonly_oracles as rro
+        from png_from_pdf_extracter_ray.pipelines.linkgraph import (
+            linkgraph_components,
+        )
+
+        paths = rro.write_linkgraph_graph_oracles(sf_dir)
+        eng = linkgraph_components(sf_dir)
+        ora = pq.read_table(paths["link_components"]).to_pandas()
+        pd.testing.assert_frame_equal(eng, ora)
+        assert eng["component"].nunique() < len(eng)  # real merging happened
 
     def test_digest_query_matches_oracle(self, sf_dir):
         import pyarrow.parquet as pq
