@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_top_terms": lg.anchor_text_top_terms,
         "linkgraph_components": lg.linkgraph_components,
         "linkgraph_hits": lg.linkgraph_hits,
+        "crawl_frontier_urls": lg.crawl_frontier_urls,
         # --- dedup family long tail ---
         "minhash_dedup_keep_best": textops.minhash_dedup_keep_best,
         "pages_phash_dedup_groups": textops.pages_phash_dedup_groups,
@@ -457,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
     _lg_anchor_oracle = _rro._oracle_path(_oracle_sf, "anchor_terms")
     _lg_comp_oracle = _rro._oracle_path(_oracle_sf, "link_components")
     _lg_hits_oracle = _rro._oracle_path(_oracle_sf, "link_hits")
+    _lg_frontier_oracle = _rro._oracle_path(_oracle_sf, "crawl_frontier")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -485,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_dsir_oracle(_oracle_sf)
         _rro.write_linkgraph_oracles(_oracle_sf)
         _rro.write_linkgraph_graph_oracles(_oracle_sf)
+        _rro.write_crawl_frontier_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -632,6 +635,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "linkgraph_hits": f"""
             SELECT node, hub, auth FROM read_parquet('{_lg_hits_oracle}')
+        """,
+        "crawl_frontier_urls": f"""
+            SELECT href, n_refs FROM read_parquet('{_lg_frontier_oracle}')
         """,
         "q13_customer_distribution": """
             SELECT c_count, COUNT(*) AS custdist FROM (

@@ -225,6 +225,8 @@ def bench_queries() -> dict[str, float]:
         "bpe_train_merges",
         "bpe_encode_docs",
         "dsir_importance_weights",
+        "linkgraph_pagerank",
+        "linkgraph_components",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -246,6 +246,56 @@ def link_in_degree_topk(sf_dir: str, k: int = TOP_INDEGREE_K, num_buckets: int =
     )
 
 
+def crawl_frontier_urls(sf_dir: str, num_buckets: int = 32) -> pd.DataFrame:
+    """Crawl frontier: distinct out-link URLs that are NOT in the crawled
+    url set — the next fetch wave of a crawler.  Distinct hrefs via one
+    hash-bucket dedup (never a Ray group per url), then a bucketed ANTI
+    join against the slim crawled-url column; the href table and the url
+    universe both stay distributed.  Returns (href, n_refs) with n_refs =
+    number of link rows pointing at the frontier url."""
+    from ..sources.pages_source import synthesize_pages
+    from ..stages.joins import bucketed_hash_join
+
+    links = page_links(_deduped_pages_payloads(sf_dir)).select_columns(["href"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("href", as_index=False, sort=False).size()
+        tt = pa.Table.from_pandas(
+            df.rename(columns={"size": "n"}),
+            schema=pa.schema([("href", pa.string()), ("n", pa.int64())]),
+            preserve_index=False,
+        )
+        b = stable_bucket_ids(tt["href"], num_buckets) if tt.num_rows else np.empty(0, np.int32)
+        return tt.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("href", as_index=False, sort=False)["n"].sum()
+        return pa.Table.from_pandas(
+            out.rename(columns={"n": "n_refs"}),
+            schema=pa.schema([("href", pa.string()), ("n_refs", pa.int64())]),
+            preserve_index=False,
+        )
+
+    distinct_hrefs = (
+        links.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("__bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+    crawled = (
+        synthesize_pages(sf_dir, expand=2)
+        .select_columns(["url"])
+        .map_batches(lambda t: t.rename_columns(["href"]), batch_format="pyarrow")
+    )
+    frontier = bucketed_hash_join(
+        distinct_hrefs, crawled, on="href", num_buckets=num_buckets, how="anti"
+    ).to_pandas()
+    if frontier.empty:
+        return pd.DataFrame(
+            {"href": pd.Series([], dtype=object), "n_refs": pd.Series([], dtype="int64")}
+        )
+    return frontier.sort_values("href", ignore_index=True)[["href", "n_refs"]]
+
+
 def anchor_terms_tokens(anchor: str) -> list[str]:
     """Anchor tokenization contract (shared with the oracle): lowercase,
     split on the explicit whitespace class."""

@@ -1079,6 +1079,47 @@ def write_linkgraph_graph_oracles(sf_dir: str, expand: int = 2) -> dict[str, str
     return paths
 
 
+def write_crawl_frontier_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Flat frontier oracle: distinct out-link hrefs (with reference
+    counts) of the deduped page universe, minus the crawled url set of
+    the RAW pages table (both sides recomputed flat, no Ray)."""
+    import pyarrow.parquet as pq
+
+    from ..corpus.synth import pages_from_documents_batch
+    from ..kernel.links import extract_links
+    from .summary import oracle_unique_pages
+
+    path = _oracle_path(sf_dir, "crawl_frontier", expand)
+    if os.path.exists(path):
+        return path
+
+    pages = oracle_unique_pages(sf_dir, expand=expand)
+    counts: dict[str, int] = {}
+    for url, payload in zip(pages["url"].to_pylist(), pages["html"].to_pylist()):
+        for link in extract_links(payload, url):
+            counts[link["href"]] = counts.get(link["href"], 0) + 1
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    crawled = set(
+        pages_from_documents_batch(docs, expand=expand)["url"].to_pylist()
+    )
+    out = (
+        pd.DataFrame(
+            {
+                "href": [h for h in counts if h not in crawled],
+                "n_refs": [n for h, n in counts.items() if h not in crawled],
+            }
+        )
+        .astype({"n_refs": "int64"})
+        .sort_values("href", ignore_index=True)
+    )
+    return _commit(
+        _from_pandas(out, pa.schema([("href", pa.string()), ("n_refs", pa.int64())])),
+        path,
+    )
+
+
 def write_linkgraph_oracles(sf_dir: str, expand: int = 2) -> dict[str, str]:
     """Flat single-process oracles for the five link-graph queries.
 

@@ -192,6 +192,18 @@ class TestEngineVsFlat:
         pd.testing.assert_frame_equal(eng, ora)
         assert eng["component"].nunique() < len(eng)  # real merging happened
 
+    def test_frontier_query_matches_oracle(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from png_from_pdf_extracter_ray.pipelines import rowsonly_oracles as rro
+        from png_from_pdf_extracter_ray.pipelines.linkgraph import crawl_frontier_urls
+
+        path = rro.write_crawl_frontier_oracle(sf_dir)
+        eng = crawl_frontier_urls(sf_dir)
+        ora = pq.read_table(path).to_pandas()
+        pd.testing.assert_frame_equal(eng, ora)
+        assert len(eng) > 0  # /doc/<n> related links are never crawled urls
+
     def test_digest_query_matches_oracle(self, sf_dir):
         import pyarrow.parquet as pq
 
