@@ -153,7 +153,11 @@ def link_out_degree_hist(sf_dir: str) -> pd.DataFrame:
 
 
 def linkgraph_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS) -> pd.DataFrame:
-    """Integer PageRank over the doc→doc related-link graph."""
+    """Integer PageRank over the doc→doc related-link graph.
+
+    The operator (stages/linkgraph.pagerank) returns the N-sized rank
+    Dataset; the driver-side collect+sort lives only here, in the query
+    wrapper, for the oracle comparison."""
     edges = doc_edges(_deduped_pages_payloads(sf_dir))
     out = pagerank(edges, iters=iters).to_pandas()
     if out.empty:
@@ -170,7 +174,9 @@ def linkgraph_components(sf_dir: str) -> pd.DataFrame:
     (stages/linkgraph.star_components — O(log² n) rounds; the near-dup
     min-label propagation is O(diameter), hopeless on chain-like link
     graphs); SQL-checked against a DRIVER union-find over the flat edge
-    list (opposite architecture, identical labels)."""
+    list (opposite architecture, identical labels).  The operator
+    returns the N-sized label Dataset; collect+sort happens only in
+    this wrapper, for the oracle comparison."""
     from ..stages.linkgraph import star_components
 
     edges = doc_edges(_deduped_pages_payloads(sf_dir)).select_columns(["src", "dst"])
@@ -187,7 +193,9 @@ def linkgraph_components(sf_dir: str) -> pd.DataFrame:
 
 
 def linkgraph_hits(sf_dir: str, iters: int = HITS_ITERS) -> pd.DataFrame:
-    """Integer HITS hub/authority scores over the doc→doc link graph."""
+    """Integer HITS hub/authority scores over the doc→doc link graph.
+    Operator returns the N-sized Dataset; this wrapper collects+sorts
+    only for the oracle comparison."""
     edges = doc_edges(_deduped_pages_payloads(sf_dir))
     out = hits(edges, iters=iters).to_pandas()
     if out.empty:
@@ -252,7 +260,9 @@ def crawl_frontier_urls(sf_dir: str, num_buckets: int = 32) -> pd.DataFrame:
     hash-bucket dedup (never a Ray group per url), then a bucketed ANTI
     join against the slim crawled-url column; the href table and the url
     universe both stay distributed.  Returns (href, n_refs) with n_refs =
-    number of link rows pointing at the frontier url."""
+    number of link rows pointing at the frontier url; the anti-join
+    output is a Dataset until this wrapper's collect+sort for the
+    oracle comparison."""
     from ..sources.pages_source import synthesize_pages
     from ..stages.joins import bucketed_hash_join
 
