@@ -28,8 +28,11 @@ from .sniff import CT_HTML, CT_MULTIPART, sniff_content_type, split_multipart
 # <a ... href="..." ...> ... </a> — double- or single-quoted href, any
 # other attributes, case-insensitive, inner markup allowed (stripped
 # below).  DOTALL so anchors spanning newlines are kept whole.
+# The lookbehind rejects *-href attributes (data-href, ng-href,
+# xlink:href): \b alone treats '-' and ':' as boundaries and would
+# extract the WRONG url from <a data-href="/evil" href="/real">.
 _ANCHOR_RE = re.compile(
-    rb"<a\b[^>]*?\bhref\s*=\s*(\"([^\"]*)\"|'([^']*)')[^>]*>(.*?)</a\s*>",
+    rb"<a\b[^>]*?(?<![\w:-])href\s*=\s*(\"([^\"]*)\"|'([^']*)')[^>]*>(.*?)</a\s*>",
     re.IGNORECASE | re.DOTALL,
 )
 _TAG_RE = re.compile(rb"<[^>]*>")
@@ -55,19 +58,25 @@ def extract_links(payload: bytes | None, base_url: str) -> list[dict]:
     ``href`` (resolved absolute URL), ``anchor`` (display text),
     ``internal`` (same host as the page), ``dst_doc`` (int doc id when
     the target path is a document node ``/doc/<n>``, else -1).
-    Non-HTML payloads yield no links; the HTML part of a multipart
-    container is scanned (mirroring the extractor's multipart dispatch).
+    Non-HTML payloads yield no links; EVERY HTML part of a multipart
+    container is scanned in part order (mirroring the extractor's
+    walk over all parts, kernel/extract.py).
     """
     if not payload:
         return []
     ct = sniff_content_type(payload)
     if ct == CT_MULTIPART:
-        parts = [p for p in split_multipart(payload) if sniff_content_type(p) == CT_HTML]
-        if not parts:
-            return []
-        payload = parts[0]
-    elif ct != CT_HTML:
+        out: list[dict] = []
+        for p in split_multipart(payload):
+            if sniff_content_type(p) == CT_HTML:
+                out.extend(_links_of_html(p, base_url))
+        return out
+    if ct != CT_HTML:
         return []
+    return _links_of_html(payload, base_url)
+
+
+def _links_of_html(payload: bytes, base_url: str) -> list[dict]:
     base_host = urlsplit(base_url).netloc
     out: list[dict] = []
     for m in _ANCHOR_RE.finditer(payload):

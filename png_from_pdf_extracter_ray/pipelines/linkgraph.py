@@ -1,6 +1,6 @@
 """Link-graph queries over the pages corpus.
 
-Four query surfaces on top of ``stages/linkgraph.py``:
+Eight query surfaces on top of ``stages/linkgraph.py``:
 
 - ``page_links_digest`` — the raw hyperlink table reduced to one
   XOR-of-blake2b row (the ``pages_digest`` pattern): any link row that
@@ -9,14 +9,21 @@ Four query surfaces on top of ``stages/linkgraph.py``:
 - ``link_out_degree_hist`` — out-links-per-page histogram (the crawl
   connectivity diagnostic; low-cardinality key, partial counts per
   batch before the groupby);
-- ``linkgraph_pagerank`` — integer PageRank over the doc→doc graph
-  (distributed join/aggregate iterations; ``stages/linkgraph.py``);
+- ``linkgraph_pagerank`` / ``linkgraph_hits`` — integer PageRank and
+  HITS over the doc→doc graph (distributed join/aggregate iterations;
+  ``stages/linkgraph.py``);
+- ``linkgraph_components`` — weakly-connected components via
+  large/small-star (``stages/linkgraph.star_components``);
 - ``link_in_degree_topk`` / ``anchor_text_top_terms`` — in-degree and
-  anchor-term aggregates (hash-bucketed; never one Ray group per key).
+  anchor-term aggregates (hash-bucketed; never one Ray group per key);
+- ``crawl_frontier_urls`` — distinct uncrawled out-link urls (bucketed
+  anti-join against the crawled-url column).
 
-All five are SQL-checked against flat single-process oracle parquets
-(pipelines/rowsonly_oracles.py ``write_linkgraph_oracles``) built from
-the SAME link kernel but an opposite (dense, no-Ray) architecture.
+All eight are SQL-checked against flat single-process oracle parquets
+(pipelines/rowsonly_oracles.py ``write_linkgraph_oracles`` /
+``write_linkgraph_graph_oracles`` / ``write_crawl_frontier_oracle``)
+built from the SAME link kernel but an opposite (dense, no-Ray)
+architecture.
 """
 
 from __future__ import annotations

@@ -1041,9 +1041,9 @@ def _flat_doc_edges(sf_dir: str, expand: int = 2) -> pd.DataFrame:
 
 def write_linkgraph_graph_oracles(sf_dir: str, expand: int = 2) -> dict[str, str]:
     """Flat oracles for the graph-algorithm queries: weakly-connected
-    components (driver union-find — the engine runs distributed min-label
-    propagation) and integer HITS (dense numpy twin,
-    stages/linkgraph.hits_flat)."""
+    components (driver union-find — the engine runs distributed
+    large/small-star, stages/linkgraph.star_components) and integer
+    HITS (dense numpy twin, stages/linkgraph.hits_flat)."""
     from ..stages.linkgraph import hits_flat
 
     names = ("link_components", "link_hits")

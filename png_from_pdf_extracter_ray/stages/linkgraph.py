@@ -167,33 +167,76 @@ def link_nodes(edges: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
     )
 
 
-def _teleport_base(dangling: int, n_nodes: int) -> int:
+def _teleport_base(dangling: int, n_nodes: int, scale: int = PAGERANK_SCALE) -> int:
     """The per-node constant of one update: teleport + dangling share."""
-    return (15 * PAGERANK_SCALE) // 100 + (85 * (dangling // n_nodes)) // 100
+    return (15 * scale) // 100 + (85 * (dangling // n_nodes)) // 100
+
+
+def _check_int64_headroom(n_nodes: int, scale: int, factor: int, op: str) -> None:
+    """Every cross-batch reduction here is an exact int64 sum; the worst
+    case routes the whole corpus mass (n·scale, times a small constant)
+    through one node.  numpy/pandas wrap silently on overflow — and the
+    flat twin wraps IDENTICALLY, so parity would mask the corruption.
+    Refuse instead: at n nodes pick scale ≤ ~9.2e18 / (factor · n)
+    (e.g. 10^6 for 10^11 nodes); the fixed-point semantics are
+    unchanged, only the resolution moves."""
+    if factor * n_nodes * scale >= 2**63:
+        raise ValueError(
+            f"{op}: n_nodes={n_nodes} at scale={scale} can overflow int64 "
+            f"(need {factor}*n*scale < 2^63); lower the scale parameter"
+        )
+
+
+def _bucketed_nodes(nodes: rd.Dataset, num_buckets: int) -> rd.Dataset:
+    """Node universe with its hash bucket attached ONCE — the iteration
+    loops reuse it instead of re-hashing the same ids every pass."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = stable_bucket_ids(batch["node"], num_buckets) if batch.num_rows else np.empty(0, np.int32)
+        return batch.append_column(_BUCKET, pa.array(b, pa.int32()))
+
+    return nodes.map_batches(tag, batch_format="pyarrow").materialize()
 
 
 def pagerank(
     edges: rd.Dataset,
     iters: int = PAGERANK_ITERS,
     num_buckets: int = 32,
+    scale: int = PAGERANK_SCALE,
 ) -> rd.Dataset:
     """Integer PageRank over a distinct-edge dataset (src, dst, outdeg).
+
+    PRECONDITION (the ``doc_edges`` contract): edges are distinct,
+    self-loop-free, and ``outdeg`` is the true distinct out-degree of
+    ``src``.  Raw pair lists must go through ``doc_edges``-style
+    normalization first — duplicates would double-count mass and
+    silently diverge from the flat twin, which dedups.
 
     Per iteration: one bucketed hash join (edges ⋈ ranks on src) to form
     contributions, one bucketed aggregation to fold them into each
     node's new rank, one streaming pass for the dangling-mass scalar.
     The rank vector stays a Dataset throughout (materialized per
     iteration — it is consumed twice: once by the scalar pass, once by
-    the join)."""
+    the join).  ``scale`` is the fixed-point resolution dial: int64
+    headroom requires 85·n·scale < 2^63 (checked), so at 10^11+ nodes
+    pass a smaller scale."""
     edges = edges.materialize()
     nodes = link_nodes(edges, num_buckets=num_buckets).materialize()
     n_nodes = nodes.count()
     if n_nodes == 0:
         return rd.from_arrow(_RANK_SCHEMA.empty_table().drop_columns(["has_out"]))
+    _check_int64_headroom(n_nodes, scale, 85, "pagerank")
+    nodes_b = _bucketed_nodes(nodes, num_buckets)
+
+    def dst_bucket(batch: pa.Table) -> pa.Table:
+        b = stable_bucket_ids(batch["dst"], num_buckets) if batch.num_rows else np.empty(0, np.int32)
+        return batch.append_column("__dst_bucket", pa.array(b, pa.int32()))
+
+    edges = edges.map_batches(dst_bucket, batch_format="pyarrow").materialize()
 
     def init(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            "rank_micros", pa.array([PAGERANK_SCALE] * batch.num_rows, pa.int64())
+            "rank_micros", pa.array([scale] * batch.num_rows, pa.int64())
         )
 
     ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
@@ -207,7 +250,7 @@ def pagerank(
         dangling = int(
             ranks.map_batches(dangling_partial, batch_format="pyarrow").sum("d") or 0
         )
-        base = _teleport_base(dangling, n_nodes)
+        base = _teleport_base(dangling, n_nodes, scale)
 
         src_ranks = ranks.drop_columns(["has_out"]).rename_columns({"node": "src"})
         joined = bucketed_hash_join(edges, src_ranks, on="src", num_buckets=num_buckets)
@@ -215,26 +258,24 @@ def pagerank(
         def contrib(batch: pa.Table) -> pa.Table:
             dst = batch["dst"].to_numpy()
             part = batch["rank_micros"].to_numpy() // batch["outdeg"].to_numpy()
-            t = pa.Table.from_pydict(
+            return pa.Table.from_pydict(
                 {
                     "node": pa.array(dst, pa.int64()),
                     "has_out": pa.array(np.zeros(len(dst), np.int8), pa.int8()),
                     "part": pa.array(part, pa.int64()),
+                    _BUCKET: batch["__dst_bucket"],
                 }
             )
-            b = stable_bucket_ids(t["node"], num_buckets) if t.num_rows else np.empty(0, np.int32)
-            return t.append_column(_BUCKET, pa.array(b, pa.int32()))
 
         def node_base(batch: pa.Table) -> pa.Table:
-            t = pa.Table.from_pydict(
+            return pa.Table.from_pydict(
                 {
                     "node": batch["node"],
                     "has_out": batch["has_out"],
                     "part": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+                    _BUCKET: batch[_BUCKET],
                 }
             )
-            b = stable_bucket_ids(t["node"], num_buckets) if t.num_rows else np.empty(0, np.int32)
-            return t.append_column(_BUCKET, pa.array(b, pa.int32()))
 
         def fold(g: pd.DataFrame, base: int = base) -> pa.Table:
             agg = g.groupby("node", sort=False).agg(
@@ -253,7 +294,7 @@ def pagerank(
 
         ranks = (
             joined.map_batches(contrib, batch_format="pyarrow")
-            .union(nodes.map_batches(node_base, batch_format="pyarrow"))
+            .union(nodes_b.map_batches(node_base, batch_format="pyarrow"))
             .groupby(_BUCKET)
             .map_groups(fold, batch_format="pandas")
             .materialize()
@@ -456,30 +497,59 @@ _HITS_SCHEMA = pa.schema(
 )
 
 
-def _hits_norm_denom(raw_max: int) -> int:
+def _hits_norm_denom(raw_max: int, scale: int = HITS_SCALE) -> int:
     """Integer normalization divisor of one HITS half-step: after
     ``v // denom`` the max score lands in ``[S, 2S)`` (identity when the
     max is already below ``S``).  Pure integer — batch-invariant."""
-    return max(1, raw_max // HITS_SCALE)
+    return max(1, raw_max // scale)
+
+
+def _distinct_directed_edges(edges: rd.Dataset, num_buckets: int) -> rd.Dataset:
+    """Globally distinct (src, dst) rows, self-loops dropped — the
+    normalization the integer algorithms' flat twins apply, enforced
+    here so raw pair lists can't silently double-count mass."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.select(["src", "dst"]).to_pandas()
+        df = df[df["src"] != df["dst"]].drop_duplicates(["src", "dst"])
+        t = pa.Table.from_pandas(
+            df, schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+            preserve_index=False,
+        )
+        b = stable_bucket_ids(t["src"], num_buckets) if t.num_rows else np.empty(0, np.int32)
+        return t.append_column(_BUCKET, pa.array(b, pa.int32()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            g.drop_duplicates(["src", "dst"])[["src", "dst"]],
+            schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+            preserve_index=False,
+        )
+
+    return (
+        edges.map_batches(local, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(fold, batch_format="pandas")
+    )
 
 
 def _sum_by_node(
-    parts: rd.Dataset, nodes: rd.Dataset, out_col: str, num_buckets: int
+    parts: rd.Dataset, nodes_b: rd.Dataset, out_col: str, num_buckets: int
 ) -> rd.Dataset:
     """Fold ``(node, part)`` contribution rows into one exact int64 sum
     per node of the universe (zero for nodes with no contributions).
-    One bucketed aggregation — B vectorized groups, never one per node."""
+    One bucketed aggregation — B vectorized groups, never one per node.
+    ``nodes_b`` carries its bucket column already (computed once)."""
     schema = pa.schema([("node", pa.int64()), (out_col, pa.int64())])
 
     def zero_base(batch: pa.Table) -> pa.Table:
-        t = pa.Table.from_pydict(
+        return pa.Table.from_pydict(
             {
                 "node": batch["node"],
                 "part": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+                _BUCKET: batch[_BUCKET],
             }
         )
-        b = stable_bucket_ids(t["node"], num_buckets) if t.num_rows else np.empty(0, np.int32)
-        return t.append_column(_BUCKET, pa.array(b, pa.int32()))
 
     def fold(g: pd.DataFrame) -> pa.Table:
         agg = g.groupby("node", as_index=False, sort=False)["part"].sum()
@@ -489,7 +559,7 @@ def _sum_by_node(
         return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
 
     return (
-        parts.union(nodes.map_batches(zero_base, batch_format="pyarrow"))
+        parts.union(nodes_b.map_batches(zero_base, batch_format="pyarrow"))
         .groupby(_BUCKET)
         .map_groups(fold, batch_format="pandas")
     )
@@ -499,8 +569,13 @@ def hits(
     edges: rd.Dataset,
     iters: int = HITS_ITERS,
     num_buckets: int = 32,
+    scale: int = HITS_SCALE,
 ) -> rd.Dataset:
-    """Integer HITS (hubs & authorities) over a distinct-edge dataset.
+    """Integer HITS (hubs & authorities) over an edge dataset.
+
+    Input is normalized first (globally distinct (src, dst), self-loops
+    dropped — one bucket shuffle), so raw pair lists are safe: the flat
+    twin dedups identically and the two must agree bit-for-bit.
 
     Per iteration two half-steps, each one bucketed hash join (push the
     score across the edge) + one bucketed aggregation (exact int64 sums)
@@ -510,11 +585,11 @@ def hits(
         hub_raw[v]  = Σ auth[w] over out-edges (v,w); hub  = raw // denom
 
     with ``denom = max(1, raw_max // S)`` — every reduction is an exact
-    integer sum/max, so the result is partition-invariant and the flat
-    twin (:func:`hits_flat`) must agree bit-for-bit.  Hub and auth state
-    stay node-universe-sized Datasets throughout; nothing N-sized
-    touches the driver."""
-    edges = edges.select_columns(["src", "dst"]).materialize()
+    integer sum/max, so the result is partition-invariant.  Hub and auth
+    state stay node-universe-sized Datasets throughout; nothing N-sized
+    touches the driver.  ``scale`` is the fixed-point resolution dial:
+    int64 headroom requires 2·n·scale < 2^63 (checked)."""
+    edges = _distinct_directed_edges(edges, num_buckets).materialize()
     nodes = (
         link_nodes(edges, num_buckets=num_buckets)
         .drop_columns(["has_out"])
@@ -523,29 +598,40 @@ def hits(
     n_nodes = nodes.count()
     if n_nodes == 0:
         return rd.from_arrow(_HITS_SCHEMA.empty_table())
+    _check_int64_headroom(n_nodes, scale, 2, "hits")
+    nodes_b = _bucketed_nodes(nodes, num_buckets)
+
+    def end_buckets(batch: pa.Table) -> pa.Table:
+        bs = stable_bucket_ids(batch["src"], num_buckets) if batch.num_rows else np.empty(0, np.int32)
+        bd = stable_bucket_ids(batch["dst"], num_buckets) if batch.num_rows else np.empty(0, np.int32)
+        return batch.append_column("__src_bucket", pa.array(bs, pa.int32())).append_column(
+            "__dst_bucket", pa.array(bd, pa.int32())
+        )
+
+    edges = edges.map_batches(end_buckets, batch_format="pyarrow").materialize()
 
     def init(batch: pa.Table) -> pa.Table:
-        const = pa.array([HITS_SCALE] * batch.num_rows, pa.int64())
+        const = pa.array([scale] * batch.num_rows, pa.int64())
         return batch.append_column("score", const)
 
     def push(scores: rd.Dataset, key: str, emit: str) -> rd.Dataset:
         """Join scores onto the ``key`` end of every edge and emit a
-        ``(node=<other end>, part=score)`` contribution row."""
+        ``(node=<other end>, part=score)`` contribution row, bucketed by
+        the emit end's precomputed bucket column."""
         side = scores.rename_columns({"node": key})
         joined = bucketed_hash_join(edges, side, on=key, num_buckets=num_buckets)
+        emit_bucket = f"__{emit}_bucket"
 
         def contrib(batch: pa.Table) -> pa.Table:
-            t = pa.Table.from_pydict(
-                {"node": batch[emit], "part": batch["score"]}
+            return pa.Table.from_pydict(
+                {"node": batch[emit], "part": batch["score"], _BUCKET: batch[emit_bucket]}
             )
-            b = stable_bucket_ids(t["node"], num_buckets) if t.num_rows else np.empty(0, np.int32)
-            return t.append_column(_BUCKET, pa.array(b, pa.int32()))
 
         return joined.map_batches(contrib, batch_format="pyarrow")
 
     def normalize(raw: rd.Dataset, col: str) -> rd.Dataset:
         raw = raw.materialize()  # consumed twice: max scalar + divide
-        denom = _hits_norm_denom(int(raw.max(col) or 0))
+        denom = _hits_norm_denom(int(raw.max(col) or 0), scale)
 
         def div(batch: pa.Table) -> pa.Table:
             v = batch[col].to_numpy() // denom
@@ -559,11 +645,11 @@ def hits(
     auth = hub
     for _ in range(iters):
         auth = normalize(
-            _sum_by_node(push(hub, key="src", emit="dst"), nodes, "raw", num_buckets),
+            _sum_by_node(push(hub, key="src", emit="dst"), nodes_b, "raw", num_buckets),
             "raw",
         ).materialize()
         hub = normalize(
-            _sum_by_node(push(auth, key="dst", emit="src"), nodes, "raw", num_buckets),
+            _sum_by_node(push(auth, key="dst", emit="src"), nodes_b, "raw", num_buckets),
             "raw",
         ).materialize()
 
@@ -597,7 +683,9 @@ def hits(
     )
 
 
-def hits_flat(edges: pd.DataFrame, iters: int = HITS_ITERS) -> pd.DataFrame:
+def hits_flat(
+    edges: pd.DataFrame, iters: int = HITS_ITERS, scale: int = HITS_SCALE
+) -> pd.DataFrame:
     """Flat single-process twin of :func:`hits` — dense numpy over
     relabeled ids, opposite architecture, identical integer semantics."""
     if edges.empty:
@@ -615,23 +703,26 @@ def hits_flat(edges: pd.DataFrame, iters: int = HITS_ITERS) -> pd.DataFrame:
     src = edges["src"].map(idx).to_numpy()
     dst = edges["dst"].map(idx).to_numpy()
     n = len(node_ids)
-    hub = np.full(n, HITS_SCALE, dtype=np.int64)
-    auth = np.full(n, HITS_SCALE, dtype=np.int64)
+    hub = np.full(n, scale, dtype=np.int64)
+    auth = np.full(n, scale, dtype=np.int64)
     for _ in range(iters):
         raw = np.zeros(n, dtype=np.int64)
         np.add.at(raw, dst, hub[src])
-        auth = raw // _hits_norm_denom(int(raw.max(initial=0)))
+        auth = raw // _hits_norm_denom(int(raw.max(initial=0)), scale)
         raw = np.zeros(n, dtype=np.int64)
         np.add.at(raw, src, auth[dst])
-        hub = raw // _hits_norm_denom(int(raw.max(initial=0)))
+        hub = raw // _hits_norm_denom(int(raw.max(initial=0)), scale)
     return pd.DataFrame({"node": node_ids.astype(np.int64), "hub": hub, "auth": auth})
 
 
-def pagerank_flat(edges: pd.DataFrame, iters: int = PAGERANK_ITERS) -> pd.DataFrame:
+def pagerank_flat(
+    edges: pd.DataFrame, iters: int = PAGERANK_ITERS, scale: int = PAGERANK_SCALE
+) -> pd.DataFrame:
     """Flat single-process twin of :func:`pagerank` — dense numpy over
     relabeled node ids, deliberately unlike the engine's bucketed
     join/aggregate architecture.  Identical integer semantics, so the
-    two must agree bit-for-bit."""
+    two must agree bit-for-bit (the twin dedups/drops self-loops, which
+    the engine's precondition demands the caller has already done)."""
     if edges.empty:
         return pd.DataFrame(
             {"node": pd.Series([], dtype="int64"), "rank_micros": pd.Series([], dtype="int64")}
@@ -644,7 +735,7 @@ def pagerank_flat(edges: pd.DataFrame, iters: int = PAGERANK_ITERS) -> pd.DataFr
     dst = edges["dst"].map(idx).to_numpy()
     n = len(node_ids)
     outdeg = np.bincount(src, minlength=n).astype(np.int64)
-    rank = np.full(n, PAGERANK_SCALE, dtype=np.int64)
+    rank = np.full(n, scale, dtype=np.int64)
     dangling_mask = outdeg == 0
     safe_deg = np.where(dangling_mask, 1, outdeg)
     for _ in range(iters):
@@ -652,5 +743,5 @@ def pagerank_flat(edges: pd.DataFrame, iters: int = PAGERANK_ITERS) -> pd.DataFr
         contrib = rank[src] // safe_deg[src]
         in_sum = np.zeros(n, dtype=np.int64)
         np.add.at(in_sum, dst, contrib)
-        rank = _teleport_base(dangling, n) + (85 * in_sum) // 100
+        rank = _teleport_base(dangling, n, scale) + (85 * in_sum) // 100
     return pd.DataFrame({"node": node_ids.astype(np.int64), "rank_micros": rank})

@@ -51,6 +51,38 @@ class TestLinkKernel:
         assert links[0]["anchor"] == "one bold two"
         assert links[0]["internal"] and not links[1]["internal"]
 
+    def test_hyphen_and_namespace_prefixed_href_attrs_ignored(self):
+        # data-href/ng-href/xlink:href before the real href must not win
+        html = (
+            b'<html><body>'
+            b'<a data-href="/evil" href="/real">a</a>'
+            b'<a ng-href="/no" href="/yes">b</a>'
+            b'<a xlink:href="/x" href="/y">c</a>'
+            b'</body></html>'
+        )
+        links = extract_links(html, "https://s.example/doc/1-0")
+        assert [l["href"] for l in links] == [
+            "https://s.example/real",
+            "https://s.example/yes",
+            "https://s.example/y",
+        ]
+
+    def test_multipart_scans_every_html_part(self):
+        from png_from_pdf_extracter_ray.kernel.sniff import (
+            MULTIPART_BOUNDARY,
+            MULTIPART_MAGIC,
+        )
+
+        p1 = b'<html><body><a href="/one">1</a></body></html>'
+        p2 = b"%PDF-1.4 not html"
+        p3 = b'<html><body><a href="/two">2</a></body></html>'
+        payload = MULTIPART_MAGIC + MULTIPART_BOUNDARY.join([p1, p2, p3])
+        links = extract_links(payload, "https://s.example/doc/2-0")
+        assert [l["href"] for l in links] == [
+            "https://s.example/one",
+            "https://s.example/two",
+        ]
+
     def test_src_doc_of_url(self):
         assert src_doc_of_url("https://site9.example/doc/42-1") == 42
         assert src_doc_of_url("https://site9.example/doc/42") == -1
@@ -177,6 +209,32 @@ class TestEngineVsFlat:
         )
         assert len(out) == n
         assert (out["label"] == 0).all()
+
+    def test_hits_normalizes_raw_pair_input(self, sf_dir):
+        # duplicates + self-loops in raw input must not double-count mass:
+        # the engine normalizes and must equal the flat twin on BOTH forms
+        import ray.data as rd
+
+        noisy = pd.DataFrame({"src": [1, 2, 1, 1, 2], "dst": [2, 1, 1, 2, 2]})
+        clean = pd.DataFrame({"src": [1, 2], "dst": [2, 1]})
+        eng = (
+            hits(rd.from_pandas(noisy), num_buckets=3)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(eng, hits_flat(noisy).sort_values("node", ignore_index=True))
+        pd.testing.assert_frame_equal(eng, hits_flat(clean).sort_values("node", ignore_index=True))
+
+    def test_pagerank_scale_guard_raises(self, sf_dir):
+        import ray.data as rd
+
+        from png_from_pdf_extracter_ray.stages.linkgraph import pagerank
+
+        edges = pd.DataFrame(
+            {"src": [1], "dst": [2], "outdeg": pd.Series([1], dtype="int64")}
+        )
+        with pytest.raises(ValueError, match="overflow"):
+            pagerank(rd.from_pandas(edges), scale=2**62)
 
     def test_components_query_matches_union_find(self, sf_dir):
         import pyarrow.parquet as pq
