@@ -210,6 +210,44 @@ class TestEngineVsFlat:
         assert len(out) == n
         assert (out["label"] == 0).all()
 
+    def test_star_components_random_noisy_graph_matches_union_find(self, sf_dir):
+        import ray.data as rd
+
+        from png_from_pdf_extracter_ray.pipelines.rowsonly_oracles import (
+            _union_find_min_labels,
+        )
+        from png_from_pdf_extracter_ray.stages.linkgraph import star_components
+
+        rng = np.random.RandomState(7)
+        # sparse random graph + duplicate edges + self-loops
+        u = rng.randint(0, 500, 400)
+        v = rng.randint(0, 500, 400)
+        edges = pd.DataFrame(
+            {
+                "u": np.concatenate([u, u[:50], np.arange(20)]).astype(np.int64),
+                "v": np.concatenate([v, v[:50], np.arange(20)]).astype(np.int64),
+            }
+        )
+        eng = (
+            star_components(rd.from_pandas(edges), num_buckets=7)
+            .to_pandas()
+            .sort_values("id", ignore_index=True)
+        )
+        clean = edges[edges["u"] != edges["v"]]
+        uf = _union_find_min_labels(
+            clean.rename(columns={"u": "id_a", "v": "id_b"})
+        ).rename(columns={"url": "id", "group_id": "label"})
+        # the engine's universe additionally contains pure-self-loop nodes
+        # (label = self); fold them into the expectation
+        uf_map = dict(zip(uf["id"], uf["label"]))
+        expect = pd.DataFrame(
+            {
+                "id": eng["id"],
+                "label": [uf_map.get(i, i) for i in eng["id"]],
+            }
+        ).astype({"id": "int64", "label": "int64"})
+        pd.testing.assert_frame_equal(eng, expect)
+
     def test_hits_normalizes_raw_pair_input(self, sf_dir):
         # duplicates + self-loops in raw input must not double-count mass:
         # the engine normalizes and must equal the flat twin on BOTH forms
