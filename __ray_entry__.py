@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from png_from_pdf_extracter_ray.pipelines import linkgraph as lg
     from png_from_pdf_extracter_ray.pipelines import mlops
     from png_from_pdf_extracter_ray.pipelines import relational as rel
+    from png_from_pdf_extracter_ray.pipelines import snapshots as snaps
     from png_from_pdf_extracter_ray.pipelines import textops
     from png_from_pdf_extracter_ray.pipelines.extract_pipeline import flagship
 
@@ -163,8 +164,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": rel.q3_shipping_priority,
         "q5_local_supplier_volume": rel.q5_local_supplier_volume,
         "q6_forecast_revenue": rel.q6_forecast_revenue,
-        "q7_volume_shipping": rel.q7_volume_shipping,
         "q8_market_share": rel.q8_market_share,
+        # --- incremental-crawl temporal family rep (bucketed per-url
+        # window op, SQL-checked vs real DuckDB lag()/row_number()
+        # windows over the flat slim-pages parquet; q7 moved to the
+        # TPC-H long tail to keep the window at one rep per family) ---
+        "pages_snapshot_churn": snaps.pages_snapshot_churn,
         # --- windows / as-of / pivot / funnel / correlation ---
         "events_asof_last_purchase": rel.events_asof_last_purchase,
         "events_sessionize": rel.events_sessionize,
@@ -195,7 +200,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_ivfpq": mlops.similarity_topk_ivfpq,
         # --- windows long tail ---
         "events_sliding_window": rel.events_sliding_window,
+        # --- incremental-crawl long tail ---
+        "pages_latest_snapshot": snaps.pages_latest_snapshot,
         # --- TPC-H long tail ---
+        "q7_volume_shipping": rel.q7_volume_shipping,
         "q13_customer_distribution": rel.q13_customer_distribution,
         "q14_promo_revenue": rel.q14_promo_revenue,
         "q22_sales_opportunity": rel.q22_sales_opportunity,
@@ -459,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
     _lg_comp_oracle = _rro._oracle_path(_oracle_sf, "link_components")
     _lg_hits_oracle = _rro._oracle_path(_oracle_sf, "link_hits")
     _lg_frontier_oracle = _rro._oracle_path(_oracle_sf, "crawl_frontier")
+    _pages_slim_oracle = _rro._oracle_path(_oracle_sf, "pages_slim")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -488,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_linkgraph_oracles(_oracle_sf)
         _rro.write_linkgraph_graph_oracles(_oracle_sf)
         _rro.write_crawl_frontier_oracle(_oracle_sf)
+        _rro.write_pages_slim_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -557,6 +567,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pages_phash_dedup_groups": f"""
             SELECT page_id, group_id FROM read_parquet('{_phash_groups_oracle}')
+        """,
+        # --- incremental-crawl snapshot windows: unlike the flat-twin
+        # oracles above, the parquet here is the INPUT and the checked
+        # logic is real DuckDB window functions vs the engine's bucketed
+        # sort + adjacent-compare (pipelines/snapshots.py) ---
+        "pages_snapshot_churn": f"""
+            WITH s AS (
+                SELECT url, warc_us, text_md5,
+                       lag(text_md5) OVER (
+                           PARTITION BY url ORDER BY warc_us, text_md5
+                       ) AS prev
+                FROM read_parquet('{_pages_slim_oracle}')
+            )
+            SELECT url, COUNT(*) AS n_snapshots,
+                   CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL
+                                          AND prev <> text_md5
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_changes,
+                   MIN(warc_us) AS first_us, MAX(warc_us) AS last_us
+            FROM s GROUP BY url
+        """,
+        "pages_latest_snapshot": f"""
+            SELECT url, warc_us, text_md5 FROM (
+                SELECT url, warc_us, text_md5,
+                       row_number() OVER (
+                           PARTITION BY url
+                           ORDER BY warc_us DESC, text_md5 DESC
+                       ) AS rn
+                FROM read_parquet('{_pages_slim_oracle}')
+            ) WHERE rn = 1
         """,
         "pages_jpeg_roundtrip": f"""
             SELECT page_id, jpeg_bytes, dec_md5, mae

@@ -92,45 +92,64 @@ def _ts_us(doc_id: int, variant: int, dup_no: int = 0) -> int:
     return _BASE_TS_US + (doc_id * 257 + variant * 13) * 1_000_000 + jitter
 
 
-def pages_rows_for_doc(doc_id: int, text: str, lang: str, expand: int) -> dict[str, list]:
-    """All pages rows derived from one documents row (incl. duplicates)."""
+def pages_rows_for_doc(
+    doc_id: int, text: str, lang: str, expand: int, include_html: bool = True
+) -> dict[str, list]:
+    """All pages rows derived from one documents row (incl. duplicates).
+
+    ``include_html=False`` skips payload generation (PDF/HTML bytes are
+    by far the dominant synthesis cost) for consumers that only need the
+    slim ``(url, warc_ts, text, lang)`` columns — url/ts/text derivation
+    is untouched, so the slim rows are exactly the full rows minus the
+    ``html`` column."""
     urls, tss, payloads, texts, langs = [], [], [], [], []
     for v in range(expand):
         url = page_url(doc_id, v)
         urls.append(url)
         tss.append(_ts_us(doc_id, v, 0))
-        payloads.append(make_payload(doc_id, v, text, lang))
+        if include_html:
+            payloads.append(make_payload(doc_id, v, text, lang))
         texts.append(text)
         langs.append(lang)
         if _h(f"dup:{doc_id}:{v}") % 20 == 0:  # ~5%: same url, later ts, drifted payload
             urls.append(url)
             tss.append(_ts_us(doc_id, v, 1))
-            payloads.append(make_payload(doc_id, v + 100_000, text + " recrawl drift", lang))
+            if include_html:
+                payloads.append(make_payload(doc_id, v + 100_000, text + " recrawl drift", lang))
             texts.append(text + " recrawl drift")
             langs.append(lang)
     return {"url": urls, "warc_ts": tss, "html": payloads, "text": texts, "lang": langs}
 
 
-def pages_from_documents_batch(batch: pa.Table, expand: int = 4) -> pa.Table:
-    """documents batch (doc_id, text, lang) → pages batch.  map_batches UDF."""
+def pages_from_documents_batch(
+    batch: pa.Table, expand: int = 4, include_html: bool = True
+) -> pa.Table:
+    """documents batch (doc_id, text, lang) → pages batch.  map_batches UDF.
+
+    ``include_html=False`` emits the slim 4-column table (no payload
+    bytes built or shipped) for url/ts/text-only consumers."""
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     langs = batch["lang"].to_pylist()
     cols: dict[str, list] = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
     for doc_id, text, lang in zip(doc_ids, texts, langs):
-        rows = pages_rows_for_doc(doc_id, text or "", lang or "", expand)
+        rows = pages_rows_for_doc(doc_id, text or "", lang or "", expand, include_html)
         for k in cols:
             cols[k].extend(rows[k])
-    return pa.Table.from_arrays(
-        [
-            pa.array(cols["url"], pa.string()),
-            pa.array(cols["warc_ts"], pa.timestamp("us")),
-            pa.array(cols["html"], pa.binary()),
-            pa.array(cols["text"], pa.string()),
-            pa.array(cols["lang"], pa.string()),
-        ],
-        schema=PAGES_SCHEMA,
-    )
+    arrays = [
+        pa.array(cols["url"], pa.string()),
+        pa.array(cols["warc_ts"], pa.timestamp("us")),
+        pa.array(cols["html"], pa.binary()),
+        pa.array(cols["text"], pa.string()),
+        pa.array(cols["lang"], pa.string()),
+    ]
+    if not include_html:
+        slim = [f for f in PAGES_SCHEMA if f.name != "html"]
+        return pa.Table.from_arrays(
+            [a for a, f in zip(arrays, PAGES_SCHEMA) if f.name != "html"],
+            schema=pa.schema(slim),
+        )
+    return pa.Table.from_arrays(arrays, schema=PAGES_SCHEMA)
 
 
 def build_pages_parquet(sf_dir: str, out_dir: str, expand: int = 4) -> str:

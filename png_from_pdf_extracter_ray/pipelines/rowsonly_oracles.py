@@ -1247,3 +1247,51 @@ def write_linkgraph_oracles(sf_dir: str, expand: int = 2) -> dict[str, str]:
         paths["anchor_terms"],
     )
     return paths
+
+
+# ---------------------------------------------------------------------------
+# Slim pages table (input parquet for the snapshot-window oracle SQL)
+# ---------------------------------------------------------------------------
+
+
+def write_pages_slim_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Flat single-process slim pages table ``(url, warc_us, text_md5)``.
+
+    Unlike the other writers this parquet is not a query RESULT — it is
+    the INPUT the snapshot queries' oracle SQL runs real DuckDB window
+    functions over (``row_number()`` / ``lag()`` ``OVER (PARTITION BY
+    url ORDER BY ...)``), so the engine's bucketed sort + adjacent-mask
+    implementations (pipelines/snapshots.py) are checked against an
+    independent declarative evaluation of the same semantics, not
+    against a pandas twin.  Row generation reuses the deterministic
+    corpus kernel directly (corpus/synth.pages_rows_for_doc, payloads
+    skipped) — one flat loop, no Ray.
+    """
+    from ..corpus.synth import pages_rows_for_doc
+    from ..pipelines.snapshots import slim_pages_batch
+
+    path = _oracle_path(sf_dir, "pages_slim", expand)
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    urls: list[str] = []
+    tss: list[int] = []
+    texts: list[str] = []
+    for doc_id, text, lang in zip(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist()
+    ):
+        rows = pages_rows_for_doc(doc_id, text or "", lang or "", expand, include_html=False)
+        urls.extend(rows["url"])
+        tss.extend(rows["warc_ts"])
+        texts.extend(rows["text"])
+    full = pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp("us")),
+            pa.array(texts, pa.string()),
+        ],
+        names=["url", "warc_ts", "text"],
+    )
+    return _commit(slim_pages_batch(full), path)

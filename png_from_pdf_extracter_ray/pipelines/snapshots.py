@@ -1,0 +1,181 @@
+"""Incremental-crawl snapshot analysis over the pages table.
+
+Common-Crawl-style corpora carry the SAME url across many crawl
+snapshots (the synthetic pages table injects ~5% re-crawled urls with a
+later ``warc_ts`` and drifted payload — corpus/synth.py
+``pages_rows_for_doc``).  A production crawl pipeline needs the two
+temporal primitives this module provides:
+
+- :func:`pages_latest_snapshot` — the "freshest copy wins" dedup (the
+  mirror image of the flagship's keep-EARLIEST dedup, stages/dedup.py):
+  one row per url, the one with the greatest ``warc_ts``.
+- :func:`pages_snapshot_churn` — per-url content-churn statistics
+  (snapshot count, number of content CHANGES between consecutive
+  snapshots, first/last crawl time) — the re-crawl-scheduling signal.
+
+Scale notes (100 TB): both ops move only the slim
+``(url, warc_us, text_md5)`` projection through the one unavoidable
+hash shuffle — payload bytes never travel (``synthesize_pages(...,
+include_html=False)`` skips generating them; a real pages table would
+prune to the three columns at the read).  The shuffle is the standard
+B-bucket pattern (``stable_bucket_ids``): B vectorized pandas groups,
+never one Ray group per url.  Within-batch pre-aggregation shrinks the
+latest-snapshot shuffle before data moves.
+
+Correctness: both queries are SQL-checked against REAL DuckDB window
+functions (``row_number() / lag() OVER (PARTITION BY url ORDER BY ...)``)
+over a flat single-process slim-pages parquet
+(rowsonly_oracles.write_pages_slim_oracle) — the engine's bucketed
+sort + adjacent-compare must reproduce the declarative window
+semantics exactly, including the (warc_us, text_md5) tie order.
+
+The md5 text fingerprint is hashlib.md5 — the one hash DuckDB shares
+byte-for-byte (ROUND_NOTES.md; same convention as textops.train_test_split).
+Reference analog: the groupby-url dedup of SURVEY.md §2.4 #12
+(/root/reference/src/main.py polls the same INBOX repeatedly; re-seen
+messages are the sequential analog of re-crawled urls).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..sources.pages_source import synthesize_pages
+from ..stages.dedup import _keep_first_sorted, stable_bucket_ids
+
+_SLIM_SCHEMA = pa.schema(
+    [("url", pa.string()), ("warc_us", pa.int64()), ("text_md5", pa.string())]
+)
+
+_CHURN_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("n_snapshots", pa.int64()),
+        ("n_changes", pa.int64()),
+        ("first_us", pa.int64()),
+        ("last_us", pa.int64()),
+    ]
+)
+
+# keep-LATEST total order: greatest warc_us wins, text_md5 DESC breaks
+# exact-timestamp ties deterministically (shared with the oracle SQL's
+# ORDER BY warc_us DESC, text_md5 DESC).
+_LATEST_ORDER = [("warc_us", "descending"), ("text_md5", "descending")]
+
+
+def slim_pages_batch(batch: pa.Table) -> pa.Table:
+    """(url, warc_ts, text) page rows → (url, warc_us, text_md5).
+
+    Shared with the flat oracle writer (single-implementation rule for
+    oracle-shared kernels, ROUND_NOTES.md): the fingerprint itself is
+    not under test — the grouping/window machinery downstream is.
+    """
+    urls = batch["url"].to_pylist()
+    ts = batch["warc_ts"].cast(pa.int64()).to_pylist()
+    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(ts, pa.int64()),
+            pa.array(md5s, pa.string()),
+        ],
+        schema=_SLIM_SCHEMA,
+    )
+
+
+def _slim_pages(sf_dir: str, expand: int = 2) -> rd.Dataset:
+    return synthesize_pages(sf_dir, expand=expand, include_html=False).map_batches(
+        slim_pages_batch, batch_format="pyarrow"
+    )
+
+
+def latest_snapshot(slim: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+    """One row per url: the snapshot with the greatest ``warc_ts``.
+
+    Same two-level shape as stages/dedup.dedup_keep_first, with the sort
+    order reversed: within-batch keep-latest combiner → B-bucket hash
+    shuffle of the survivors → within-bucket vectorized keep-latest.
+    """
+
+    def pre(batch: pa.Table) -> pa.Table:
+        batch = _keep_first_sorted(batch, "url", _LATEST_ORDER)
+        b = (
+            stable_bucket_ids(batch["url"], num_buckets)
+            if batch.num_rows
+            else np.empty(0, np.int32)
+        )
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def bucket(group: pa.Table) -> pa.Table:
+        out = _keep_first_sorted(group, "url", _LATEST_ORDER)
+        return out.drop_columns(["__bucket"]) if out.num_rows else _SLIM_SCHEMA.empty_table()
+
+    return (
+        slim.map_batches(pre, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket, batch_format="pyarrow")
+    )
+
+
+def pages_latest_snapshot(sf_dir: str, expand: int = 2) -> rd.Dataset:
+    """Latest-snapshot dedup over the synthetic pages table."""
+    return latest_snapshot(_slim_pages(sf_dir, expand))
+
+
+def snapshot_churn(slim: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+    """Per-url churn stats: snapshot count, content changes between
+    consecutive snapshots (ordered by warc_us, text_md5 — the oracle's
+    ``lag() OVER`` order), first and last crawl micros.
+
+    No combiner pre-pass: consecutive-change counting needs EVERY
+    snapshot of a url in one place, so the slim rows shuffle whole —
+    still only ~50 bytes/row.  Each of the B buckets computes all its
+    urls' stats in ONE vectorized pandas pass (shift + boolean mask +
+    groupby agg), never a Ray group per url.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            stable_bucket_ids(batch["url"], num_buckets)
+            if batch.num_rows
+            else np.empty(0, np.int32)
+        )
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def churn(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _CHURN_SCHEMA.empty_table()
+        g = g.sort_values(["url", "warc_us", "text_md5"], ignore_index=True)
+        same_url = g["url"].to_numpy(dtype=object)[1:] == g["url"].to_numpy(dtype=object)[:-1]
+        md5 = g["text_md5"].to_numpy(dtype=object)
+        changed = np.zeros(len(g), dtype=np.int64)
+        changed[1:] = (same_url & (md5[1:] != md5[:-1])).astype(np.int64)
+        out = (
+            g.assign(__ch=changed)
+            .groupby("url", sort=False)
+            .agg(
+                n_snapshots=("url", "size"),
+                n_changes=("__ch", "sum"),
+                first_us=("warc_us", "min"),
+                last_us=("warc_us", "max"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, schema=_CHURN_SCHEMA, preserve_index=False)
+
+    return (
+        slim.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(churn, batch_format="pandas")
+    )
+
+
+def pages_snapshot_churn(sf_dir: str, expand: int = 2) -> rd.Dataset:
+    """Churn stats over the synthetic pages table."""
+    return snapshot_churn(_slim_pages(sf_dir, expand))

@@ -32,12 +32,16 @@ def synthesize_pages(
     expand: int = 4,
     num_docs: int | None = None,
     doc_range: tuple[int, int] | None = None,
+    include_html: bool = True,
 ) -> rd.Dataset:
     """documents.parquet → streaming synthetic pages dataset.
 
     ``doc_range=(lo, hi)`` selects a half-open doc_id shard — the unit of
     the partition/resume protocol (state/manifest.py).  The predicate is
     pushed into the parquet read, so a shard only scans its row groups.
+    ``include_html=False`` skips payload-byte generation entirely for
+    consumers that only need ``(url, warc_ts, text, lang)`` — the slim
+    rows are identical to the full rows minus the ``html`` column.
     """
     import pyarrow.compute as pc
 
@@ -53,7 +57,7 @@ def synthesize_pages(
     if num_docs is not None:
         ds = ds.limit(num_docs)
     return ds.map_batches(
-        lambda b: pages_from_documents_batch(b, expand=expand),
+        lambda b: pages_from_documents_batch(b, expand=expand, include_html=include_html),
         batch_format="pyarrow",
         batch_size=64,
     )

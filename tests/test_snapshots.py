@@ -1,0 +1,100 @@
+"""Edge-case semantics of the incremental-crawl snapshot operators
+(pipelines/snapshots.py) on crafted tables — the sf-corpus parity runs
+live in test_queries_vs_duckdb.py."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from png_from_pdf_extracter_ray.pipelines.snapshots import (
+    latest_snapshot,
+    slim_pages_batch,
+    snapshot_churn,
+)
+
+
+def _slim_ds(rows: list[tuple[str, int, str]], parallelism: int = 3) -> rd.Dataset:
+    df = pd.DataFrame(rows, columns=["url", "warc_us", "text_md5"])
+    return rd.from_pandas(df, override_num_blocks=min(parallelism, len(df)))
+
+
+CRAFTED = [
+    # url A: 3 snapshots, content A->B->A = 2 changes
+    ("a", 100, "mA"),
+    ("a", 200, "mB"),
+    ("a", 300, "mA"),
+    # url B: 2 snapshots, unchanged content = 0 changes
+    ("b", 50, "mX"),
+    ("b", 90, "mX"),
+    # url C: single snapshot
+    ("c", 10, "mC"),
+    # url D: exact warc_us TIE — order (and lag) falls back to text_md5
+    ("d", 500, "m2"),
+    ("d", 500, "m1"),
+]
+
+
+def test_snapshot_churn_crafted(ray_session) -> None:  # noqa: ANN001
+    out = (
+        snapshot_churn(_slim_ds(CRAFTED), num_buckets=4)
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    got = {
+        r.url: (r.n_snapshots, r.n_changes, r.first_us, r.last_us)
+        for r in out.itertuples()
+    }
+    assert got == {
+        "a": (3, 2, 100, 300),
+        "b": (2, 0, 50, 90),
+        "c": (1, 0, 10, 10),
+        "d": (2, 1, 500, 500),  # tie ordered by md5: m1 -> m2 = 1 change
+    }
+
+
+def test_latest_snapshot_crafted(ray_session) -> None:  # noqa: ANN001
+    out = (
+        latest_snapshot(_slim_ds(CRAFTED), num_buckets=4)
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    got = {r.url: (r.warc_us, r.text_md5) for r in out.itertuples()}
+    assert got == {
+        "a": (300, "mA"),
+        "b": (90, "mX"),
+        "c": (10, "mC"),
+        "d": (500, "m2"),  # ts tie: greatest md5 wins (DESC, matches oracle)
+    }
+
+
+@pytest.mark.parametrize("blocks", [1, 2, 5])
+def test_churn_batch_invariant(ray_session, blocks: int) -> None:  # noqa: ANN001
+    base = (
+        snapshot_churn(_slim_ds(CRAFTED, parallelism=1), num_buckets=2)
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    other = (
+        snapshot_churn(_slim_ds(CRAFTED, parallelism=blocks), num_buckets=2)
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(base, other)
+
+
+def test_slim_pages_batch_md5() -> None:
+    t = pa.Table.from_arrays(
+        [
+            pa.array(["u"], pa.string()),
+            pa.array([123], pa.timestamp("us")),
+            pa.array(["hello"], pa.string()),
+        ],
+        names=["url", "warc_ts", "text"],
+    )
+    out = slim_pages_batch(t)
+    assert out["warc_us"].to_pylist() == [123]
+    assert out["text_md5"].to_pylist() == ["5d41402abc4b2a76b9719d911017c592"]
