@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": textops.train_test_split,
         "stratified_sample": textops.stratified_sample,
         "mixed_corpus_sample": textops.mixed_corpus_sample,
+        "training_shards_digest": textops.training_shards_digest,
         "md5_fingerprints": textops.md5_fingerprints,
         "normalized_text_fps": textops.normalized_text_fps,
         "rolling_fingerprints": textops.rolling_fingerprints,
@@ -384,6 +385,10 @@ def oracle_sql() -> dict[str, str]:
     _mix_case = "CASE lang " + " ".join(
         f"WHEN '{lang}' THEN '{_mt(rate)}'" for lang, rate in _MIX_WEIGHTS.items()
     ) + f" ELSE '{_mt(_MIX_DEFAULT)}' END"
+
+    from png_from_pdf_extracter_ray.pipelines.textops import (
+        SHARD_COUNT as _shard_count,
+    )
 
     _pii_aug_sql = _augmented_text_sql()
 
@@ -877,6 +882,32 @@ def oracle_sql() -> dict[str, str]:
             FROM sh s JOIN bench USING (shingle)
             WHERE s.doc_id % {_BENCH_MOD} <> 0
             GROUP BY s.doc_id ORDER BY s.doc_id
+        """,
+        # Deterministic shard export: the SQL re-derives shard assignment
+        # AND within-shard positions declaratively (row_number window) —
+        # the engine's hash shuffle + per-shard sort must agree on the
+        # position-packed XOR digest (textops.training_shards_digest).
+        "training_shards_digest": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) % {_shard_count} AS shard_id,
+                       CAST(('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) AS oh,
+                       CAST(('0x' || substr(md5(COALESCE(text, '')), 1, 15))
+                            AS BIGINT) % 1099511627776 AS ch
+                FROM documents
+            ),
+            p AS (
+                SELECT shard_id, ch,
+                       row_number() OVER (
+                           PARTITION BY shard_id ORDER BY oh, doc_id
+                       ) - 1 AS pos
+                FROM d
+            )
+            SELECT shard_id, COUNT(*) AS n_docs,
+                   bit_xor((pos % 1048576) * 1099511627776 + ch) AS order_digest
+            FROM p GROUP BY shard_id
         """,
         "train_test_split": """
             SELECT doc_id,

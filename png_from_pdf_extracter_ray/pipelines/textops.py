@@ -152,6 +152,110 @@ def stratified_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out.sort_values(["lang", "doc_id"], ignore_index=True)
 
 
+# Training-shard export: digest constants shared with the oracle SQL
+# (__ray_entry__): 15 hex chars = 60-bit ints (BIGINT-safe on both
+# sides), position packed into the top 20 bits, content into the low 40.
+SHARD_COUNT = 16
+_POS_MOD = 1 << 20
+_CH_MOD = 1 << 40
+
+
+def training_shards_digest(
+    sf_dir: str, num_shards: int = SHARD_COUNT, write_dir: str | None = None
+) -> rd.Dataset:
+    """Deterministic global shuffle into training shards, verified by a
+    position-sensitive per-shard digest — the final export step of a
+    training-data pipeline (shard assignment AND within-shard order must
+    be reproducible so a resumed/re-run job emits byte-identical shards).
+
+    shard = md5('shard:'||doc_id) % S; within-shard order is
+    (md5('order:'||doc_id), doc_id) — a hash shuffle with no RNG state,
+    stable under any partitioning.  Each shard reports
+    ``bit_xor((pos % 2^20) << 40 | md5(text) % 2^40)`` — swapping any
+    two documents' positions or mutating any payload changes the digest,
+    so the oracle SQL's ``row_number() OVER`` evaluation checks the
+    engine's full sort order, not just shard membership.
+
+    Scale: the shuffle moves 3 int64s per row; ``groupby(shard_id)`` has
+    exactly S groups (pick S ≈ cluster cores at 100 TB, e.g. 2^12, so
+    groups are balanced write units).  ``write_dir`` additionally writes
+    each sorted shard as ``shard=<id>.parquet`` — the partitioned,
+    idempotent output layout (one deterministic file per shard; a
+    resumed run skips shards whose file already exists).  md5 per row is
+    the established DuckDB-parity cost (ROUND_NOTES.md); a
+    non-SQL-checked variant would use pd.util.hash_array.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        shard = [
+            int(hashlib.md5(f"shard:{i}".encode()).hexdigest()[:15], 16) % num_shards
+            for i in ids
+        ]
+        oh = [
+            int(hashlib.md5(f"order:{i}".encode()).hexdigest()[:15], 16) for i in ids
+        ]
+        ch = [
+            int(hashlib.md5((t or "").encode("utf-8")).hexdigest()[:15], 16) % _CH_MOD
+            for t in texts
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(shard, pa.int64()),
+                pa.array(oh, pa.int64()),
+                pa.array(ch, pa.int64()),
+            ],
+            names=["doc_id", "shard_id", "oh", "ch"],
+        )
+
+    schema = pa.schema(
+        [("shard_id", pa.int64()), ("n_docs", pa.int64()), ("order_digest", pa.int64())]
+    )
+
+    def shard_digest(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return schema.empty_table()
+        g = g.sort_values(["oh", "doc_id"], ignore_index=True)
+        if write_dir is not None:
+            os.makedirs(write_dir, exist_ok=True)
+            import pyarrow.parquet as _pq
+
+            sid = int(g["shard_id"].iloc[0])
+            out_path = os.path.join(write_dir, f"shard={sid}.parquet")
+            if not os.path.exists(out_path):  # idempotent resume
+                tmp = f"{out_path}.{os.getpid()}.tmp"
+                _pq.write_table(
+                    pa.Table.from_pandas(
+                        g[["doc_id"]], preserve_index=False
+                    ),
+                    tmp,
+                )
+                os.replace(tmp, out_path)
+        pos = np.arange(len(g), dtype=np.int64) % _POS_MOD
+        combined = pos * _CH_MOD + g["ch"].to_numpy(np.int64)
+        digest = np.bitwise_xor.reduce(combined)
+        return pa.Table.from_pydict(
+            {
+                "shard_id": [int(g["shard_id"].iloc[0])],
+                "n_docs": [len(g)],
+                "order_digest": [int(digest)],
+            },
+            schema=schema,
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("shard_id")
+        .map_groups(shard_digest, batch_format="pandas")
+    )
+
+
 def stopword_stats(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         stopword_stats_batch, batch_format="pandas"
