@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_cms": corpus_stats.heavy_hitters_cms,
         "token_postings": corpus_stats.token_postings,
         "unigram_logprob_scores": corpus_stats.unigram_logprob_scores,
+        "bigram_logprob_scores": corpus_stats.bigram_logprob_scores,
         "token_chunks": textops.token_chunks,
         "doc_length_percentiles": textops.doc_length_percentiles,
         "bpe_encode_docs": mlops.bpe_encode_docs,
@@ -1687,6 +1688,26 @@ def oracle_sql() -> dict[str, str]:
                ROUND(AVG(ln(CAST(tot.n AS DOUBLE) / t.t)), 6) AS logprob
         FROM toks JOIN tot USING (token) CROSS JOIN t
         GROUP BY toks.doc_id ORDER BY toks.doc_id
+    """
+    sql["bigram_logprob_scores"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+            FROM documents WHERE trim(text) <> ''
+        ),
+        big AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]
+                   )) AS bigram
+            FROM toks WHERE len(ts) >= 2
+        ),
+        tot AS (SELECT bigram, COUNT(*) AS n FROM big GROUP BY bigram),
+        t AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM tot)
+        SELECT big.doc_id,
+               ROUND(AVG(ln(CAST(tot.n AS DOUBLE) / t.t)), 6) AS logprob
+        FROM big JOIN tot USING (bigram) CROSS JOIN t
+        GROUP BY big.doc_id ORDER BY big.doc_id
     """
     sql["token_chunks"] = """
         WITH toks AS (

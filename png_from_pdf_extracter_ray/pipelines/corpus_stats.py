@@ -448,6 +448,135 @@ def unigram_logprob_scores(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)[["doc_id", "logprob"]]
 
 
+def _bigram_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch partial bigram counts: (bigram, n).
+
+    Fully vectorized: one explode keeps the source-row index, so
+    adjacent-pair formation is a shifted equality mask (no Python loop
+    over tokens); cross-document pairs are masked out by index change.
+    """
+    s = df["text"].fillna("").str.strip().str.lower()
+    toks = s[s != ""].str.split(_WS)
+    ex = toks.explode().dropna()
+    if len(ex) < 2:
+        return pd.DataFrame(
+            {"bigram": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+        )
+    tok = ex.to_numpy(dtype=object)
+    idx = ex.index.to_numpy()
+    same = idx[:-1] == idx[1:]
+    if not same.any():
+        return pd.DataFrame(
+            {"bigram": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+        )
+    bg = (
+        pd.Series(tok[:-1]).str.cat(pd.Series(tok[1:]), sep=" ").to_numpy(dtype=object)
+    )[same]
+    counts = pd.Series(bg).value_counts()
+    return pd.DataFrame(
+        {"bigram": counts.index.to_numpy(dtype=object), "n": counts.to_numpy(dtype=np.int64)}
+    )
+
+
+def _bucketed_bigram_sum(ds: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+    """documents → (bigram, n), one fully-aggregated row per bigram —
+    the bigram twin of :func:`_bucketed_token_sum` (partials per batch,
+    B-bucket shuffle of the tiny partials, vectorized per-bucket sum)."""
+
+    def partials(df: pd.DataFrame) -> pa.Table:
+        out = _bigram_partials(df)
+        t = pa.Table.from_pandas(
+            out,
+            schema=pa.schema([("bigram", pa.string()), ("n", pa.int64())]),
+            preserve_index=False,
+        )
+        b = (
+            stable_bucket_ids(t["bigram"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def sum_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("bigram", as_index=False, sort=False)["n"].sum()
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema([("bigram", pa.string()), ("n", pa.int64())]),
+            preserve_index=False,
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(sum_bucket, batch_format="pandas")
+    )
+
+
+def bigram_logprob_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-document mean bigram log-likelihood under the corpus's own
+    bigram LM — one order up from :func:`unigram_logprob_scores` (the
+    KenLM-style fluency/perplexity filter signal: documents whose
+    adjacent-word statistics are unlike the corpus score low; a unigram
+    LM cannot see scrambled word order, a bigram LM can).
+
+    ``logprob = mean over adjacent token pairs of
+    ln(count(bigram) / total_bigrams)``, rounded to 6.  The LM is
+    trained on the same corpus, so every document bigram has count ≥ 1 —
+    no smoothing/OOV branch, which keeps the op exactly expressible in
+    SQL (list_transform bigrams + JOIN + AVG).  Documents with < 2
+    tokens emit nothing on both sides.
+
+    Scale envelope: the broadcast bigram table is larger than the
+    unigram vocabulary (though still Heaps'-sublinear in corpus size);
+    at 100 TB cap it with a min-count cut + backoff, or swap the exact
+    table for the count-min sketch (stages/sketch.py CMS) — the
+    documented beyond-memory path.  Per-batch scoring is one vectorized
+    map + groupby-mean, as in the unigram op.
+    """
+    from .relational import _cached_broadcast
+
+    totals = _bucketed_bigram_sum(_docs(sf_dir, ["text"])).to_pandas()
+    total_bigrams = float(totals["n"].sum())
+    ref = ray.put(pd.Series(totals["n"].to_numpy(np.float64), index=totals["bigram"]))
+
+    def score(df_batch: pd.DataFrame) -> pa.Table:
+        counts = _cached_broadcast(ref)
+        schema = pa.schema([("doc_id", pa.int64()), ("logprob", pa.float64())])
+        s = df_batch["text"].fillna("").str.strip().str.lower()
+        mask = s != ""
+        sub = pd.DataFrame(
+            {"doc_id": df_batch["doc_id"][mask], "token": s[mask].str.split(_WS)}
+        ).explode("token")
+        if len(sub) < 2:
+            return schema.empty_table()
+        tok = sub["token"].to_numpy(dtype=object)
+        did = sub["doc_id"].to_numpy(np.int64)
+        idx = sub.index.to_numpy()
+        same = idx[:-1] == idx[1:]
+        if not same.any():
+            return schema.empty_table()
+        bg = (
+            pd.Series(tok[:-1]).str.cat(pd.Series(tok[1:]), sep=" ").to_numpy(dtype=object)
+        )[same]
+        lp = np.log(pd.Series(bg).map(counts).to_numpy(np.float64) / total_bigrams)
+        out = (
+            pd.DataFrame({"doc_id": did[:-1][same], "lp": lp})
+            .groupby("doc_id", as_index=False, sort=False)["lp"]
+            .mean()
+        )
+        out["lp"] = np.round(out["lp"].to_numpy(np.float64), 6)
+        return pa.Table.from_pandas(
+            out.rename(columns={"lp": "logprob"}), schema=schema, preserve_index=False
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", ignore_index=True)[["doc_id", "logprob"]]
+
+
 def benchmark_contamination_bloom(sf_dir: str) -> pd.DataFrame:
     """Identical result to :func:`benchmark_contamination`, membership
     test restructured for scale with a Bloom-filter PREFILTER
