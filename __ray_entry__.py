@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- data quality (all SQL-checked) ---
         "duplicate_span_stats": dq.duplicate_span_stats,
         "repetition_stats": dq.repetition_stats,
+        "gopher_quality_filter": dq.gopher_quality_filter,
         "events_props_json": dq.events_props_json,
         "count_distinct_texts": dq.count_distinct_texts,
         "clean_corpus_ids": dq.clean_corpus_ids,
@@ -307,6 +308,54 @@ def _stopword_sql() -> str:
                     ELSE CAST(len(list_filter(toks, x -> x IN ({inlist}))) AS DOUBLE)
                          / len(toks) END AS stop_ratio
         FROM t
+    """
+
+
+def _gopher_sql() -> str:
+    """Gopher-filter oracle; thresholds and the stopword IN-list come
+    from the SAME constants the engine kernel uses
+    (stages/text_stats.GOPHER_* / STOPWORDS) — one source of truth.
+    The ratio thresholds compare the identical int64/int64 division the
+    engine performs, so the keep flag matches bit-for-bit."""
+    from png_from_pdf_extracter_ray.stages.text_stats import (
+        GOPHER_MAX_MEAN_CHARS,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_CHARS,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_TOKENS,
+        STOPWORDS,
+    )
+
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                             / len(toks) END AS mean_token_chars,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                                  AS DOUBLE) / len(toks) END AS alpha_frac,
+                   CAST(len(list_filter(toks, x -> x IN ({inlist}))) AS BIGINT) AS n_stop
+            FROM t
+        )
+        SELECT doc_id, n_tokens, mean_token_chars, alpha_frac, n_stop,
+               CAST(CASE WHEN n_tokens >= {GOPHER_MIN_TOKENS}
+                          AND n_tokens <= {GOPHER_MAX_TOKENS}
+                          AND mean_token_chars >= {GOPHER_MIN_MEAN_CHARS}
+                          AND mean_token_chars <= {GOPHER_MAX_MEAN_CHARS}
+                          AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+                          AND n_stop >= {GOPHER_MIN_STOPWORDS}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM m
     """
 
 
@@ -394,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
     _pii_aug_sql = _augmented_text_sql()
 
     _STOPWORD_SQL = _stopword_sql()
+    _GOPHER_SQL = _gopher_sql()
 
     # The flagship oracle is a parquet written by a SINGLE-PROCESS (no
     # Ray) run of the same deterministic kernel — synthesize → dedup →
@@ -838,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_orderpriority, o_orderstatus
         """,
         "stopword_stats": _STOPWORD_SQL,
+        "gopher_quality_filter": _GOPHER_SQL,
         "langid_heuristic": _langid_sql(),
         "vocab_top_tokens": """
             WITH toks AS (

@@ -330,6 +330,26 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+def gopher_quality_filter(sf_dir: str) -> rd.Dataset:
+    """Composite Gopher-rule quality filter (Rae et al. 2021): per-doc
+    word-level signals (token count, mean word chars, alphabetic-word
+    fraction, stopword count) plus the combined ``keep`` decision under
+    the public thresholds (stages/text_stats.GOPHER_*).  Pure per-batch
+    map, no shuffle; ratio thresholds compare identical int64/int64 IEEE
+    divisions on both sides, so the keep flag is bit-stable vs the SQL
+    oracle.  Complements :func:`repetition_stats` (the repetition
+    rules) with the document-shape rules."""
+    from ..stages.text_stats import gopher_stats_batch
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(gopher_stats_batch, batch_format="pandas")
+        .select_columns(
+            ["doc_id", "n_tokens", "mean_token_chars", "alpha_frac", "n_stop", "keep"]
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # JSON property extraction (events.props)
 # ---------------------------------------------------------------------------

@@ -92,6 +92,73 @@ def md5_fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFr
     return df.assign(fp=fp)
 
 
+# Gopher-style composite quality rules (Rae et al. 2021, public): the
+# word-level subset that is exactly SQL-expressible.  Shared with the
+# DuckDB oracle (__ray_entry__ builds its CASE expression from these —
+# one source of truth, no drift).
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_CHARS = 3.0
+GOPHER_MAX_MEAN_CHARS = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_stats_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Per-document Gopher quality signals + the composite keep flag.
+
+    Same tokenization contract as :func:`stopword_stats_batch` (trimmed
+    lowercased ``\\s+`` split, blank docs have 0 tokens).  The two
+    ratios are UNROUNDED int64/int64 divisions, so the threshold
+    comparisons in ``keep`` are bit-identical to the SQL oracle's.
+    All vectorized: one explode feeds token lengths, alpha membership
+    and stopword membership.
+    """
+    s = df[text_col].fillna("").str.strip().str.lower()
+    toks = s.str.split(_WS)
+    n_tokens = toks.str.len().astype("int64").where(s != "", 0)
+    exploded = toks.explode()
+    sum_chars = (
+        exploded.str.len().groupby(level=0).sum().reindex(df.index, fill_value=0)
+    )
+    sum_chars = sum_chars.where(s != "", 0).astype("int64")
+    n_alpha = (
+        exploded.str.contains("[a-z]", regex=True, na=False)
+        .groupby(level=0)
+        .sum()
+        .reindex(df.index, fill_value=0)
+        .where(s != "", 0)
+        .astype("int64")
+    )
+    n_stop = (
+        exploded.isin(_STOP_SET)
+        .groupby(level=0)
+        .sum()
+        .reindex(df.index, fill_value=0)
+        .where(s != "", 0)
+        .astype("int64")
+    )
+    nt = n_tokens.to_numpy(np.int64)
+    safe = np.where(nt > 0, nt, 1).astype(np.float64)
+    mean_chars = np.where(nt > 0, sum_chars.to_numpy(np.int64) / safe, 0.0)
+    alpha_frac = np.where(nt > 0, n_alpha.to_numpy(np.int64) / safe, 0.0)
+    keep = (
+        (nt >= GOPHER_MIN_TOKENS)
+        & (nt <= GOPHER_MAX_TOKENS)
+        & (mean_chars >= GOPHER_MIN_MEAN_CHARS)
+        & (mean_chars <= GOPHER_MAX_MEAN_CHARS)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (n_stop.to_numpy(np.int64) >= GOPHER_MIN_STOPWORDS)
+    ).astype(np.int64)
+    return df.assign(
+        n_tokens=n_tokens,
+        mean_token_chars=mean_chars,
+        alpha_frac=alpha_frac,
+        n_stop=n_stop,
+        keep=keep,
+    )
+
+
 class RollingFingerprint:
     """64-bit polynomial rolling-hash document fingerprint (non-SQL).
 
