@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkgraph_components": lg.linkgraph_components,
         "linkgraph_hits": lg.linkgraph_hits,
         "crawl_frontier_urls": lg.crawl_frontier_urls,
+        "domain_link_matrix": lg.domain_link_matrix,
         # --- dedup family long tail ---
         "minhash_dedup_keep_best": textops.minhash_dedup_keep_best,
         "pages_phash_dedup_groups": textops.pages_phash_dedup_groups,
@@ -524,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
     _lg_hits_oracle = _rro._oracle_path(_oracle_sf, "link_hits")
     _lg_frontier_oracle = _rro._oracle_path(_oracle_sf, "crawl_frontier")
     _pages_slim_oracle = _rro._oracle_path(_oracle_sf, "pages_slim")
+    _domain_matrix_oracle = _rro._oracle_path(_oracle_sf, "domain_matrix")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -554,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_linkgraph_graph_oracles(_oracle_sf)
         _rro.write_crawl_frontier_oracle(_oracle_sf)
         _rro.write_pages_slim_oracle(_oracle_sf)
+        _rro.write_domain_matrix_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -734,6 +737,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_frontier_urls": f"""
             SELECT href, n_refs FROM read_parquet('{_lg_frontier_oracle}')
+        """,
+        "domain_link_matrix": f"""
+            SELECT src_domain, dst_domain, n_links
+            FROM read_parquet('{_domain_matrix_oracle}')
         """,
         "q13_customer_distribution": """
             SELECT c_count, COUNT(*) AS custdist FROM (

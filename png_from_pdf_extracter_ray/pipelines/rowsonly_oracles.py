@@ -1295,3 +1295,53 @@ def write_pages_slim_oracle(sf_dir: str, expand: int = 2) -> str:
         names=["url", "warc_ts", "text"],
     )
     return _commit(slim_pages_batch(full), path)
+
+
+def write_domain_matrix_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Oracle for ``domain_link_matrix``: one flat in-memory pass over
+    the deduped page universe — same link kernel (kernel/links.py), the
+    aggregation re-derived with a single pandas groupby (no partials,
+    no buckets, no shuffle)."""
+    from ..kernel.links import extract_links
+    from .data_quality import DOMAIN_RE
+    from .summary import oracle_unique_pages
+
+    path = _oracle_path(sf_dir, "domain_matrix", expand)
+    if os.path.exists(path):
+        return path
+    pages = oracle_unique_pages(sf_dir, expand=expand)
+    src_urls: list[str] = []
+    hrefs: list[str] = []
+    for url, payload in zip(pages["url"].to_pylist(), pages["html"].to_pylist()):
+        for link in extract_links(payload, url):
+            src_urls.append(url)
+            hrefs.append(link["href"])
+    df = pd.DataFrame(
+        {
+            "src_domain": pd.Series(src_urls, dtype=object)
+            .str.extract(DOMAIN_RE, expand=False)
+            .fillna(""),
+            "dst_domain": pd.Series(hrefs, dtype=object)
+            .str.extract(DOMAIN_RE, expand=False)
+            .fillna(""),
+        }
+    )
+    out = (
+        df.groupby(["src_domain", "dst_domain"], as_index=False, sort=False)
+        .size()
+        .rename(columns={"size": "n_links"})
+        .sort_values(["src_domain", "dst_domain"], ignore_index=True)
+    )
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [
+                    ("src_domain", pa.string()),
+                    ("dst_domain", pa.string()),
+                    ("n_links", pa.int64()),
+                ]
+            ),
+        ),
+        path,
+    )
