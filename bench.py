@@ -227,6 +227,11 @@ def bench_queries() -> dict[str, float]:
         "dsir_importance_weights",
         "linkgraph_pagerank",
         "linkgraph_components",
+        "pages_snapshot_churn",
+        "training_shards_digest",
+        "bigram_logprob_scores",
+        "gopher_quality_filter",
+        "domain_link_matrix",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
