@@ -269,6 +269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_duplicate_spans": dq.remove_duplicate_spans,
         "pages_domain_counts": dq.pages_domain_counts,
         "pages_domain_capped": dq.pages_domain_capped,
+        "domain_reputation": dq.domain_reputation,
+        "blocklist_filter": dq.blocklist_filter,
         # --- corpus statistics (all SQL-checked) ---
         "vocab_top_tokens": corpus_stats.vocab_top_tokens,
         "token_doc_frequency": corpus_stats.token_doc_frequency,
@@ -279,6 +281,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": corpus_stats.token_postings,
         "unigram_logprob_scores": corpus_stats.unigram_logprob_scores,
         "bigram_logprob_scores": corpus_stats.bigram_logprob_scores,
+        "ccnet_perplexity_buckets": corpus_stats.ccnet_perplexity_buckets,
+        "bm25_topk": corpus_stats.bm25_topk,
+        "contamination_overlap_scores": corpus_stats.contamination_overlap_scores,
+        "source_kl_divergence": corpus_stats.source_kl_divergence,
+        "phrase_search": corpus_stats.phrase_search,
         "token_chunks": textops.token_chunks,
         "doc_length_percentiles": textops.doc_length_percentiles,
         "bpe_encode_docs": mlops.bpe_encode_docs,
@@ -1766,6 +1773,172 @@ def oracle_sql() -> dict[str, str]:
                ROUND(AVG(ln(CAST(tot.n AS DOUBLE) / t.t)), 6) AS logprob
         FROM big JOIN tot USING (bigram) CROSS JOIN t
         GROUP BY big.doc_id ORDER BY big.doc_id
+    """
+    from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
+        BM25_B as _BM25_B,
+    )
+    from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
+        BM25_K1 as _BM25_K1,
+    )
+    from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
+        BM25_QUERY_TOKENS as _BM25_Q,
+    )
+    from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
+        BM25_TOPK as _BM25_TOPK,
+    )
+    from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
+        CCNET_KEY_DECIMALS as _CCNET_DEC,
+    )
+    from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
+        CONTAM_FRAC_DEN as _CONTAM_DEN,
+    )
+    from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
+        CONTAM_FRAC_NUM as _CONTAM_NUM,
+    )
+
+    # CCNet bucketing: the tercile rank runs over the score rounded to
+    # CCNET_KEY_DECIMALS (bounded histogram — same key both engines);
+    # membership is the integer comparison below*3 vs n_lang.
+    sql["ccnet_perplexity_buckets"] = f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+        ),
+        tot AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+        t AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM tot),
+        sc AS (
+            SELECT toks.doc_id, toks.lang,
+                   ROUND(AVG(ln(CAST(tot.n AS DOUBLE) / t.t)), 6) AS logprob,
+                   ROUND(AVG(ln(CAST(tot.n AS DOUBLE) / t.t)), {_CCNET_DEC}) AS score_key
+            FROM toks JOIN tot USING (token) CROSS JOIN t
+            GROUP BY toks.doc_id, toks.lang
+        ),
+        hist AS (SELECT lang, score_key, COUNT(*) AS n FROM sc GROUP BY lang, score_key),
+        cum AS (
+            SELECT lang, score_key,
+                   SUM(n) OVER (PARTITION BY lang ORDER BY score_key
+                                ROWS UNBOUNDED PRECEDING) - n AS below,
+                   SUM(n) OVER (PARTITION BY lang) AS n_lang
+            FROM hist
+        )
+        SELECT sc.doc_id, sc.lang, sc.logprob,
+               CASE WHEN cum.below * 3 < cum.n_lang THEN 'tail'
+                    WHEN cum.below * 3 < 2 * cum.n_lang THEN 'middle'
+                    ELSE 'head' END AS bucket
+        FROM sc JOIN cum ON sc.lang = cum.lang AND sc.score_key = cum.score_key
+    """
+    _bm25_vals = ", ".join(f"('{t}')" for t in _BM25_Q)
+    sql["bm25_topk"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS total FROM dl),
+        q(token) AS (VALUES {_bm25_vals}),
+        dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+                FROM toks JOIN q USING (token) GROUP BY token),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+               FROM toks JOIN q USING (token) GROUP BY doc_id, token)
+        SELECT tf.doc_id,
+               ROUND(SUM(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                         * (tf.tf * ({_BM25_K1} + 1.0))
+                         / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                            + {_BM25_B} * dl.dl / (st.total / st.n_docs)))), 6) AS score
+        FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id
+        LIMIT {_BM25_TOPK}
+    """
+    sql["contamination_overlap_scores"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+            FROM documents WHERE trim(text) <> ''
+        ),
+        tri AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+                   ))) AS g
+            FROM t WHERE len(ts) >= 3
+        ),
+        bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % {_BENCH_MOD} = 0)
+        SELECT tri.doc_id,
+               COUNT(*) AS n_ngrams,
+               CAST(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hits,
+               CAST(CASE WHEN SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)
+                              * {_CONTAM_DEN}
+                              >= COUNT(*) * {_CONTAM_NUM}
+                         THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        FROM tri LEFT JOIN bench ON tri.g = bench.g
+        WHERE tri.doc_id % {_BENCH_MOD} <> 0
+        GROUP BY tri.doc_id
+    """
+    from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
+        PHRASE_QUERY as _PHRASE,
+    )
+    from png_from_pdf_extracter_ray.pipelines.data_quality import (
+        BLOCKLIST_TOKENS as _BLOCKLIST,
+    )
+
+    sql["source_kl_divergence"] = """
+        WITH toks AS (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+        ),
+        st AS (SELECT source, token, COUNT(*) AS n FROM toks GROUP BY source, token),
+        s AS (SELECT source, SUM(n) AS ns FROM st GROUP BY source),
+        tt AS (SELECT token, SUM(n) AS nt FROM st GROUP BY token),
+        t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM st)
+        SELECT st.source,
+               ROUND(SUM((CAST(st.n AS DOUBLE) / s.ns)
+                         * ln((CAST(st.n AS DOUBLE) / s.ns)
+                              / (CAST(tt.nt AS DOUBLE) / t.tot))), 6) AS kl
+        FROM st JOIN s USING (source) JOIN tt USING (token) CROSS JOIN t
+        GROUP BY st.source
+    """
+    sql["phrase_search"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(s, '{_PHRASE}')) AS BIGINT) AS n_matches
+        FROM t WHERE s LIKE '%{_PHRASE}%'
+    """
+    _bl_inlist = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+    sql["blocklist_filter"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ts
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(ts, x -> x IN ({_bl_inlist}))) AS BIGINT)
+                   AS n_blocked,
+               CAST(CASE WHEN len(list_filter(ts, x -> x IN ({_bl_inlist}))) = 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM t
+    """
+    sql["domain_reputation"] = f"""
+        WITH d AS (
+            SELECT regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain,
+                   CASE WHEN status = 'completed' THEN 1 ELSE 0 END AS ok
+            FROM read_parquet('{_docs_oracle}')
+        ),
+        agg AS (SELECT domain, COUNT(*) AS n_docs, SUM(ok) AS n_ok FROM d GROUP BY domain),
+        tot AS (SELECT SUM(n_docs) AS tn, SUM(n_ok) AS tk FROM agg)
+        SELECT domain, n_docs, CAST(n_ok AS BIGINT) AS n_ok,
+               CAST(CASE WHEN n_ok * tot.tn >= tot.tk * n_docs
+                         THEN 1 ELSE 0 END AS BIGINT) AS reputable
+        FROM agg CROSS JOIN tot
     """
     sql["token_chunks"] = """
         WITH toks AS (

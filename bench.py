@@ -232,6 +232,13 @@ def bench_queries() -> dict[str, float]:
         "bigram_logprob_scores",
         "gopher_quality_filter",
         "domain_link_matrix",
+        "ccnet_perplexity_buckets",
+        "bm25_topk",
+        "contamination_overlap_scores",
+        "domain_reputation",
+        "source_kl_divergence",
+        "phrase_search",
+        "blocklist_filter",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

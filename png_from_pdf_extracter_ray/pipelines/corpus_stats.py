@@ -674,3 +674,487 @@ def heavy_hitters_cms(sf_dir: str, k: int = 50) -> pd.DataFrame:
             "n_est": pd.Series(est, dtype="int64"),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+# Bucket-key rounding: terciles are computed over the logprob rounded to
+# this many decimals, which BOUNDS the histogram cardinality (≤ a few
+# thousand distinct keys per language regardless of corpus size) so the
+# exact per-language cumulative counts fit the driver at any scale —
+# the doc_length_percentiles trick applied to a float score.
+CCNET_KEY_DECIMALS = 3
+
+
+def _lm_ref(sf_dir: str):  # noqa: ANN202
+    """Build the corpus unigram LM once (bucketed token-total shuffle →
+    vocabulary-sized broadcast): (object ref, total token count)."""
+    totals = _bucketed_token_sum(
+        _docs(sf_dir, ["text"]), distinct_per_doc=False
+    ).to_pandas()
+    total_tokens = float(totals["n"].sum())
+    ref = ray.put(pd.Series(totals["n"].to_numpy(np.float64), index=totals["token"]))
+    return ref, total_tokens
+
+
+def _lm_scored_docs(sf_dir: str, lm=None) -> "rd.Dataset":  # noqa: ANN001
+    """(doc_id, lang, logprob, score_key): per-doc mean unigram
+    log-likelihood under the corpus's own LM — the shared pass behind
+    :func:`ccnet_perplexity_buckets` (which calls it twice off ONE
+    ``_lm_ref``, so the LM shuffle runs once).  Blank docs emit
+    nothing."""
+    from .relational import _cached_broadcast
+
+    ref, total_tokens = lm if lm is not None else _lm_ref(sf_dir)
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("logprob", pa.float64()),
+            ("score_key", pa.float64()),
+        ]
+    )
+
+    def score(df_batch: pd.DataFrame) -> pa.Table:
+        counts = _cached_broadcast(ref)
+        s = df_batch["text"].fillna("").str.strip().str.lower()
+        mask = s != ""
+        sub = pd.DataFrame(
+            {
+                "doc_id": df_batch["doc_id"][mask],
+                "lang": df_batch["lang"][mask],
+                "token": s[mask].str.split(_WS),
+            }
+        ).explode("token")
+        if sub.empty:
+            return schema.empty_table()
+        lp = np.log(sub["token"].map(counts).to_numpy(np.float64) / total_tokens)
+        out = (
+            pd.DataFrame(
+                {
+                    "doc_id": sub["doc_id"].to_numpy(np.int64),
+                    "lang": sub["lang"].to_numpy(dtype=object),
+                    "lp": lp,
+                }
+            )
+            .groupby(["doc_id", "lang"], as_index=False, sort=False)["lp"]
+            .mean()
+        )
+        raw = out["lp"].to_numpy(np.float64)
+        out["logprob"] = np.round(raw, 6)
+        out["score_key"] = np.round(raw, CCNET_KEY_DECIMALS)
+        return pa.Table.from_pandas(
+            out[["doc_id", "lang", "logprob", "score_key"]],
+            schema=schema,
+            preserve_index=False,
+        )
+
+    return _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+
+
+def ccnet_perplexity_buckets(sf_dir: str) -> "rd.Dataset":
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): every document lands in the head / middle / tail tercile of
+    its LANGUAGE's LM-score distribution — head = most fluent third
+    (highest logprob), tail = least.  The standard corpus-quality
+    partitioning before sampling.
+
+    Scale shape: pass 1 streams per-batch (lang, score_key) partial
+    histograms (score_key = logprob rounded to CCNET_KEY_DECIMALS, so
+    the histogram is bounded — see the constant's comment); the driver
+    folds them into per-language cumulative "#docs strictly below" maps
+    (a few thousand ints per language) and broadcasts once; pass 2
+    assigns buckets with a vectorized searchsorted.  Tercile membership
+    compares INTEGERS (below*3 vs n_lang) so the bucket is exact — no
+    float percentile thresholds to drift between engines."""
+    from .relational import _cached_broadcast
+
+    lm = _lm_ref(sf_dir)
+
+    hist_schema = pa.schema(
+        [("lang", pa.string()), ("score_key", pa.float64()), ("n", pa.int64())]
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = t.select(["lang", "score_key"]).to_pandas()
+        out = (
+            df.groupby(["lang", "score_key"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(out, schema=hist_schema, preserve_index=False)
+
+    hist = (
+        _lm_scored_docs(sf_dir, lm=lm)
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["lang", "score_key"], as_index=False)["n"]
+        .sum()
+    )
+    cum: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("score_key", ignore_index=True)
+        counts = g["n"].to_numpy(np.int64)
+        below = np.zeros(len(g), dtype=np.int64)
+        np.cumsum(counts[:-1], out=below[1:])
+        cum[str(lang)] = (g["score_key"].to_numpy(np.float64), below, int(counts.sum()))
+    ref = ray.put(cum)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("logprob", pa.float64()),
+            ("bucket", pa.string()),
+        ]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        cmap = _cached_broadcast(ref)
+        df = t.to_pandas()
+        buckets = np.empty(len(df), dtype=object)
+        for lang, g in df.groupby("lang"):
+            keys, below, n_lang = cmap[str(lang)]
+            idx = np.searchsorted(keys, g["score_key"].to_numpy(np.float64))
+            b = below[idx]
+            lab = np.where(
+                b * 3 < n_lang, "tail", np.where(b * 3 < 2 * n_lang, "middle", "head")
+            )
+            buckets[df.index.get_indexer(g.index)] = lab
+        out = df[["doc_id", "lang", "logprob"]].assign(bucket=buckets)
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return _lm_scored_docs(sf_dir, lm=lm).map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (fixed query, corpus-wide top-k)
+# ---------------------------------------------------------------------------
+
+# The query and parameters are part of the operator contract, shared
+# with the DuckDB oracle (__ray_entry__).
+BM25_QUERY_TOKENS = ("table", "scan", "merge", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def bm25_topk(sf_dir: str, k: int = BM25_TOPK) -> pd.DataFrame:
+    """Okapi BM25 (Lucene idf variant) top-k retrieval for a fixed
+    query over the whole corpus — the retrieval-scoring op behind
+    search-based data curation.
+
+    Scale shape: pass 1 folds THREE scalar-sized integer statistics
+    (N docs, total tokens, per-query-token document frequency — ≤
+    |query| rows) from per-batch partials; pass 2 broadcasts them and
+    streams the corpus through a vectorized per-batch score (tf/dl are
+    batch-local integers) with a batch-local top-k prune ordered by
+    (rounded score desc, doc_id asc) — the SAME total order as the
+    final sort and the oracle, so only k rows per batch reach the
+    driver.  Every cross-batch reduction is an int64 sum; the float
+    score is a per-row expression over those integers, identical on
+    both engines."""
+    from .relational import _cached_broadcast
+
+    qtok = list(BM25_QUERY_TOKENS)
+    stat_schema = pa.schema([("stat", pa.string()), ("n", pa.int64())])
+
+    def stats_partial(df: pd.DataFrame) -> pa.Table:
+        s = df["text"].fillna("").str.strip().str.lower()
+        toks = s[s != ""].str.split(_WS)
+        names = ["__n_docs", "__total_tokens"]
+        vals = [int(len(toks)), int(toks.str.len().sum()) if len(toks) else 0]
+        ex = toks.explode()
+        hit = ex[ex.isin(qtok)]
+        if len(hit):
+            # per-token document frequency: distinct (doc, token) pairs
+            pairs = pd.DataFrame({"d": hit.index, "token": hit.to_numpy(dtype=object)})
+            dfq = pairs.drop_duplicates()["token"].value_counts()
+            for tok, n in dfq.items():
+                names.append(f"df:{tok}")
+                vals.append(int(n))
+        return pa.Table.from_pydict(
+            {"stat": pa.array(names, pa.string()), "n": pa.array(vals, pa.int64())},
+            schema=stat_schema,
+        )
+
+    stats = (
+        _docs(sf_dir, ["text"])
+        .map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("stat")["n"]
+        .sum()
+    )
+    n_docs = int(stats.get("__n_docs", 0))
+    total_tokens = int(stats.get("__total_tokens", 0))
+    if n_docs == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
+        )
+    avgdl = total_tokens / n_docs
+    idf = {
+        t: float(np.log((n_docs - int(stats.get(f"df:{t}", 0)) + 0.5)
+                        / (int(stats.get(f"df:{t}", 0)) + 0.5) + 1.0))
+        for t in qtok
+    }
+    ref = ray.put((idf, avgdl))
+    tf_weight = BM25_K1 + 1.0
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.float64())])
+
+    def score_batch(df: pd.DataFrame) -> pa.Table:
+        idf_map, adl = _cached_broadcast(ref)
+        s = df["text"].fillna("").str.strip().str.lower()
+        mask = s != ""
+        toks = s[mask].str.split(_WS)
+        if not len(toks):
+            return out_schema.empty_table()
+        dl = pd.Series(toks.str.len().to_numpy(np.int64), index=toks.index)
+        ex = pd.DataFrame(
+            {"doc_id": df["doc_id"][mask], "token": toks}
+        ).explode("token")
+        ex = ex[ex["token"].isin(idf_map)]
+        if ex.empty:
+            return out_schema.empty_table()
+        tf = (
+            ex.groupby([ex.index, "token"])
+            .size()
+            .rename("tf")
+            .reset_index(level=1)
+        )
+        tfv = tf["tf"].to_numpy(np.float64)
+        dlv = dl.reindex(tf.index).to_numpy(np.float64)
+        idfv = tf["token"].map(idf_map).to_numpy(np.float64)
+        term = idfv * (tfv * tf_weight) / (tfv + BM25_K1 * (1.0 - BM25_B + BM25_B * dlv / adl))
+        per_doc = (
+            pd.DataFrame(
+                {"doc_id": df["doc_id"][mask].reindex(tf.index).to_numpy(np.int64), "t": term}
+            )
+            .groupby("doc_id", as_index=False, sort=False)["t"]
+            .sum()
+        )
+        per_doc["score"] = np.round(per_doc["t"].to_numpy(np.float64), 6)
+        top = per_doc.sort_values(
+            ["score", "doc_id"], ascending=[False, True], ignore_index=True
+        ).head(BM25_TOPK)
+        return pa.Table.from_pandas(
+            top[["doc_id", "score"]], schema=out_schema, preserve_index=False
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score_batch, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(
+        ["score", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(k)[["doc_id", "score"]]
+
+
+# ---------------------------------------------------------------------------
+# Contamination overlap scoring (Lee et al. n-gram overlap fraction)
+# ---------------------------------------------------------------------------
+
+
+def _bench_shingle_ref(sf_dir: str):  # noqa: ANN202
+    """Broadcast handle for the benchmark slice's distinct 3-gram
+    shingle set (docs with ``doc_id % BENCHMARK_MOD == 0``) — the
+    driver-side read is the bench slice only, small by construction."""
+    import pyarrow.parquet as pq
+
+    bench_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = np.asarray(bench_tbl["doc_id"])
+    bench_rows = bench_tbl.filter(pa.array(ids % BENCHMARK_MOD == 0))
+    bench_shingles: set[str] = set()
+    for t in bench_rows["text"].to_pylist():
+        bench_shingles |= _doc_shingles(t)
+    return ray.put(frozenset(bench_shingles))
+
+# Contamination decision: a doc is contaminated when at least
+# CONTAM_FRAC_NUM/CONTAM_FRAC_DEN of its distinct 3-gram shingles
+# appear in the benchmark slice — compared as the integer
+# cross-multiplication n_hits*DEN >= n_ngrams*NUM, never a float ratio.
+CONTAM_FRAC_NUM = 1
+CONTAM_FRAC_DEN = 8
+
+
+def contamination_overlap_scores(sf_dir: str) -> "rd.Dataset":
+    """Per-document benchmark-overlap SCORE: how many of each
+    non-benchmark doc's distinct 3-gram shingles appear in the
+    benchmark slice (``doc_id % BENCHMARK_MOD == 0``), plus the
+    fraction-threshold contamination flag — the graded companion to
+    :func:`benchmark_contamination`'s binary any-hit semi-join (the
+    GPT-3/Lee-et-al overlap-fraction decision statistic).
+
+    Same scale shape as the binary op: the benchmark shingle set
+    broadcasts once (small by construction); the corpus streams through
+    a per-batch set intersection — no shuffle.  All outputs are int64
+    counts, so the oracle compare is exact."""
+    bench_ref = _bench_shingle_ref(sf_dir)
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_ngrams", pa.int64()),
+            ("n_hits", pa.int64()),
+            ("contaminated", pa.int64()),
+        ]
+    )
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bset = _BENCH_CACHE.get(bench_ref.hex())
+        if bset is None:
+            _BENCH_CACHE.clear()
+            bset = ray.get(bench_ref)
+            _BENCH_CACHE[bench_ref.hex()] = bset
+        out_ids, out_n, out_h = [], [], []
+        ids = batch["doc_id"].to_pylist()
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            if i % BENCHMARK_MOD == 0:
+                continue
+            sh = _doc_shingles(t)
+            if not sh:
+                continue
+            out_ids.append(i)
+            out_n.append(len(sh))
+            out_h.append(len(sh & bset))
+        n = np.asarray(out_n, dtype=np.int64)
+        h = np.asarray(out_h, dtype=np.int64)
+        flag = (h * CONTAM_FRAC_DEN >= n * CONTAM_FRAC_NUM).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_ngrams": pa.array(n, pa.int64()),
+                "n_hits": pa.array(h, pa.int64()),
+                "contaminated": pa.array(flag, pa.int64()),
+            },
+            schema=schema,
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Source-mix diagnostics: per-source KL divergence from the corpus LM
+# ---------------------------------------------------------------------------
+
+
+def source_kl_divergence(sf_dir: str, num_buckets: int = 32) -> pd.DataFrame:
+    """KL(source ‖ corpus) of the unigram token distribution, per
+    ``source`` — the domain-shift diagnostic behind data-mixing
+    decisions (a source whose token distribution diverges from the
+    corpus gets re-weighted).  ``kl = Σ_t (n_st/n_s)·ln((n_st/n_s) /
+    (n_t/T))``, rounded to 6.
+
+    Scale shape: one bucketed shuffle aggregates exact integer
+    (source, token) counts — bounded by |sources| × vocabulary
+    (Heaps'-law ≪ corpus), the same envelope as every vocab-sized
+    collect here; marginals and the KL sum are vectorized driver math
+    over exact integers, so the only float work is the final per-source
+    expression, identical on both engines."""
+
+    def partials(df: pd.DataFrame) -> pa.Table:
+        s = df["text"].fillna("").str.strip().str.lower()
+        mask = s != ""
+        sub = pd.DataFrame(
+            {"source": df["source"][mask], "token": s[mask].str.split(_WS)}
+        ).explode("token")
+        out = (
+            sub.groupby(["source", "token"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        t = pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [("source", pa.string()), ("token", pa.string()), ("n", pa.int64())]
+            ),
+            preserve_index=False,
+        )
+        b = (
+            stable_bucket_ids(t["token"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def sum_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby(["source", "token"], as_index=False, sort=False)["n"].sum()
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [("source", pa.string()), ("token", pa.string()), ("n", pa.int64())]
+            ),
+            preserve_index=False,
+        )
+
+    st = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partials, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(sum_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if st.empty:
+        return pd.DataFrame(
+            {"source": pd.Series([], dtype=object), "kl": pd.Series([], dtype="float64")}
+        )
+    n = st["n"].to_numpy(np.int64)
+    ns = st.groupby("source")["n"].transform("sum").to_numpy(np.int64)
+    nt = st.groupby("token")["n"].transform("sum").to_numpy(np.int64)
+    tot = float(n.sum())
+    p = n.astype(np.float64) / ns
+    contrib = p * np.log(p / (nt.astype(np.float64) / tot))
+    out = (
+        pd.DataFrame({"source": st["source"], "c": contrib})
+        .groupby("source", as_index=False, sort=False)["c"]
+        .sum()
+    )
+    out["kl"] = np.round(out["c"].to_numpy(np.float64), 6)
+    return out.sort_values("source", ignore_index=True)[["source", "kl"]]
+
+
+# ---------------------------------------------------------------------------
+# Phrase search (exact consecutive-token match over normalized text)
+# ---------------------------------------------------------------------------
+
+# The phrase is part of the operator contract, shared with the oracle.
+PHRASE_QUERY = "hash join"
+
+
+def phrase_search(sf_dir: str) -> "rd.Dataset":
+    """Exact-phrase retrieval: documents whose normalized text
+    (trim → lower → whitespace collapsed to single spaces) contains the
+    consecutive-token phrase ``PHRASE_QUERY``, with the non-overlapping
+    occurrence count.  Pure streaming per-batch map — a vectorized
+    compiled-regex count per row, no shuffle, mirroring DuckDB's
+    ``regexp_extract_all`` left-to-right non-overlap semantics."""
+    pat = re.escape(PHRASE_QUERY)
+    schema = pa.schema([("doc_id", pa.int64()), ("n_matches", pa.int64())])
+
+    def scan(df: pd.DataFrame) -> pa.Table:
+        s = (
+            df["text"]
+            .fillna("")
+            .str.strip()
+            .str.lower()
+            .str.replace(_WS, " ", regex=True)
+        )
+        n = s.str.count(pat).to_numpy(np.int64)
+        hit = n > 0
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)[hit], pa.int64()),
+                "n_matches": pa.array(n[hit], pa.int64()),
+            },
+            schema=schema,
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(scan, batch_format="pandas")

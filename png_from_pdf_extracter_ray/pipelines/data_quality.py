@@ -1086,3 +1086,115 @@ def cross_doc_duplicate_spans(
     )
     joined = bucketed_hash_join(docs, drop_lists, on="doc_id", how="left")
     return joined.map_batches(finalize, batch_format="pandas")
+
+
+def domain_reputation(sf_dir: str, expand: int = 2, num_buckets: int = 16) -> pd.DataFrame:
+    """Host-level extraction-reputation table over the flagship per-doc
+    output: per domain, how many documents the extraction pipeline saw
+    and how many completed, plus a ``reputable`` flag — domains whose
+    completion rate is at or above the corpus-wide rate.  The standard
+    crawl-curation signal (drop hosts that mostly serve broken /
+    unparseable payloads) composed directly on the engine's own
+    headline pipeline.
+
+    Scale shape: the flagship per-doc stream reduces to per-batch
+    (domain, n_docs, n_ok) integer partials, hash-bucket summed
+    (domains are high-cardinality at web scale — never one Ray group
+    per domain); the rate comparison is the integer cross-multiplication
+    ``n_ok * total_docs >= total_ok * n_docs`` — no float rates to
+    drift between engines.  The corpus totals are the sum of the
+    domain-sized result, which IS the output, so no extra pass."""
+    from ..stages.dedup import stable_bucket_ids
+    from .extract_pipeline import flagship
+
+    ds = flagship(sf_dir, expand=expand, summary_only=True)
+    schema = pa.schema(
+        [("domain", pa.string()), ("n_docs", pa.int64()), ("n_ok", pa.int64())]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        dom = df["url"].str.extract(DOMAIN_RE, expand=False).fillna("")
+        ok = (df["status"] == "completed").astype(np.int64)
+        out = (
+            pd.DataFrame({"domain": dom, "n_docs": 1, "n_ok": ok})
+            .groupby("domain", as_index=False, sort=False)
+            .sum()
+        )
+        t = pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+        b = (
+            stable_bucket_ids(t["domain"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def sum_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("domain", as_index=False, sort=False)[["n_docs", "n_ok"]].sum()
+        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(sum_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame(
+            {
+                "domain": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_ok": pd.Series([], dtype="int64"),
+                "reputable": pd.Series([], dtype="int64"),
+            }
+        )
+    total_docs = int(agg["n_docs"].sum())
+    total_ok = int(agg["n_ok"].sum())
+    agg["reputable"] = (
+        agg["n_ok"].to_numpy(np.int64) * total_docs
+        >= total_ok * agg["n_docs"].to_numpy(np.int64)
+    ).astype(np.int64)
+    return agg.sort_values("domain", ignore_index=True)[
+        ["domain", "n_docs", "n_ok", "reputable"]
+    ]
+
+
+# The blocklist is part of the operator contract, shared with the
+# DuckDB oracle (__ray_entry__) — the C4 "badwords"-filter shape with a
+# corpus-appropriate token list.
+BLOCKLIST_TOKENS = ("dup", "spark")
+
+
+def blocklist_filter(sf_dir: str) -> "rd.Dataset":
+    """C4-style blocklist filter (Raffel et al. 2020): per document, the
+    number of token instances from the blocklist plus the ``keep`` flag
+    (no blocked token anywhere).  Pure streaming per-batch map — one
+    explode feeds a vectorized set-membership count; blank docs keep.
+    All outputs integer, so the oracle compare is exact."""
+    bl = frozenset(BLOCKLIST_TOKENS)
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_blocked", pa.int64()), ("keep", pa.int64())]
+    )
+
+    def scan(df: pd.DataFrame) -> pa.Table:
+        s = df["text"].fillna("").str.strip().str.lower()
+        toks = s.str.split(_WS)
+        ex = toks.explode()
+        n_blocked = (
+            ex.isin(bl)
+            .groupby(level=0)
+            .sum()
+            .reindex(df.index, fill_value=0)
+            .where(s != "", 0)
+            .astype("int64")
+        )
+        nb = n_blocked.to_numpy(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+                "n_blocked": pa.array(nb, pa.int64()),
+                "keep": pa.array((nb == 0).astype(np.int64), pa.int64()),
+            },
+            schema=schema,
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(scan, batch_format="pandas")

@@ -1,0 +1,140 @@
+"""Semantic tests for the corpus-cleaning wave: CCNet perplexity
+buckets, BM25 retrieval, contamination overlap scores, domain
+reputation.  (The exact value parity vs DuckDB runs in
+test_queries_vs_duckdb.py — these check operator-level invariants.)"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
+    BENCHMARK_MOD,
+    BM25_QUERY_TOKENS,
+    BM25_TOPK,
+    CONTAM_FRAC_DEN,
+    CONTAM_FRAC_NUM,
+    bm25_topk,
+    ccnet_perplexity_buckets,
+    contamination_overlap_scores,
+)
+from png_from_pdf_extracter_ray.pipelines.data_quality import domain_reputation
+
+
+@pytest.fixture(scope="module")
+def ccnet(ray_session, sf_dir):  # noqa: ANN001
+    return ccnet_perplexity_buckets(sf_dir).to_pandas()
+
+
+class TestCCNetBuckets:
+    def test_buckets_partition_each_language_by_score(self, ccnet):  # noqa: ANN001
+        assert set(ccnet["bucket"]) == {"head", "middle", "tail"}
+        order = {"tail": 0, "middle": 1, "head": 2}
+        for _, g in ccnet.groupby("lang"):
+            # monotone: every tail score <= every middle score <= head
+            for lo, hi in [("tail", "middle"), ("middle", "head")]:
+                a, b = g[g.bucket == lo], g[g.bucket == hi]
+                if len(a) and len(b):
+                    assert a["logprob"].max() <= b["logprob"].min() + 1e-3
+            # terciles: each bucket holds roughly a third (rounded-key
+            # ties can shift the boundary by one key's worth of docs)
+            counts = g["bucket"].map(order).value_counts()
+            assert counts.min() >= 1
+        assert len(ccnet) == ccnet["doc_id"].nunique()
+
+    def test_every_nonblank_doc_present(self, ccnet, sf_dir):  # noqa: ANN001
+        import duckdb
+
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+            "WHERE trim(text) <> ''"
+        ).fetchone()[0]
+        assert len(ccnet) == n
+
+
+class TestBM25:
+    def test_topk_sorted_and_positive(self, ray_session, sf_dir):  # noqa: ANN001
+        out = bm25_topk(sf_dir)
+        assert len(out) <= BM25_TOPK
+        s = out["score"].to_numpy()
+        assert (s > 0).all()
+        assert (np.diff(s) <= 1e-12).all()  # descending
+
+    def test_top_doc_contains_query_tokens(self, ray_session, sf_dir):  # noqa: ANN001
+        import duckdb
+
+        out = bm25_topk(sf_dir)
+        top_id = int(out["doc_id"].iloc[0])
+        text = duckdb.sql(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+            f"WHERE doc_id = {top_id}"
+        ).fetchone()[0]
+        toks = set(text.strip().lower().split())
+        assert toks & set(BM25_QUERY_TOKENS)
+
+
+class TestContaminationOverlap:
+    def test_counts_and_flag_consistent(self, ray_session, sf_dir):  # noqa: ANN001
+        out = contamination_overlap_scores(sf_dir).to_pandas()
+        assert (out["doc_id"] % BENCHMARK_MOD != 0).all()
+        assert (out["n_hits"] <= out["n_ngrams"]).all()
+        assert (out["n_hits"] >= 0).all()
+        expect = (
+            out["n_hits"] * CONTAM_FRAC_DEN >= out["n_ngrams"] * CONTAM_FRAC_NUM
+        ).astype(np.int64)
+        assert (out["contaminated"] == expect).all()
+
+
+class TestDomainReputation:
+    def test_rate_threshold_is_global_rate(self, ray_session, sf_dir):  # noqa: ANN001
+        out = domain_reputation(sf_dir)
+        assert (out["n_ok"] <= out["n_docs"]).all()
+        tn, tk = int(out["n_docs"].sum()), int(out["n_ok"].sum())
+        expect = (
+            out["n_ok"].to_numpy(np.int64) * tn >= tk * out["n_docs"].to_numpy(np.int64)
+        ).astype(np.int64)
+        assert (out["reputable"] == expect).all()
+        # both classes exist on the synthetic corpus
+        assert out["reputable"].nunique() == 2
+
+
+class TestSourceKL:
+    def test_kl_nonnegative_per_source(self, ray_session, sf_dir):  # noqa: ANN001
+        from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
+            source_kl_divergence,
+        )
+
+        out = source_kl_divergence(sf_dir)
+        assert len(out) == 20  # one row per source
+        assert (out["kl"].to_numpy() >= 0).all()  # KL(p‖q) ≥ 0 (Gibbs)
+
+
+class TestPhraseSearch:
+    def test_matches_contain_phrase(self, ray_session, sf_dir):  # noqa: ANN001
+        import duckdb
+
+        from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
+            PHRASE_QUERY,
+            phrase_search,
+        )
+
+        out = phrase_search(sf_dir).to_pandas()
+        assert (out["n_matches"] >= 1).all()
+        docs = duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).df().set_index("doc_id")["text"]
+        for did in out["doc_id"].head(5):
+            assert PHRASE_QUERY in " ".join(docs.loc[did].strip().lower().split())
+
+
+class TestBlocklistFilter:
+    def test_keep_iff_no_blocked_tokens(self, ray_session, sf_dir):  # noqa: ANN001
+        from png_from_pdf_extracter_ray.pipelines.data_quality import (
+            BLOCKLIST_TOKENS,
+            blocklist_filter,
+        )
+
+        out = blocklist_filter(sf_dir).to_pandas()
+        assert (out["keep"] == (out["n_blocked"] == 0).astype("int64")).all()
+        assert out["keep"].nunique() == 2  # both classes on the synthetic corpus
+        assert len(BLOCKLIST_TOKENS) >= 2
