@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_chunks": textops.token_chunks,
         "doc_length_percentiles": textops.doc_length_percentiles,
         "bpe_encode_docs": mlops.bpe_encode_docs,
+        "unigram_train_vocab": mlops.unigram_train_vocab,
+        "unigram_encode_docs": mlops.unigram_encode_docs,
         # --- raw-output entries (rows-only: list/binary columns) ---
         "text_embeddings": textops.text_embeddings,
         "pages_image_features": textops.pages_image_features,
@@ -519,6 +521,8 @@ def oracle_sql() -> dict[str, str]:
     _ridge_oracle = _rro._oracle_path(_oracle_sf, "ridge_model")
     _bpe_oracle = _rro._oracle_path(_oracle_sf, "bpe_merges")
     _bpe_enc_oracle = _rro._oracle_path(_oracle_sf, "bpe_encode")
+    _uni_vocab_oracle = _rro._oracle_path(_oracle_sf, "unigram_vocab")
+    _uni_enc_oracle = _rro._oracle_path(_oracle_sf, "unigram_encode")
     _cms_oracle = _rro._oracle_path(_oracle_sf, "cms_heavy_hitters")
     _pca_oracle = _rro._oracle_path(_oracle_sf, "pca_projections")
     _ivfpq_oracle = _rro._oracle_path(_oracle_sf, "ivfpq_topk")
@@ -555,6 +559,8 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_ridge_oracle(_oracle_sf)
         _rro.write_bpe_oracle(_oracle_sf)
         _rro.write_bpe_encode_oracle(_oracle_sf)
+        _rro.write_unigram_vocab_oracle(_oracle_sf)
+        _rro.write_unigram_encode_oracle(_oracle_sf)
         _rro.write_cms_oracle(_oracle_sf)
         _rro.write_pca_oracle(_oracle_sf)
         _rro.write_ivfpq_topk_oracle(_oracle_sf)
@@ -706,6 +712,14 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_docs": f"""
             SELECT doc_id, n_words, n_bpe_tokens, bpe_ratio
             FROM read_parquet('{_bpe_enc_oracle}')
+        """,
+        "unigram_train_vocab": f"""
+            SELECT piece_rank, piece, n_uses, logprob
+            FROM read_parquet('{_uni_vocab_oracle}')
+        """,
+        "unigram_encode_docs": f"""
+            SELECT doc_id, n_words, n_pieces, uni_ratio, uni_logprob
+            FROM read_parquet('{_uni_enc_oracle}')
         """,
         "heavy_hitters_cms": f"""
             SELECT token, n_true, n_est FROM read_parquet('{_cms_oracle}')

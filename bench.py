@@ -239,6 +239,8 @@ def bench_queries() -> dict[str, float]:
         "source_kl_divergence",
         "phrase_search",
         "blocklist_filter",
+        "unigram_train_vocab",
+        "unigram_encode_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -116,3 +116,22 @@ def similarity_topk_ivfpq(sf_dir: str, k: int = 10, nprobe: int = 4) -> pd.DataF
                              "score": pd.Series([], dtype="float64")})
     cent, books = ivfpq_train(_unit_rows(sample), n_cells=16, m=PQ_M, ks=PQ_KS)
     return ivfpq_topk(ds, load_query_vector(sf_dir, 0), cent, books, k=k, nprobe=nprobe)
+
+
+def unigram_train_vocab(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training
+    (pipelines/tokenizer.py): distributed capped word-frequency table →
+    driver substring seeding + Viterbi hard-EM + pruning.  Output:
+    (piece_rank, piece, n_uses, logprob)."""
+    from .tokenizer import unigram_train
+
+    return unigram_train(sf_dir)
+
+
+def unigram_encode_docs(sf_dir: str) -> rd.Dataset:
+    """Viterbi-encode every document under the trained unigram vocab
+    via the UnigramEncoder actor pool (pipelines/tokenizer.py).
+    Output: (doc_id, n_words, n_pieces, uni_ratio, uni_logprob)."""
+    from .tokenizer import unigram_encode_docs as _encode
+
+    return _encode(sf_dir)

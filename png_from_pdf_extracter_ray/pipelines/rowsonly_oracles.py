@@ -1345,3 +1345,60 @@ def write_domain_matrix_oracle(sf_dir: str, expand: int = 2) -> str:
         ),
         path,
     )
+
+
+def write_unigram_vocab_oracle(sf_dir: str) -> str:
+    """Oracle for ``unigram_train_vocab``: flat word-frequency table →
+    the same driver Viterbi-EM loop (pipelines/tokenizer.py)."""
+    from ..pipelines.tokenizer import unigram_train_flat
+
+    path = _oracle_path(sf_dir, "unigram_vocab")
+    if os.path.exists(path):
+        return path
+    df = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    ).to_pandas()
+    out = unigram_train_flat(df)
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [
+                    ("piece_rank", pa.int64()),
+                    ("piece", pa.string()),
+                    ("n_uses", pa.int64()),
+                    ("logprob", pa.float64()),
+                ]
+            ),
+        ),
+        path,
+    )
+
+
+def write_unigram_encode_oracle(sf_dir: str) -> str:
+    """Oracle for ``unigram_encode_docs``: flat train + flat Viterbi
+    encode (pipelines/tokenizer.unigram_encode_flat)."""
+    from ..pipelines.tokenizer import unigram_encode_flat
+
+    path = _oracle_path(sf_dir, "unigram_encode")
+    if os.path.exists(path):
+        return path
+    df = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    out = unigram_encode_flat(df)
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_words", pa.int64()),
+                    ("n_pieces", pa.int64()),
+                    ("uni_ratio", pa.float64()),
+                    ("uni_logprob", pa.float64()),
+                ]
+            ),
+        ),
+        path,
+    )

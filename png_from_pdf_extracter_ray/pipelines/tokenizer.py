@@ -235,3 +235,228 @@ def bpe_encode_flat(df: pd.DataFrame) -> pd.DataFrame:
     enc = BpeEncoder(list(zip(merges_df["left_sym"], merges_df["right_sym"])))
     out = enc(df).to_pandas()
     return out.sort_values("doc_id", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, SentencePiece) — train + encode
+# ---------------------------------------------------------------------------
+#
+# Same architecture as BPE above: the corpus-sized work is ONE
+# distributed word-frequency aggregation (bounded table, deterministic
+# cap order); training — seed-substring counting, Viterbi hard-EM
+# re-estimation, vocabulary pruning — runs on the driver over that
+# bounded table, so its floats are single-process and deterministic.
+# Simplifications vs the paper (documented, shared by the flat oracle):
+# hard-EM (Viterbi counts, not forward-backward expectations) and a
+# (count desc, piece asc) prune order instead of likelihood-loss
+# ranking.
+
+UNI_SEED_MAX_LEN = 6
+UNI_SEED_CAP = 2048
+UNI_TARGET_VOCAB = 256
+UNI_EM_ITERS = 4
+UNI_PRUNE_KEEP_FRAC = 0.75
+UNI_UNK_LOGPROB = -20.0
+
+
+def _viterbi_segment(
+    word: str, lp: dict[str, float], max_len: int = UNI_SEED_MAX_LEN
+) -> tuple[list[str], float]:
+    """Best segmentation of ``word`` under piece log-probs ``lp``.
+    Out-of-vocab single chars fall back to UNI_UNK_LOGPROB.  Ties break
+    deterministically: strict improvement only, candidates scanned with
+    ascending split position — the longest piece wins an exact tie."""
+    n = len(word)
+    neg_inf = float("-inf")
+    dp = [neg_inf] * (n + 1)
+    dp[0] = 0.0
+    back = [0] * (n + 1)
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            piece = word[i:j]
+            w = lp.get(piece)
+            if w is None:
+                if j - i > 1:
+                    continue
+                w = UNI_UNK_LOGPROB
+            if dp[i] == neg_inf:
+                continue
+            cand = dp[i] + w
+            if cand > dp[j]:
+                dp[j] = cand
+                back[j] = i
+    pieces: list[str] = []
+    j = n
+    while j > 0:
+        i = back[j]
+        pieces.append(word[i:j])
+        j = i
+    pieces.reverse()
+    return pieces, dp[n]
+
+
+def unigram_vocab_from_wordfreq(
+    words: list[str],
+    freqs: list[int],
+    target_vocab: int = UNI_TARGET_VOCAB,
+    em_iters: int = UNI_EM_ITERS,
+) -> pd.DataFrame:
+    """Driver-side unigram training over the bounded word-frequency
+    table: substring seed vocabulary → Viterbi hard-EM iterations with
+    (count desc, piece asc) pruning toward ``target_vocab``.  Single
+    chars are never pruned (coverage guarantee)."""
+    import math
+
+    # 1. seed: every substring up to UNI_SEED_MAX_LEN, weighted by freq
+    seed: dict[str, int] = {}
+    for w, f in zip(words, freqs):
+        f = int(f)
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + UNI_SEED_MAX_LEN, len(w)) + 1):
+                p = w[i:j]
+                seed[p] = seed.get(p, 0) + f
+    singles = sorted({p for p in seed if len(p) == 1})
+    multis = sorted(
+        ((p, c) for p, c in seed.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(UNI_SEED_CAP - len(singles), 0)]
+    counts: dict[str, int] = {p: seed[p] for p in singles}
+    counts.update(dict(multis))
+
+    def _probs(c: dict[str, int]) -> dict[str, float]:
+        total = float(sum(c.values()))
+        return {p: math.log(n / total) for p, n in c.items() if n > 0}
+
+    lp = _probs(counts)
+    for it in range(em_iters):
+        # E-step (hard): count piece uses along each word's best path
+        used: dict[str, int] = {}
+        for w, f in zip(words, freqs):
+            pieces, _ = _viterbi_segment(w, lp)
+            for p in pieces:
+                used[p] = used.get(p, 0) + int(f)
+        # M-step + prune: keep every single char (even unused, count 0),
+        # shrink multi-char pieces toward the target under the
+        # deterministic (count desc, piece asc) order
+        n_multi_keep = max(target_vocab - len(singles), 0)
+        if it < em_iters - 1:
+            cur = sum(1 for p in used if len(p) > 1)
+            n_multi_keep = max(n_multi_keep, int(cur * UNI_PRUNE_KEEP_FRAC))
+        kept_multi = sorted(
+            ((p, c) for p, c in used.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:n_multi_keep]
+        counts = {p: used.get(p, 0) for p in singles}
+        counts.update(dict(kept_multi))
+        lp = _probs(counts)
+
+    rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pd.DataFrame(
+        {
+            "piece_rank": pd.Series(range(len(rows)), dtype="int64"),
+            "piece": pd.Series([p for p, _ in rows], dtype=object),
+            "n_uses": pd.Series([c for _, c in rows], dtype="int64"),
+            "logprob": pd.Series(
+                [round(lp.get(p, UNI_UNK_LOGPROB), 6) for p, _ in rows],
+                dtype="float64",
+            ),
+        }
+    )
+
+
+def unigram_train(sf_dir: str) -> pd.DataFrame:
+    """Distributed word count → driver EM loop (module section above)."""
+    import os
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    wf = word_freq_distributed(ds)
+    return unigram_vocab_from_wordfreq(wf["token"].tolist(), wf["n"].tolist())
+
+
+def unigram_train_flat(df: pd.DataFrame) -> pd.DataFrame:
+    """Single-process twin for the oracle."""
+    wf = word_freq_flat(df)
+    return unigram_vocab_from_wordfreq(wf["token"].tolist(), wf["n"].tolist())
+
+
+class UnigramEncoder:
+    """Actor-pool encode stage: the piece log-prob table is actor state
+    (loaded once per worker), with a per-actor word→(n_pieces, logprob)
+    memo (Zipf).  Output per doc: word/piece counts, compression ratio,
+    and the summed best-path log-likelihood (a tokenizer-level quality
+    score)."""
+
+    def __init__(self, vocab_json: str | None = None, id_col: str = "doc_id") -> None:
+        import json
+
+        self.lp: dict[str, float] = dict(json.loads(vocab_json or "{}"))
+        self.id_col = id_col
+        self.memo: dict[str, tuple[int, float]] = {}
+
+    def _word(self, w: str) -> tuple[int, float]:
+        v = self.memo.get(w)
+        if v is None:
+            pieces, score = _viterbi_segment(w, self.lp)
+            v = (len(pieces), score)
+            self.memo[w] = v
+        return v
+
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
+        s = df["text"].fillna("").str.strip().str.lower()
+        n_words = np.zeros(len(df), dtype=np.int64)
+        n_pieces = np.zeros(len(df), dtype=np.int64)
+        logprob = np.zeros(len(df), dtype=np.float64)
+        for i, text in enumerate(s):
+            if not text:
+                continue
+            toks = _WS.split(text)
+            n_words[i] = len(toks)
+            np_i = 0
+            lp_i = 0.0
+            for w in toks:
+                k, sc = self._word(w)
+                np_i += k
+                lp_i += sc
+            n_pieces[i] = np_i
+            logprob[i] = lp_i
+        ratio = np.where(n_words > 0, n_pieces / np.maximum(n_words, 1), 0.0)
+        return pa.Table.from_pydict(
+            {
+                self.id_col: pa.array(df[self.id_col].to_numpy("int64")),
+                "n_words": pa.array(n_words),
+                "n_pieces": pa.array(n_pieces),
+                "uni_ratio": pa.array(np.round(ratio, 6)),
+                "uni_logprob": pa.array(np.round(logprob, 6)),
+            }
+        )
+
+
+def unigram_encode_docs(sf_dir: str) -> rd.Dataset:
+    """Train the unigram vocab (distributed word count → driver EM),
+    then Viterbi-encode every document with a UnigramEncoder actor
+    pool."""
+    import json
+    import os
+
+    vocab = unigram_train(sf_dir)
+    lp = dict(zip(vocab["piece"], (float(x) for x in vocab["logprob"])))
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        UnigramEncoder,
+        fn_constructor_kwargs={"vocab_json": json.dumps(lp)},
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+
+def unigram_encode_flat(df: pd.DataFrame) -> pd.DataFrame:
+    """Single-process twin of ``unigram_encode_docs`` for the oracle."""
+    import json
+
+    vocab = unigram_train_flat(df)
+    lp = dict(zip(vocab["piece"], (float(x) for x in vocab["logprob"])))
+    enc = UnigramEncoder(vocab_json=json.dumps(lp))
+    out = enc(df).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)

@@ -138,3 +138,41 @@ class TestBlocklistFilter:
         assert (out["keep"] == (out["n_blocked"] == 0).astype("int64")).all()
         assert out["keep"].nunique() == 2  # both classes on the synthetic corpus
         assert len(BLOCKLIST_TOKENS) >= 2
+
+
+class TestUnigramTokenizer:
+    def test_viterbi_prefers_high_prob_long_pieces(self):
+        from png_from_pdf_extracter_ray.pipelines.tokenizer import _viterbi_segment
+
+        lp = {"ab": -1.0, "a": -2.0, "b": -2.0, "c": -3.0}
+        pieces, score = _viterbi_segment("abc", lp)
+        assert pieces == ["ab", "c"]
+        assert abs(score - (-4.0)) < 1e-12
+
+    def test_unknown_char_falls_back_to_unk(self):
+        from png_from_pdf_extracter_ray.pipelines.tokenizer import (
+            UNI_UNK_LOGPROB,
+            _viterbi_segment,
+        )
+
+        pieces, score = _viterbi_segment("xy", {"x": -1.0})
+        assert pieces == ["x", "y"]
+        assert abs(score - (-1.0 + UNI_UNK_LOGPROB)) < 1e-12
+
+    def test_vocab_covers_all_single_chars(self, ray_session, sf_dir):  # noqa: ANN001
+        from png_from_pdf_extracter_ray.pipelines.mlops import unigram_train_vocab
+
+        v = unigram_train_vocab(sf_dir)
+        singles = set(v[v["piece"].str.len() == 1]["piece"])
+        multis = v[v["piece"].str.len() > 1]["piece"]
+        # every char of every multi-char piece is itself in the vocab
+        assert all(ch in singles for p in multis for ch in p)
+        assert (v["n_uses"].to_numpy()[:-1] >= v["n_uses"].to_numpy()[1:]).all()
+
+    def test_encode_counts_consistent(self, ray_session, sf_dir):  # noqa: ANN001
+        from png_from_pdf_extracter_ray.pipelines.mlops import unigram_encode_docs
+
+        out = unigram_encode_docs(sf_dir).to_pandas()
+        nz = out[out["n_words"] > 0]
+        assert (nz["n_pieces"] >= nz["n_words"]).all()  # each word ≥ 1 piece
+        assert (nz["uni_logprob"] < 0).all()
