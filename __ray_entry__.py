@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkgraph_hits": lg.linkgraph_hits,
         "crawl_frontier_urls": lg.crawl_frontier_urls,
         "domain_link_matrix": lg.domain_link_matrix,
+        "link_khop_reach": lg.link_khop_reach,
         # --- dedup family long tail ---
         "minhash_dedup_keep_best": textops.minhash_dedup_keep_best,
         "pages_phash_dedup_groups": textops.pages_phash_dedup_groups,
@@ -537,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
     _lg_frontier_oracle = _rro._oracle_path(_oracle_sf, "crawl_frontier")
     _pages_slim_oracle = _rro._oracle_path(_oracle_sf, "pages_slim")
     _domain_matrix_oracle = _rro._oracle_path(_oracle_sf, "domain_matrix")
+    _link_edges_oracle = _rro._oracle_path(_oracle_sf, "link_edges")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -569,6 +571,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_linkgraph_graph_oracles(_oracle_sf)
         _rro.write_crawl_frontier_oracle(_oracle_sf)
         _rro.write_pages_slim_oracle(_oracle_sf)
+        _rro.write_link_edges_oracle(_oracle_sf)
         _rro.write_domain_matrix_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
@@ -1940,6 +1943,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN len(list_filter(ts, x -> x IN ({_bl_inlist}))) = 0
                          THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM t
+    """
+    from png_from_pdf_extracter_ray.stages.linkgraph import (
+        KHOP_MAX_HOPS as _KHOP_K,
+    )
+    from png_from_pdf_extracter_ray.stages.linkgraph import (
+        KHOP_SEED_MOD as _KHOP_MOD,
+    )
+
+    # k-hop reachability: the engine runs a distributed bucketed BFS;
+    # the oracle is a fully DECLARATIVE recursive CTE over the flat edge
+    # parquet — opposite architectures must agree on every (node, hops).
+    sql["link_khop_reach"] = f"""
+        WITH RECURSIVE reach(node, hops) AS (
+            SELECT node, CAST(0 AS BIGINT) AS hops FROM (
+                SELECT src AS node FROM read_parquet('{_link_edges_oracle}')
+                UNION
+                SELECT dst AS node FROM read_parquet('{_link_edges_oracle}')
+            ) WHERE node % {_KHOP_MOD} = 0
+            UNION
+            SELECT e.dst AS node, r.hops + 1 AS hops
+            FROM reach r JOIN read_parquet('{_link_edges_oracle}') e
+              ON e.src = r.node
+            WHERE r.hops < {_KHOP_K}
+        )
+        SELECT node, MIN(hops) AS hops FROM reach GROUP BY node
     """
     sql["domain_reputation"] = f"""
         WITH d AS (

@@ -439,3 +439,17 @@ def domain_link_matrix(sf_dir: str, num_buckets: int = 32) -> pd.DataFrame:
             }
         )
     return out.sort_values(["src_domain", "dst_domain"], ignore_index=True)
+
+
+def link_khop_reach(sf_dir: str) -> pd.DataFrame:
+    """Nodes reachable within KHOP_MAX_HOPS of the deterministic seed
+    set (``node % KHOP_SEED_MOD == 0``) with min-hop distances — the
+    crawl-scheduling / neighborhood-sampling query.  Distributed BFS
+    (stages/linkgraph.khop_reach: bucketed frontier⋈edges joins +
+    B-group min folds); the oracle is a DuckDB RECURSIVE CTE over the
+    flat edge parquet — a fully declarative opposite architecture."""
+    from ..stages.linkgraph import khop_reach
+
+    edges = doc_edges(_deduped_pages_payloads(sf_dir))
+    out = khop_reach(edges).to_pandas()
+    return out.sort_values("node", ignore_index=True)[["node", "hops"]]

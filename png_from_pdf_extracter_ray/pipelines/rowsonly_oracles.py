@@ -1402,3 +1402,18 @@ def write_unigram_encode_oracle(sf_dir: str) -> str:
         ),
         path,
     )
+
+
+def write_link_edges_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Flat distinct doc→doc edge table (same parse kernel, dense
+    single-process pass) — the declarative-SQL substrate for the
+    recursive k-hop reachability oracle."""
+    path = _oracle_path(sf_dir, "link_edges", expand)
+    if os.path.exists(path):
+        return path
+    edges = _flat_doc_edges(sf_dir, expand=expand)[["src", "dst"]].astype("int64")
+    edges = edges.sort_values(["src", "dst"], ignore_index=True)
+    return _commit(
+        _from_pandas(edges, pa.schema([("src", pa.int64()), ("dst", pa.int64())])),
+        path,
+    )

@@ -745,3 +745,125 @@ def pagerank_flat(
         np.add.at(in_sum, dst, contrib)
         rank = _teleport_base(dangling, n, scale) + (85 * in_sum) // 100
     return pd.DataFrame({"node": node_ids.astype(np.int64), "rank_micros": rank})
+
+
+# ---------------------------------------------------------------------------
+# k-hop reachability (BFS with min-hop labels from a seed set)
+# ---------------------------------------------------------------------------
+
+KHOP_SEED_MOD = 41
+KHOP_MAX_HOPS = 3
+
+_KHOP_SCHEMA = pa.schema(
+    [("node", pa.int64()), ("hops", pa.int64()), (_BUCKET, pa.int32())]
+)
+
+
+def khop_reach(
+    edges: rd.Dataset,
+    k: int = KHOP_MAX_HOPS,
+    seed_mod: int = KHOP_SEED_MOD,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Min-hop BFS labels: every node reachable within ``k`` hops of the
+    seed set (``node % seed_mod == 0``), with its hop distance — the
+    crawl-scheduling / neighborhood-sampling primitive.
+
+    Exactly k rounds of (frontier ⋈ edges bucketed join → candidate
+    fold); labels carry their node bucket so the per-round min-fold is a
+    B-group ``map_groups``, never one Ray group per node and never a
+    global sort.  The frontier at round h is the label rows whose min
+    hop is exactly h-1 — re-reached nodes fold to their earlier hop, so
+    each node is expanded at most once across rounds (textbook BFS
+    work bound, O(edges) total over all rounds)."""
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    nodes = link_nodes(edges, num_buckets=num_buckets)
+
+    def seed(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(node % seed_mod == 0))
+        b = stable_bucket_ids(t["node"], num_buckets) if t.num_rows else np.empty(0, np.int32)
+        return pa.Table.from_pydict(
+            {
+                "node": t["node"],
+                "hops": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                _BUCKET: pa.array(b, pa.int32()),
+            },
+            schema=_KHOP_SCHEMA,
+        )
+
+    labels = nodes.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def min_fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("node", as_index=False, sort=False).agg(
+            hops=("hops", "min"), **{_BUCKET: (_BUCKET, "first")}
+        )
+        return pa.Table.from_pandas(agg, schema=_KHOP_SCHEMA, preserve_index=False)
+
+    for h in range(1, k + 1):
+
+        def frontier_rows(batch: pa.Table, want: int = h - 1) -> pa.Table:
+            t = batch.filter(pa.compute.equal(batch["hops"], want))
+            return pa.Table.from_pydict({"src": t["node"]})
+
+        frontier = labels.map_batches(frontier_rows, batch_format="pyarrow")
+        joined = bucketed_hash_join(
+            frontier, edges, on="src", num_buckets=num_buckets
+        )
+
+        def cand(batch: pa.Table, hop: int = h) -> pa.Table:
+            dst = batch["dst"]
+            b = (
+                stable_bucket_ids(dst, num_buckets)
+                if batch.num_rows
+                else np.empty(0, np.int32)
+            )
+            return pa.Table.from_pydict(
+                {
+                    "node": dst,
+                    "hops": pa.array(
+                        np.full(batch.num_rows, hop, np.int64), pa.int64()
+                    ),
+                    _BUCKET: pa.array(b, pa.int32()),
+                },
+                schema=_KHOP_SCHEMA,
+            )
+
+        cands = joined.map_batches(cand, batch_format="pyarrow")
+        labels = (
+            labels.union(cands)
+            .groupby(_BUCKET)
+            .map_groups(min_fold, batch_format="pandas")
+            .materialize()
+        )
+
+    return labels.drop_columns([_BUCKET])
+
+
+def khop_reach_flat(
+    edges: pd.DataFrame, k: int = KHOP_MAX_HOPS, seed_mod: int = KHOP_SEED_MOD
+) -> pd.DataFrame:
+    """Dense single-process BFS twin of :func:`khop_reach`."""
+    edges = edges.drop_duplicates(["src", "dst"])
+    edges = edges[edges["src"] != edges["dst"]]
+    nodes = np.unique(
+        np.concatenate([edges["src"].to_numpy(), edges["dst"].to_numpy()])
+    )
+    hops = {int(n): 0 for n in nodes if int(n) % seed_mod == 0}
+    adj: dict[int, list[int]] = {}
+    for s, d in zip(edges["src"].to_numpy(), edges["dst"].to_numpy()):
+        adj.setdefault(int(s), []).append(int(d))
+    frontier = sorted(hops)
+    for h in range(1, k + 1):
+        nxt = []
+        for s in frontier:
+            for d in adj.get(s, ()):
+                if d not in hops:
+                    hops[d] = h
+                    nxt.append(d)
+        frontier = sorted(set(nxt))
+    out = pd.DataFrame(
+        {"node": pd.Series(sorted(hops), dtype="int64")}
+    )
+    out["hops"] = out["node"].map(hops).astype("int64")
+    return out

@@ -313,3 +313,44 @@ class TestEngineVsFlat:
             eng.astype("int64").reset_index(drop=True), ora
         )
         assert int(eng["n_links"].iloc[0]) > 0
+
+
+class TestKhopReach:
+    def test_khop_matches_flat_bfs_on_noisy_random_graph(self, ray_session):  # noqa: ANN001
+        import ray.data as rd
+
+        from png_from_pdf_extracter_ray.stages.linkgraph import (
+            khop_reach,
+            khop_reach_flat,
+        )
+
+        rng = np.random.RandomState(11)
+        u = rng.randint(0, 400, 600)
+        v = rng.randint(0, 400, 600)
+        edges = pd.DataFrame(
+            {
+                # duplicates + self-loops exercise normalization
+                "src": np.concatenate([u, u[:80], np.arange(15)]).astype(np.int64),
+                "dst": np.concatenate([v, v[:80], np.arange(15)]).astype(np.int64),
+            }
+        )
+        eng = (
+            khop_reach(rd.from_pandas(edges), k=3, seed_mod=41, num_buckets=7)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        flat = khop_reach_flat(edges, k=3, seed_mod=41)
+        pd.testing.assert_frame_equal(eng[["node", "hops"]], flat)
+
+    def test_seeds_have_hop_zero_and_hops_bounded(self, ray_session, sf_dir):  # noqa: ANN001
+        from png_from_pdf_extracter_ray.pipelines.linkgraph import link_khop_reach
+        from png_from_pdf_extracter_ray.stages.linkgraph import (
+            KHOP_MAX_HOPS,
+            KHOP_SEED_MOD,
+        )
+
+        out = link_khop_reach(sf_dir)
+        assert (out["hops"] >= 0).all() and (out["hops"] <= KHOP_MAX_HOPS).all()
+        seeds = out[out["node"] % KHOP_SEED_MOD == 0]
+        assert (seeds["hops"] == 0).all()
+        assert len(seeds) and len(out) > len(seeds)
