@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_ivfpq": mlops.similarity_topk_ivfpq,
         # --- windows long tail ---
         "events_sliding_window": rel.events_sliding_window,
+        "events_retention_cohorts": rel.events_retention_cohorts,
         # --- incremental-crawl long tail ---
         "pages_latest_snapshot": snaps.pages_latest_snapshot,
         # --- TPC-H long tail ---
@@ -1981,6 +1982,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN n_ok * tot.tn >= tot.tk * n_docs
                          THEN 1 ELSE 0 END AS BIGINT) AS reputable
         FROM agg CROSS JOIN tot
+    """
+    sql["events_retention_cohorts"] = """
+        WITH a AS (
+            SELECT DISTINCT user_id,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+            FROM events
+        ),
+        f AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id)
+        SELECT f.cohort_day,
+               a.day - f.cohort_day AS age_days,
+               COUNT(*) AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY f.cohort_day, a.day - f.cohort_day
     """
     sql["token_chunks"] = """
         WITH toks AS (

@@ -2821,3 +2821,59 @@ def q2_min_cost_supplier(
         ignore_index=True,
     ).head(k)
     return win[["s_acctbal", "s_name", "n_name", "p_partkey", "min_cost"]]
+
+
+def events_retention_cohorts(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Retention-cohort matrix: users grouped by first-activity day
+    (cohort), counted on each later activity day by age — the classic
+    product-analytics triangle.  Days are integer epoch days (µs //
+    86_400_000_000), so every value is an exact int.
+
+    Scale shape: ONE bucketed shuffle by user (all of a user's events
+    co-locate) computes, vectorized per bucket, both the distinct
+    (user, day) activity pairs and each user's min day — emitting tiny
+    (cohort_day, age_days, partial count) rows; the driver folds the
+    bounded days×days matrix.  No N-sized state anywhere."""
+    import pyarrow.compute as pc
+
+    US_PER_DAY = 86_400_000_000
+
+    def days(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "user_id": t["user_id"],
+                "day": pc.cast(pc.divide(us, US_PER_DAY), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        days, batch_format="pyarrow"
+    )
+
+    def cohort_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        act = g[["user_id", "day"]].drop_duplicates()
+        cohort = act.groupby("user_id", sort=False)["day"].transform("min")
+        out = (
+            pd.DataFrame(
+                {"cohort_day": cohort, "age_days": act["day"] - cohort, "n": 1}
+            )
+            .groupby(["cohort_day", "age_days"], as_index=False, sort=False)["n"]
+            .sum()
+        )
+        return out.astype(
+            {"cohort_day": "int64", "age_days": "int64", "n": "int64"}
+        )
+
+    folded = (
+        _bucket_by(ds, "user_id", num_buckets)
+        .groupby("__bucket")
+        .map_groups(cohort_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        folded.groupby(["cohort_day", "age_days"], as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_users"})
+    )
+    return out.sort_values(["cohort_day", "age_days"], ignore_index=True)

@@ -176,3 +176,24 @@ class TestUnigramTokenizer:
         nz = out[out["n_words"] > 0]
         assert (nz["n_pieces"] >= nz["n_words"]).all()  # each word ≥ 1 piece
         assert (nz["uni_logprob"] < 0).all()
+
+
+class TestRetentionCohorts:
+    def test_cohort_triangle_invariants(self, ray_session, sf_dir):  # noqa: ANN001
+        import duckdb
+
+        from png_from_pdf_extracter_ray.pipelines.relational import (
+            events_retention_cohorts,
+        )
+
+        out = events_retention_cohorts(sf_dir)
+        assert (out["age_days"] >= 0).all()
+        # day-0 row exists for every cohort (a user is active on their
+        # own first day by definition)
+        zero = out[out["age_days"] == 0]
+        assert set(zero["cohort_day"]) == set(out["cohort_day"])
+        # total distinct users = sum of day-0 cohort sizes
+        n_users = duckdb.sql(
+            f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchone()[0]
+        assert int(zero["n_users"].sum()) == n_users
