@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": corpus_stats.bm25_topk,
         "contamination_overlap_scores": corpus_stats.contamination_overlap_scores,
         "source_kl_divergence": corpus_stats.source_kl_divergence,
+        "vocab_zipf_fit": corpus_stats.vocab_zipf_fit,
         "phrase_search": corpus_stats.phrase_search,
         "token_chunks": textops.token_chunks,
         "doc_length_percentiles": textops.doc_length_percentiles,
@@ -1982,6 +1983,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN n_ok * tot.tn >= tot.tk * n_docs
                          THEN 1 ELSE 0 END AS BIGINT) AS reputable
         FROM agg CROSS JOIN tot
+    """
+    sql["vocab_zipf_fit"] = """
+        WITH tot AS (
+            SELECT token, COUNT(*) AS n FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents WHERE trim(text) <> ''
+            ) GROUP BY token
+        ),
+        ranked AS (
+            SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE)) AS lx,
+                   ln(CAST(n AS DOUBLE)) AS ly
+            FROM tot
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+               ROUND(regr_slope(ly, lx), 6) AS slope,
+               ROUND(AVG(ly) - regr_slope(ly, lx) * AVG(lx), 6) AS intercept
+        FROM ranked
     """
     sql["events_retention_cohorts"] = """
         WITH a AS (

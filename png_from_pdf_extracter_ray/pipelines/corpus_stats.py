@@ -1158,3 +1158,47 @@ def phrase_search(sf_dir: str) -> "rd.Dataset":
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(scan, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit over the vocabulary (corpus health diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def vocab_zipf_fit(sf_dir: str) -> pd.DataFrame:
+    """Least-squares fit of ``ln(count) = slope·ln(rank) + intercept``
+    over the full vocabulary (rank = 1-based frequency rank, ties broken
+    by token asc) — the Zipf-law corpus-health diagnostic (natural text
+    sits near slope ≈ −1; template/boilerplate corpora flatten it).
+
+    Scale shape: the fit needs only the vocabulary-sized (token, n)
+    table — the same bucketed aggregation every vocab op here rides —
+    and two driver-side closed-form sums.  The rank order and the
+    regression formula (slope = cov/var over ln-transformed pairs) are
+    mirrored exactly by the oracle's window rank + ``regr_slope``."""
+    totals = (
+        _bucketed_token_sum(_docs(sf_dir, ["text"]), distinct_per_doc=False)
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True], ignore_index=True)
+    )
+    if totals.empty:
+        return pd.DataFrame(
+            {
+                "n_vocab": pd.Series([], dtype="int64"),
+                "slope": pd.Series([], dtype="float64"),
+                "intercept": pd.Series([], dtype="float64"),
+            }
+        )
+    x = np.log(np.arange(1, len(totals) + 1, dtype=np.float64))
+    y = np.log(totals["n"].to_numpy(np.float64))
+    mx, my = x.mean(), y.mean()
+    cov = ((x - mx) * (y - my)).mean()
+    var = ((x - mx) ** 2).mean()
+    slope = cov / var
+    return pd.DataFrame(
+        {
+            "n_vocab": pd.Series([len(totals)], dtype="int64"),
+            "slope": pd.Series([round(slope, 6)], dtype="float64"),
+            "intercept": pd.Series([round(my - slope * mx, 6)], dtype="float64"),
+        }
+    )

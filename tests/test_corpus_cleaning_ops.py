@@ -197,3 +197,23 @@ class TestRetentionCohorts:
             f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{sf_dir}/events.parquet')"
         ).fetchone()[0]
         assert int(zero["n_users"].sum()) == n_users
+
+
+class TestZipfFit:
+    def test_slope_negative_and_rank1_prediction_sane(self, ray_session, sf_dir):  # noqa: ANN001
+        from png_from_pdf_extracter_ray.pipelines.corpus_stats import vocab_zipf_fit
+
+        out = vocab_zipf_fit(sf_dir)
+        assert len(out) == 1
+        slope = float(out["slope"].iloc[0])
+        assert slope < 0  # frequency decreases with rank
+        # intercept ≈ ln(count at rank 1): within an order of magnitude
+        import duckdb
+
+        top = duckdb.sql(
+            f"""SELECT COUNT(*) FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+                FROM read_parquet('{sf_dir}/documents.parquet') WHERE trim(text) <> ''
+            ) GROUP BY t ORDER BY 1 DESC LIMIT 1"""
+        ).fetchone()[0]
+        assert abs(float(out["intercept"].iloc[0]) - np.log(top)) < 2.5
