@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_domain_capped": dq.pages_domain_capped,
         "domain_reputation": dq.domain_reputation,
         "blocklist_filter": dq.blocklist_filter,
+        "incremental_new_docs": dq.incremental_new_docs,
         # --- corpus statistics (all SQL-checked) ---
         "vocab_top_tokens": corpus_stats.vocab_top_tokens,
         "token_doc_frequency": corpus_stats.token_doc_frequency,
@@ -1983,6 +1984,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN n_ok * tot.tn >= tot.tk * n_docs
                          THEN 1 ELSE 0 END AS BIGINT) AS reputable
         FROM agg CROSS JOIN tot
+    """
+    from png_from_pdf_extracter_ray.pipelines.data_quality import (
+        INC_DELTA_MOD as _INC_MOD,
+    )
+
+    sql["incremental_new_docs"] = f"""
+        WITH p AS (
+            SELECT url, warc_us, text_md5,
+                   CAST(regexp_extract(url, 'https://site([0-9]+)\\.', 1) AS BIGINT)
+                       AS site
+            FROM read_parquet('{_pages_slim_oracle}')
+        )
+        SELECT url, warc_us FROM p
+        WHERE site % {_INC_MOD} = 0
+          AND text_md5 NOT IN (
+              SELECT text_md5 FROM p WHERE site % {_INC_MOD} <> 0
+          )
     """
     sql["vocab_zipf_fit"] = """
         WITH tot AS (

@@ -1198,3 +1198,75 @@ def blocklist_filter(sf_dir: str) -> "rd.Dataset":
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(scan, batch_format="pandas")
+
+
+# Incremental-ingest split: pages on sites with site_no % INC_DELTA_MOD == 0
+# are the DELTA crawl batch; everything else is the accumulated BASE
+# corpus (shared with the DuckDB oracle).
+INC_DELTA_MOD = 5
+INC_SITE_RE = r"^https://site([0-9]+)\."
+
+
+def incremental_new_docs(sf_dir: str, num_buckets: int = 32) -> pd.DataFrame:
+    """Incremental-crawl dedup: which page snapshots of the DELTA crawl
+    batch (sites with ``site_no % INC_DELTA_MOD == 0``) carry content
+    never seen in the BASE corpus — their text fingerprint matches no
+    base snapshot.  The pattern every continuously-ingesting pipeline
+    runs per crawl batch: dedup the new batch against the accumulated
+    corpus without recomputing the corpus.  The synthetic corpus gives
+    it real variance both ways: a delta page's sibling variant usually
+    landed on a base site (duplicate), recrawl-drift snapshots are
+    genuinely new.
+
+    Scale shape: both sides reduce to fingerprint rows per batch (the
+    text never shuffles; the base side ships DISTINCT fps only); one
+    bucketed ANTI join by fingerprint keeps both sides distributed.
+    Output: (url, warc_us) of the genuinely-new delta snapshots."""
+    from ..pipelines.snapshots import _slim_pages
+    from ..stages.joins import bucketed_hash_join
+
+    def tag_site(df: pd.DataFrame) -> pd.DataFrame:
+        site = (
+            df["url"].str.extract(INC_SITE_RE, expand=False).astype("int64")
+        )
+        return df.assign(__delta=(site % INC_DELTA_MOD == 0))
+
+    def delta_side(df: pd.DataFrame) -> pa.Table:
+        out = tag_site(df)
+        out = out[out["__delta"]]
+        return pa.Table.from_pandas(
+            out[["url", "warc_us", "text_md5"]],
+            schema=pa.schema(
+                [("url", pa.string()), ("warc_us", pa.int64()), ("text_md5", pa.string())]
+            ),
+            preserve_index=False,
+        )
+
+    def base_side(df: pd.DataFrame) -> pa.Table:
+        out = tag_site(df)
+        out = out[~out["__delta"]]
+        # the anti-join probes existence only — ship distinct fps, not rows
+        return pa.Table.from_pandas(
+            out[["text_md5"]].drop_duplicates(),
+            schema=pa.schema([("text_md5", pa.string())]),
+            preserve_index=False,
+        )
+
+    # one synthesis pass feeds both join sides (the slim projection is
+    # 3 narrow columns — the materialize is spillable and ≪ the corpus)
+    slim = _slim_pages(sf_dir).materialize()
+    delta = slim.map_batches(delta_side, batch_format="pandas")
+    base = slim.map_batches(base_side, batch_format="pandas")
+    new = bucketed_hash_join(
+        delta, base, on="text_md5", num_buckets=num_buckets, how="anti"
+    )
+    out = new.to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"url": pd.Series([], dtype=object), "warc_us": pd.Series([], dtype="int64")}
+        )
+    return (
+        out[["url", "warc_us"]]
+        .astype({"warc_us": "int64"})
+        .sort_values(["url", "warc_us"], ignore_index=True)
+    )

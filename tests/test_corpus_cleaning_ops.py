@@ -217,3 +217,24 @@ class TestZipfFit:
             ) GROUP BY t ORDER BY 1 DESC LIMIT 1"""
         ).fetchone()[0]
         assert abs(float(out["intercept"].iloc[0]) - np.log(top)) < 2.5
+
+
+class TestIncrementalNewDocs:
+    def test_new_snapshots_are_strict_subset_of_delta(self, ray_session, sf_dir):  # noqa: ANN001
+        from png_from_pdf_extracter_ray.pipelines.data_quality import (
+            INC_DELTA_MOD,
+            INC_SITE_RE,
+            incremental_new_docs,
+        )
+
+        out = incremental_new_docs(sf_dir)
+        site = out["url"].str.extract(INC_SITE_RE, expand=False).astype("int64")
+        assert (site % INC_DELTA_MOD == 0).all()  # only delta-site snapshots
+        assert 0 < len(out)  # drifted recrawls and delta-only docs exist
+        # and some delta snapshots were deduped away (sibling on a base site)
+        from png_from_pdf_extracter_ray.pipelines.snapshots import _slim_pages
+
+        slim = _slim_pages(sf_dir).to_pandas()
+        ds = slim["url"].str.extract(INC_SITE_RE, expand=False).astype("int64")
+        n_delta = int((ds % INC_DELTA_MOD == 0).sum())
+        assert len(out) < n_delta
