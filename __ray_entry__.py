@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from png_from_pdf_extracter_ray.pipelines import relational as rel
     from png_from_pdf_extracter_ray.pipelines import snapshots as snaps
     from png_from_pdf_extracter_ray.pipelines import textops
+    from png_from_pdf_extracter_ray.pipelines import urlops
     from png_from_pdf_extracter_ray.pipelines.extract_pipeline import flagship
 
     from png_from_pdf_extracter_ray.pipelines.summary import flagship_summary
@@ -173,10 +174,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windows over the flat slim-pages parquet; q7 moved to the
         # TPC-H long tail to keep the window at one rep per family) ---
         "pages_snapshot_churn": snaps.pages_snapshot_churn,
+        # --- url-ops family rep (canonicalization + canonical-key
+        # dedup; SQL-checked vs an INDEPENDENT DuckDB regexp/string
+        # canonicalization over the flat messy-urls parquet;
+        # events_type_hour_pivot moved to the long tail — the events
+        # family keeps as-of/sessionize/funnel reps in the window) ---
+        "canonical_url_dedup": urlops.canonical_url_dedup,
         # --- windows / as-of / pivot / funnel / correlation ---
         "events_asof_last_purchase": rel.events_asof_last_purchase,
         "events_sessionize": rel.events_sessionize,
-        "events_type_hour_pivot": rel.events_type_hour_pivot,
         "events_funnel_counts": rel.events_funnel_counts,
         "lineitem_correlations": rel.lineitem_correlations,
         # --- corpus statistics / packing / data quality reps ---
@@ -206,8 +212,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- windows long tail ---
         "events_sliding_window": rel.events_sliding_window,
         "events_retention_cohorts": rel.events_retention_cohorts,
-        # --- incremental-crawl long tail ---
+        "events_type_hour_pivot": rel.events_type_hour_pivot,
+        # --- incremental-crawl / url-ops long tail ---
         "pages_latest_snapshot": snaps.pages_latest_snapshot,
+        "url_canonicalize": urlops.url_canonicalize,
         # --- TPC-H long tail ---
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q8_market_share": rel.q8_market_share,
@@ -278,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_reputation": dq.domain_reputation,
         "blocklist_filter": dq.blocklist_filter,
         "incremental_new_docs": dq.incremental_new_docs,
+        "paragraph_dedup": dq.paragraph_dedup_docs,
         # --- corpus statistics (all SQL-checked) ---
         "vocab_top_tokens": corpus_stats.vocab_top_tokens,
         "token_doc_frequency": corpus_stats.token_doc_frequency,
@@ -545,6 +554,8 @@ def oracle_sql() -> dict[str, str]:
     _pages_slim_oracle = _rro._oracle_path(_oracle_sf, "pages_slim")
     _domain_matrix_oracle = _rro._oracle_path(_oracle_sf, "domain_matrix")
     _link_edges_oracle = _rro._oracle_path(_oracle_sf, "link_edges")
+    _messy_urls_oracle = _rro._oracle_path(_oracle_sf, "messy_urls")
+    _extracted_text_oracle = _rro._oracle_path(_oracle_sf, "extracted_text")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -579,6 +590,8 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_pages_slim_oracle(_oracle_sf)
         _rro.write_link_edges_oracle(_oracle_sf)
         _rro.write_domain_matrix_oracle(_oracle_sf)
+        _rro.write_messy_urls_oracle(_oracle_sf)
+        _rro.write_extracted_text_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -646,6 +659,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, n_removed, text_clean
             FROM read_parquet('{_xdoc_oracle}')
         """,
+        # --- C4-style paragraph dedup: the flat extraction parquet is
+        # the INPUT (kernel necessarily shared); the split / winner /
+        # reassembly logic is a REAL declarative DuckDB implementation
+        # (generate_subscripts explode + row_number window) vs the
+        # engine's two bucketed shuffles + left join ---
+        "paragraph_dedup": f"""
+            WITH d AS (
+                SELECT url, extracted_text
+                FROM read_parquet('{_extracted_text_oracle}')
+                WHERE extracted_text <> ''
+            ), e AS (
+                SELECT url, generate_subscripts(l, 1) - 1 AS idx,
+                       unnest(l) AS para
+                FROM (SELECT url,
+                             string_split(extracted_text,
+                                          chr(10) || chr(10)) AS l
+                      FROM d)
+            ), ne AS (
+                SELECT * FROM e WHERE para <> ''
+            ), k AS (
+                SELECT url, idx, para,
+                       row_number() OVER (
+                           PARTITION BY md5(para) ORDER BY url, idx
+                       ) AS rn
+                FROM ne
+            )
+            SELECT url,
+                   COUNT(*) AS n_paras,
+                   CAST(COALESCE(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_kept,
+                   COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+                                       chr(10) || chr(10) ORDER BY idx),
+                            '') AS text_clean
+            FROM k GROUP BY url
+        """,
         "pages_phash_dedup_groups": f"""
             SELECT page_id, group_id FROM read_parquet('{_phash_groups_oracle}')
         """,
@@ -668,6 +716,100 @@ def oracle_sql() -> dict[str, str]:
                        AS n_changes,
                    MIN(warc_us) AS first_us, MAX(warc_us) AS last_us
             FROM s GROUP BY url
+        """,
+        # --- url-ops: the messy-urls parquet is the INPUT; the checked
+        # logic is an INDEPENDENT DuckDB regexp/string-function
+        # implementation of the 6-step canonicalization spec
+        # (pipelines/urlops.py module docstring) vs the engine's
+        # compiled-regex Python kernel ---
+        "url_canonicalize": f"""
+            WITH m AS (
+                SELECT raw_url, warc_us,
+                       regexp_extract(split_part(raw_url, '#', 1), '^[^?]*')
+                           AS base,
+                       regexp_replace(split_part(raw_url, '#', 1),
+                                      '^[^?]*\\??', '') AS qs
+                FROM read_parquet('{_messy_urls_oracle}')
+            ), p AS (
+                SELECT raw_url, warc_us, qs,
+                       lower(regexp_extract(base,
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]*')) AS auth,
+                       substr(base, length(regexp_extract(base,
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]*')) + 1) AS pth
+                FROM m
+            ), n AS (
+                SELECT raw_url, warc_us, qs,
+                       CASE WHEN auth LIKE 'https://%' AND auth LIKE '%:443'
+                            THEN substr(auth, 1, length(auth) - 4)
+                            WHEN auth LIKE 'http://%' AND auth LIKE '%:80'
+                            THEN substr(auth, 1, length(auth) - 3)
+                            ELSE auth END AS auth,
+                       CASE WHEN pth IN ('', '/') THEN ''
+                            WHEN pth LIKE '%/' THEN substr(pth, 1, length(pth) - 1)
+                            ELSE pth END AS cpth
+                FROM p
+            ), q AS (
+                SELECT raw_url, warc_us, auth, cpth,
+                       COALESCE(array_to_string(list_sort(list_filter(
+                           string_split(qs, '&'),
+                           x -> x <> '' AND NOT regexp_matches(x,
+                               '^(utm_[a-z0-9_]*|fbclid|gclid|ref)='))), '&'),
+                           '') AS params
+                FROM n
+            )
+            SELECT raw_url, warc_us,
+                   auth || cpth ||
+                   CASE WHEN params = '' THEN '' ELSE '?' || params END
+                       AS canonical_url
+            FROM q
+        """,
+        "canonical_url_dedup": f"""
+            WITH m AS (
+                SELECT raw_url, warc_us,
+                       regexp_extract(split_part(raw_url, '#', 1), '^[^?]*')
+                           AS base,
+                       regexp_replace(split_part(raw_url, '#', 1),
+                                      '^[^?]*\\??', '') AS qs
+                FROM read_parquet('{_messy_urls_oracle}')
+            ), p AS (
+                SELECT raw_url, warc_us, qs,
+                       lower(regexp_extract(base,
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]*')) AS auth,
+                       substr(base, length(regexp_extract(base,
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]*')) + 1) AS pth
+                FROM m
+            ), n AS (
+                SELECT raw_url, warc_us, qs,
+                       CASE WHEN auth LIKE 'https://%' AND auth LIKE '%:443'
+                            THEN substr(auth, 1, length(auth) - 4)
+                            WHEN auth LIKE 'http://%' AND auth LIKE '%:80'
+                            THEN substr(auth, 1, length(auth) - 3)
+                            ELSE auth END AS auth,
+                       CASE WHEN pth IN ('', '/') THEN ''
+                            WHEN pth LIKE '%/' THEN substr(pth, 1, length(pth) - 1)
+                            ELSE pth END AS cpth
+                FROM p
+            ), q AS (
+                SELECT raw_url, warc_us, auth, cpth,
+                       COALESCE(array_to_string(list_sort(list_filter(
+                           string_split(qs, '&'),
+                           x -> x <> '' AND NOT regexp_matches(x,
+                               '^(utm_[a-z0-9_]*|fbclid|gclid|ref)='))), '&'),
+                           '') AS params
+                FROM n
+            ), c AS (
+                SELECT raw_url, warc_us,
+                       auth || cpth ||
+                       CASE WHEN params = '' THEN '' ELSE '?' || params END
+                           AS canonical_url
+                FROM q
+            )
+            SELECT canonical_url,
+                   COUNT(*) AS n_snapshots,
+                   COUNT(DISTINCT raw_url) AS n_raw_forms,
+                   MIN(warc_us) AS first_us,
+                   MAX(warc_us) AS last_us
+            FROM c GROUP BY canonical_url
         """,
         "pages_latest_snapshot": f"""
             SELECT url, warc_us, text_md5 FROM (

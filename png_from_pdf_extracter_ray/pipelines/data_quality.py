@@ -1270,3 +1270,188 @@ def incremental_new_docs(sf_dir: str, num_buckets: int = 32) -> pd.DataFrame:
         .astype({"warc_us": "int64"})
         .sort_values(["url", "warc_us"], ignore_index=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-document PARAGRAPH dedup over the extraction output
+# ---------------------------------------------------------------------------
+
+_PARA_SEP = "\n\n"  # the extraction kernel's block joiner (kernel/html_extract.py)
+
+_PARA_SLIM_SCHEMA = pa.schema(
+    [("url", pa.string()), ("idx", pa.int64()), ("pmd5", pa.string())]
+)
+_PARA_DROP_SCHEMA = pa.schema([("url", pa.string()), ("idx", pa.int64())])
+_PARA_LIST_SCHEMA = pa.schema(
+    [("url", pa.string()), ("drop_idx", pa.list_(pa.int64()))]
+)
+_PARA_OUT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("n_paras", pa.int64()),
+        ("n_kept", pa.int64()),
+        ("text_clean", pa.string()),
+    ]
+)
+
+
+def _split_paras(text: str) -> list[tuple[int, str]]:
+    """Non-empty paragraphs of one extracted document with their
+    position in the raw split — the ONE shared split definition between
+    the explode pass and the finalize pass (the oracle SQL re-derives it
+    independently with string_split + generate_subscripts)."""
+    return [(i, p) for i, p in enumerate(text.split(_PARA_SEP)) if p != ""]
+
+
+def paragraph_dedup_docs(
+    sf_dir: str, expand: int = 2, num_buckets: int = 32
+) -> rd.Dataset:
+    """C4-style cross-document PARAGRAPH dedup composed on the engine's
+    own extraction output (Raffel et al. 2020 kept one occurrence of
+    every three-sentence span; the common production variant — and this
+    operator — keeps the FIRST occurrence of every exact paragraph).
+    The extraction joins main-content blocks with blank lines
+    (kernel/html_extract.py), so paragraphs are `\\n\\n` splits of
+    ``extracted_text``; a paragraph's occurrence is kept iff it is the
+    lexicographically smallest ``(url, idx)`` holding that paragraph's
+    md5 — later re-renders of a document under a different url (the
+    corpus's url variants) lose ALL their paragraphs, mixed documents
+    lose only the shared boilerplate.
+
+    Output per document (docs with empty extraction are excluded):
+    ``url``, ``n_paras`` (non-empty paragraphs), ``n_kept``,
+    ``text_clean`` (kept paragraphs re-joined by blank lines).
+
+    Ray shape (the Lee-et-al span-dedup skeleton, paragraph-grained):
+    slim ``(url, idx, md5)`` rows bucket-shuffled by paragraph md5 — all
+    occurrences of a paragraph land in one bucket, so the winner is
+    locally decidable (B pandas groups, never a Ray group per
+    paragraph); loser rows re-bucket by url into ONE ``list<int64>``
+    drop row per url; a bucketed LEFT join ships each document's text
+    next to its drop set — the text crosses the wire exactly once.
+    md5 keys (not 64-bit fingerprints) so the DuckDB oracle's
+    ``md5()`` is the identical key: the oracle re-implements split /
+    winner / reassembly declaratively (window ``row_number`` over the
+    md5 partition) over a flat single-process extraction parquet
+    (rowsonly_oracles.write_extracted_text_oracle).
+
+    Scale notes (100 TB): the md5 shuffle moves ~50-byte rows (two
+    orders below the corpus); the join moves the corpus once, same cost
+    class as the flagship's own dedup shuffle.  Python-loop explode is
+    the accepted hashlib exception (ROUND_NOTES) — md5-per-paragraph has
+    no Arrow kernel.
+    """
+    from .extract_pipeline import flagship
+
+    docs_all = flagship(sf_dir, expand=expand, summary_only=False)
+
+    def slim_docs(batch: pa.Table) -> pa.Table:
+        t = batch.select(["url", "extracted_text"])
+        mask = pa.compute.not_equal(t["extracted_text"], "")
+        return t.filter(mask)
+
+    # consumed twice (explode pass + the text-shipping join): materialize
+    # the SLIM projection once rather than re-running the extraction; for
+    # a parquet-backed extracted corpus at scale, skip this and re-read
+    # pruned columns instead (same trade as textops._unique_pages)
+    docs = docs_all.map_batches(slim_docs, batch_format="pyarrow").materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        idxs: list[int] = []
+        md5s: list[str] = []
+        for u, t in zip(
+            batch["url"].to_pylist(), batch["extracted_text"].to_pylist()
+        ):
+            for i, p in _split_paras(t):
+                urls.append(u)
+                idxs.append(i)
+                md5s.append(hashlib.md5(p.encode("utf-8")).hexdigest())
+        slim = pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(idxs, pa.int64()),
+                pa.array(md5s, pa.string()),
+            ],
+            schema=_PARA_SLIM_SCHEMA,
+        )
+        b = (
+            stable_bucket_ids(slim["pmd5"], num_buckets)
+            if slim.num_rows
+            else np.empty(0, np.int32)
+        )
+        return slim.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def losers(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _PARA_DROP_SCHEMA.empty_table()
+        gg = g.sort_values(["pmd5", "url", "idx"], kind="mergesort")
+        winner = ~gg["pmd5"].duplicated()
+        out = gg.loc[~winner, ["url", "idx"]]
+        return pa.Table.from_pandas(
+            out, schema=_PARA_DROP_SCHEMA, preserve_index=False
+        )
+
+    def reurl(t: pa.Table) -> pa.Table:
+        b = (
+            stable_bucket_ids(t["url"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__urlb", pa.array(b, pa.int32()))
+
+    def collect_drops(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _PARA_LIST_SCHEMA.empty_table()
+        gg = g.sort_values(["url", "idx"], kind="mergesort")
+        u = gg["url"].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        offsets = np.concatenate([starts, [len(u)]]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(gg["idx"].to_numpy(dtype=np.int64), pa.int64()),
+        )
+        return pa.Table.from_arrays(
+            [pa.array(u[starts], pa.string()), lists], schema=_PARA_LIST_SCHEMA
+        )
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        has_drops = "drop_idx" in df.columns
+        n_paras = np.zeros(len(df), dtype=np.int64)
+        n_kept = np.zeros(len(df), dtype=np.int64)
+        cleaned: list[str] = []
+        drops_col = df["drop_idx"] if has_drops else [None] * len(df)
+        for i, (text, drops) in enumerate(zip(df["extracted_text"], drops_col)):
+            paras = _split_paras(text or "")
+            n_paras[i] = len(paras)
+            if drops is None or (isinstance(drops, float) and np.isnan(drops)):
+                kept = [p for _, p in paras]
+            else:
+                dset = set(np.asarray(drops, dtype=np.int64).tolist())
+                kept = [p for j, p in paras if j not in dset]
+            n_kept[i] = len(kept)
+            cleaned.append(_PARA_SEP.join(kept))
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(df["url"].astype(str).tolist(), pa.string()),
+                "n_paras": pa.array(n_paras),
+                "n_kept": pa.array(n_kept),
+                "text_clean": pa.array(cleaned, pa.string()),
+            }
+        ).cast(_PARA_OUT_SCHEMA)
+
+    drops = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(losers, batch_format="pandas")
+        .materialize()  # loser rows only — far smaller than the para stream
+    )
+    if drops.count() == 0:
+        return docs.map_batches(finalize, batch_format="pandas")
+    drop_lists = (
+        drops.map_batches(reurl, batch_format="pyarrow")
+        .groupby("__urlb")
+        .map_groups(collect_drops, batch_format="pandas")
+    )
+    joined = bucketed_hash_join(docs, drop_lists, on="url", how="left")
+    return joined.map_batches(finalize, batch_format="pandas")

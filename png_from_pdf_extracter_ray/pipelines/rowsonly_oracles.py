@@ -584,19 +584,42 @@ def write_similarity_lsh_oracle(
 _EXTRACT_MEMO: dict = {}
 
 
-def _oracle_exploded_pages(sf_dir: str, expand: int = 2) -> pa.Table:
+def _oracle_extracted(sf_dir: str, expand: int = 2) -> dict:
     from ..stages.extract_stage import oracle_extract_table
     from ..stages.multimodal import explode_pages
     from .summary import oracle_unique_pages
 
     key = (os.path.abspath(sf_dir), expand)
-    t = _EXTRACT_MEMO.get(key)
-    if t is None:
+    entry = _EXTRACT_MEMO.get(key)
+    if entry is None:
         extracted = oracle_extract_table(oracle_unique_pages(sf_dir, expand=expand))
-        t = explode_pages(extracted.select(["url", "pages"]))
+        entry = {
+            "extracted": extracted,
+            "exploded": explode_pages(extracted.select(["url", "pages"])),
+        }
         _EXTRACT_MEMO.clear()  # bound: one corpus at a time
-        _EXTRACT_MEMO[key] = t
-    return t
+        _EXTRACT_MEMO[key] = entry
+    return entry
+
+
+def _oracle_exploded_pages(sf_dir: str, expand: int = 2) -> pa.Table:
+    return _oracle_extracted(sf_dir, expand)["exploded"]
+
+
+def write_extracted_text_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Flat (url, extracted_text) parquet — the INPUT the paragraph-dedup
+    oracle SQL runs its independent DuckDB window-function dedup over.
+    The extraction kernel is necessarily shared (single-implementation
+    rule — the extracted text IS the contract); the paragraph split /
+    first-occurrence winner / reassembly logic under test is implemented
+    independently on each side."""
+    path = _oracle_path(sf_dir, "extracted_text", expand)
+    if os.path.exists(path):
+        return path
+    t = _oracle_extracted(sf_dir, expand)["extracted"].select(
+        ["url", "extracted_text"]
+    )
+    return _commit(t, path)
 
 
 # ---------------------------------------------------------------------------
@@ -1417,3 +1440,34 @@ def write_link_edges_oracle(sf_dir: str, expand: int = 2) -> str:
         _from_pandas(edges, pa.schema([("src", pa.int64()), ("dst", pa.int64())])),
         path,
     )
+
+
+def write_messy_urls_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Flat (raw_url, warc_us) messy-url parquet — the INPUT the url
+    canonicalization oracle SQL runs its independent DuckDB
+    regexp/string-function canonicalization over (pipelines/urlops.py
+    module docstring spec).  Row generation reuses the deterministic
+    corpus + messy-url kernels directly (input generation is not under
+    test; the canonicalization is, implemented once per side)."""
+    from ..corpus.synth import pages_rows_for_doc
+    from ..pipelines.urlops import messy_pages_batch
+
+    path = _oracle_path(sf_dir, "messy_urls", expand)
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    urls: list[str] = []
+    tss: list[int] = []
+    for doc_id, text, lang in zip(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist()
+    ):
+        rows = pages_rows_for_doc(doc_id, text or "", lang or "", expand, include_html=False)
+        urls.extend(rows["url"])
+        tss.extend(rows["warc_ts"])
+    full = pa.Table.from_arrays(
+        [pa.array(urls, pa.string()), pa.array(tss, pa.timestamp("us"))],
+        names=["url", "warc_ts"],
+    )
+    return _commit(messy_pages_batch(full), path)

@@ -1,0 +1,244 @@
+"""URL canonicalization and canonical-url dedup over the pages table.
+
+Real Common-Crawl url columns are MESSY: the same resource appears under
+mixed-case hosts, explicit default ports, trailing slashes, tracking
+query parameters (``utm_*`` / ``fbclid`` / ``gclid`` / ``ref``) in
+arbitrary order, and fragments.  A crawl pipeline must canonicalize
+before any url-keyed dedup or the duplicate groups silently fracture.
+The synthetic corpus's urls are clean by construction (corpus/synth.py
+``page_url``), so this module first derives a deterministic MESSY form
+per page row (:func:`messy_url` — noise is a pure function of
+``(url, warc_us)``; "real" query params are a pure function of the url
+alone so every snapshot of a url canonicalizes identically), then
+provides two operators over it:
+
+- :func:`url_canonicalize` — per-row ``raw_url → canonical_url`` map
+  (stateless streaming ``map_batches``; nothing shuffles).
+- :func:`canonical_url_dedup` — groupby canonical url: snapshot count,
+  distinct raw forms, first/last crawl micros.  The standard B-bucket
+  hash shuffle over slim ``(canonical_url, raw_url, warc_us)`` rows
+  (stages/dedup.stable_bucket_ids): B vectorized pandas groups, never a
+  Ray group per url.
+
+Canonicalization spec (mirrored step-for-step by an INDEPENDENT DuckDB
+implementation in ``__ray_entry__.oracle_sql`` — regexp/string-function
+SQL over a flat messy-urls parquet, rowsonly_oracles.write_messy_urls_oracle):
+
+1. drop the fragment (everything from the first ``#``);
+2. split off the query string at the first ``?``;
+3. authority = the ``scheme://host[:port]`` prefix (regex
+   ``^[A-Za-z][A-Za-z0-9+.-]*://[^/]*``), lowercased;
+4. strip the scheme's default port (``:443`` for https, ``:80`` for
+   http);
+5. strip ONE trailing slash from the path; a bare ``/`` path collapses
+   to the empty path;
+6. drop query params named ``utm_*`` / ``fbclid`` / ``gclid`` / ``ref``,
+   sort the survivors bytewise, re-join with ``&``.
+
+Scale notes (100 TB): canonicalization is a per-row compiled-regex
+string parse inside ``map_batches`` — the same cost class as the
+corpus's md5 fingerprint loops (ROUND_NOTES.md: hashlib/str-parse rows
+are the accepted exception to the no-Python-rows rule when the kernel
+has no Arrow equivalent); it streams with zero cross-row state.  The
+dedup shuffle moves only ~100-byte slim rows — payloads never travel.
+
+Reference analog: the groupby-url dedup of SURVEY.md §2 #12
+(/root/reference/src/main.py re-polls the same INBOX; here the re-seen
+key is additionally obscured by url noise, which canonicalization
+removes before the same keep/group semantics apply).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..corpus.synth import _h
+from ..sources.pages_source import synthesize_pages
+from ..stages.dedup import stable_bucket_ids
+
+_MESSY_SCHEMA = pa.schema([("raw_url", pa.string()), ("warc_us", pa.int64())])
+
+_CANON_SCHEMA = pa.schema(
+    [
+        ("raw_url", pa.string()),
+        ("warc_us", pa.int64()),
+        ("canonical_url", pa.string()),
+    ]
+)
+
+_DEDUP_SCHEMA = pa.schema(
+    [
+        ("canonical_url", pa.string()),
+        ("n_snapshots", pa.int64()),
+        ("n_raw_forms", pa.int64()),
+        ("first_us", pa.int64()),
+        ("last_us", pa.int64()),
+    ]
+)
+
+# step 3: scheme://authority prefix (authority = everything up to the
+# first path slash).  Spelled identically in the oracle SQL.
+_AUTH_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*")
+# step 6: tracking-param names.  Spelled identically in the oracle SQL.
+_TRACK_RE = re.compile(r"^(utm_[a-z0-9_]*|fbclid|gclid|ref)=")
+
+_TRACK_POOL = [
+    "utm_source=feed",
+    "utm_medium=cpc",
+    "utm_campaign=c{h9}",
+    "fbclid=F{h1000}",
+    "gclid=G{h1000}",
+    "ref=social",
+]
+
+
+def messy_url(url: str, warc_us: int) -> str:
+    """Deterministic messy variant of a clean corpus url.
+
+    Noise (case, port, slash, tracking params, param order, fragment)
+    is a pure function of ``(url, warc_us)``; retained "real" params are
+    a pure function of ``url`` alone — so every snapshot of a url maps
+    back to ONE canonical form.  Shared with the flat oracle-input
+    writer (input generation is not under test; the canonicalization
+    is, and THAT is implemented independently on each side).
+    """
+    h_url = _h(f"urlreal:{url}")
+    h_row = _h(f"urlmess:{url}:{warc_us}")
+    scheme, rest = url.split("://", 1)
+    slash = rest.find("/")
+    host, path = (rest, "") if slash < 0 else (rest[:slash], rest[slash:])
+
+    real: list[str] = []
+    if h_url % 2 == 0:
+        pool = [
+            f"page={h_url % 7}",
+            f"id={h_url % 100}",
+            "sort=asc" if h_url % 3 else "sort=desc",
+        ]
+        real = [pool[i] for i in range(3) if (h_url >> (8 + i)) & 1][:2]
+
+    if h_row % 3 == 0:
+        host = host.upper()
+    if h_row % 7 == 0:
+        scheme = scheme.upper()
+    if h_row % 4 == 0:
+        host += ":443"
+    if h_row % 5 == 0:
+        path += "/"
+    track = [
+        _TRACK_POOL[i].format(h9=h_row % 9, h1000=h_row % 1000)
+        for i in range(len(_TRACK_POOL))
+        if (h_row >> (16 + i)) & 1
+    ]
+    params = real + track
+    params.sort(key=lambda p: _h(f"ord:{h_row}:{p}"))
+    out = f"{scheme}://{host}{path}"
+    if params:
+        out += "?" + "&".join(params)
+    if h_row % 6 == 0:
+        out += f"#sec{h_row % 9}"
+    return out
+
+
+def canonicalize_url(raw: str) -> str:
+    """Engine-side canonicalization — mirrors the module-docstring spec
+    (and therefore the oracle SQL) step for step."""
+    nofrag = raw.split("#", 1)[0]  # 1
+    if "?" in nofrag:  # 2
+        base, qs = nofrag.split("?", 1)
+    else:
+        base, qs = nofrag, ""
+    m = _AUTH_RE.match(base)  # 3
+    auth = m.group(0) if m else ""
+    path = base[len(auth) :]
+    auth = auth.lower()
+    if auth.startswith("https://") and auth.endswith(":443"):  # 4
+        auth = auth[:-4]
+    elif auth.startswith("http://") and auth.endswith(":80"):
+        auth = auth[:-3]
+    if path in ("", "/"):  # 5
+        path = ""
+    elif path.endswith("/"):
+        path = path[:-1]
+    params = sorted(p for p in qs.split("&") if p and not _TRACK_RE.match(p))  # 6
+    out = auth + path
+    if params:
+        out += "?" + "&".join(params)
+    return out
+
+
+def messy_pages_batch(batch: pa.Table) -> pa.Table:
+    """(url, warc_ts) page rows → (raw_url, warc_us) messy rows.
+
+    Shared with rowsonly_oracles.write_messy_urls_oracle (the oracle's
+    INPUT parquet) — single-implementation rule for input generation.
+    """
+    urls = batch["url"].to_pylist()
+    ts = batch["warc_ts"].cast(pa.int64()).to_pylist()
+    raws = [messy_url(u, t) for u, t in zip(urls, ts)]
+    return pa.Table.from_arrays(
+        [pa.array(raws, pa.string()), pa.array(ts, pa.int64())],
+        schema=_MESSY_SCHEMA,
+    )
+
+
+def canonicalize_batch(batch: pa.Table) -> pa.Table:
+    canon = [canonicalize_url(r) for r in batch["raw_url"].to_pylist()]
+    return batch.append_column("canonical_url", pa.array(canon, pa.string()))
+
+
+def _messy_pages(sf_dir: str, expand: int = 2) -> rd.Dataset:
+    return synthesize_pages(sf_dir, expand=expand, include_html=False).map_batches(
+        messy_pages_batch, batch_format="pyarrow"
+    )
+
+
+def url_canonicalize(sf_dir: str, expand: int = 2) -> rd.Dataset:
+    """Per-row canonical url over the messy pages table."""
+    return _messy_pages(sf_dir, expand).map_batches(
+        canonicalize_batch, batch_format="pyarrow"
+    )
+
+
+def canonical_url_dedup(
+    sf_dir: str, expand: int = 2, num_buckets: int = 32
+) -> rd.Dataset:
+    """One row per canonical url: snapshot count, distinct raw forms,
+    first/last crawl micros (the canonical-key mirror of
+    snapshots.snapshot_churn — same B-bucket shape)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            stable_bucket_ids(batch["canonical_url"], num_buckets)
+            if batch.num_rows
+            else np.empty(0, np.int32)
+        )
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _DEDUP_SCHEMA.empty_table()
+        out = (
+            g.groupby("canonical_url", sort=False)
+            .agg(
+                n_snapshots=("raw_url", "size"),
+                n_raw_forms=("raw_url", "nunique"),
+                first_us=("warc_us", "min"),
+                last_us=("warc_us", "max"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, schema=_DEDUP_SCHEMA, preserve_index=False)
+
+    return (
+        url_canonicalize(sf_dir, expand)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
