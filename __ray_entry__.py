@@ -215,7 +215,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_hour_pivot": rel.events_type_hour_pivot,
         # --- incremental-crawl / url-ops long tail ---
         "pages_latest_snapshot": snaps.pages_latest_snapshot,
+        "pages_snapshot_drift": snaps.pages_snapshot_drift,
         "url_canonicalize": urlops.url_canonicalize,
+        "crawl_politeness_schedule": urlops.crawl_politeness_schedule,
         # --- TPC-H long tail ---
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q8_market_share": rel.q8_market_share,
@@ -287,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": dq.blocklist_filter,
         "incremental_new_docs": dq.incremental_new_docs,
         "paragraph_dedup": dq.paragraph_dedup_docs,
+        "mirror_host_pairs": dq.mirror_host_pairs,
         # --- corpus statistics (all SQL-checked) ---
         "vocab_top_tokens": corpus_stats.vocab_top_tokens,
         "token_doc_frequency": corpus_stats.token_doc_frequency,
@@ -466,6 +469,10 @@ def oracle_sql() -> dict[str, str]:
         SHARD_COUNT as _shard_count,
     )
 
+    from png_from_pdf_extracter_ray.pipelines.urlops import (
+        POLITENESS_DELAY_US as _POLITENESS_US,
+    )
+
     _pii_aug_sql = _augmented_text_sql()
 
     _STOPWORD_SQL = _stopword_sql()
@@ -556,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
     _link_edges_oracle = _rro._oracle_path(_oracle_sf, "link_edges")
     _messy_urls_oracle = _rro._oracle_path(_oracle_sf, "messy_urls")
     _extracted_text_oracle = _rro._oracle_path(_oracle_sf, "extracted_text")
+    _pages_text_oracle = _rro._oracle_path(_oracle_sf, "pages_text")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -592,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_domain_matrix_oracle(_oracle_sf)
         _rro.write_messy_urls_oracle(_oracle_sf)
         _rro.write_extracted_text_oracle(_oracle_sf)
+        _rro.write_pages_text_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -820,6 +829,50 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM read_parquet('{_pages_slim_oracle}')
             ) WHERE rn = 1
+        """,
+        "crawl_politeness_schedule": f"""
+            WITH l AS (
+                SELECT url, MAX(warc_us) AS last_us
+                FROM read_parquet('{_pages_slim_oracle}')
+                GROUP BY url
+            ), h AS (
+                SELECT url, last_us,
+                       regexp_extract(url, '{_DOMAIN_RE}', 1) AS host
+                FROM l
+            )
+            SELECT url, host,
+                   CAST(row_number() OVER (
+                       PARTITION BY host ORDER BY last_us, url
+                   ) - 1 AS BIGINT) AS slot,
+                   CAST((row_number() OVER (
+                       PARTITION BY host ORDER BY last_us, url
+                   ) - 1) * {_POLITENESS_US} AS BIGINT) AS sched_offset_us
+            FROM h
+        """,
+        "pages_snapshot_drift": f"""
+            WITH s AS (
+                SELECT url, warc_us, text,
+                       lag(warc_us) OVER w AS prev_us,
+                       lag(text) OVER w AS prev_text
+                FROM read_parquet('{_pages_text_oracle}')
+                WINDOW w AS (PARTITION BY url ORDER BY warc_us, text)
+            ), p AS (
+                SELECT url, prev_us, warc_us,
+                       CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                            ELSE list_distinct(regexp_split_to_array(
+                                trim(lower(text)), '\\s+')) END AS tb,
+                       CASE WHEN trim(lower(prev_text)) = '' THEN []::VARCHAR[]
+                            ELSE list_distinct(regexp_split_to_array(
+                                trim(lower(prev_text)), '\\s+')) END AS ta
+                FROM s WHERE prev_us IS NOT NULL
+            )
+            SELECT url, prev_us, warc_us,
+                   CASE WHEN len(list_distinct(list_concat(ta, tb))) = 0
+                        THEN 1.0
+                        ELSE len(list_intersect(ta, tb))
+                             / len(list_distinct(list_concat(ta, tb)))
+                        END AS jaccard
+            FROM p
         """,
         "pages_jpeg_roundtrip": f"""
             SELECT page_id, jpeg_bytes, dec_md5, mae
@@ -2146,6 +2199,40 @@ def oracle_sql() -> dict[str, str]:
           AND text_md5 NOT IN (
               SELECT text_md5 FROM p WHERE site % {_INC_MOD} <> 0
           )
+    """
+    from png_from_pdf_extracter_ray.pipelines.data_quality import (
+        MIRROR_MAX_HOSTS as _MIRROR_CAP,
+    )
+    from png_from_pdf_extracter_ray.pipelines.data_quality import (
+        MIRROR_MIN_SHARED as _MIRROR_MIN,
+    )
+
+    # mirror-host detection: declarative DuckDB self-join over the flat
+    # slim-pages parquet vs the engine's one-shuffle tagged-stream fold
+    sql["mirror_host_pairs"] = f"""
+        WITH hm AS (
+            SELECT DISTINCT regexp_extract(url, '{_DOMAIN_RE}', 1) AS host,
+                   text_md5 AS md5
+            FROM read_parquet('{_pages_slim_oracle}')
+        ), capped AS (
+            SELECT md5 FROM hm GROUP BY md5
+            HAVING COUNT(*) <= {_MIRROR_CAP}
+        ), hm2 AS (
+            SELECT hm.host, hm.md5 FROM hm JOIN capped USING (md5)
+        ), sizes AS (
+            SELECT host, COUNT(*) AS n FROM hm2 GROUP BY host
+        ), pairs AS (
+            SELECT a.host AS host_a, b.host AS host_b,
+                   COUNT(*) AS n_shared
+            FROM hm2 a JOIN hm2 b ON a.md5 = b.md5 AND a.host < b.host
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {_MIRROR_MIN}
+        )
+        SELECT host_a, host_b, n_shared,
+               n_shared / (sa.n + sb.n - n_shared) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.host = pairs.host_a
+        JOIN sizes sb ON sb.host = pairs.host_b
     """
     sql["vocab_zipf_fit"] = """
         WITH tot AS (

@@ -241,6 +241,10 @@ def bench_queries() -> dict[str, float]:
         "blocklist_filter",
         "unigram_train_vocab",
         "unigram_encode_docs",
+        "canonical_url_dedup",
+        "paragraph_dedup",
+        "mirror_host_pairs",
+        "pages_snapshot_drift",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -39,6 +39,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from ..stages.dedup import stable_bucket_ids
@@ -1455,3 +1456,174 @@ def paragraph_dedup_docs(
     )
     joined = bucketed_hash_join(docs, drop_lists, on="url", how="left")
     return joined.map_batches(finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host detection (content-fingerprint overlap between hosts)
+# ---------------------------------------------------------------------------
+
+# Fingerprints carried by more hosts than this are template/boilerplate
+# content, not mirroring evidence — the same df-cap idea as the shingle
+# cap in stages/neardup.py (a hot fingerprint would otherwise emit a
+# quadratic pair blow-up).  Single-sourced into the oracle SQL.
+MIRROR_MAX_HOSTS = 32
+# A single shared page is coincidence at crawl scale; two or more is a
+# mirror signal.  Single-sourced into the oracle SQL.
+MIRROR_MIN_SHARED = 2
+
+_MIRROR_HM_SCHEMA = pa.schema([("host", pa.string()), ("md5", pa.string())])
+_MIRROR_TAG_SCHEMA = pa.schema(
+    [
+        ("kind", pa.int8()),
+        ("a", pa.string()),
+        ("b", pa.string()),
+        ("n", pa.int64()),
+    ]
+)
+_MIRROR_OUT_SCHEMA = pa.schema(
+    [
+        ("host_a", pa.string()),
+        ("host_b", pa.string()),
+        ("n_shared", pa.int64()),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+
+def mirror_host_pairs(
+    sf_dir: str,
+    expand: int = 2,
+    num_buckets: int = 32,
+    max_hosts: int = MIRROR_MAX_HOSTS,
+    min_shared: int = MIRROR_MIN_SHARED,
+) -> rd.Dataset:
+    """Mirror-site detection: host pairs sharing ≥ ``min_shared`` exact
+    content fingerprints, scored by Jaccard overlap of their fingerprint
+    sets — the crawl-curation signal for collapsing mirrored hosts
+    before they double-count in every downstream dedup/statistic.
+
+    Semantics (mirrored exactly by the declarative DuckDB self-join
+    oracle): a host "has" a fingerprint if ANY of its snapshots carries
+    that text md5; fingerprints on more than ``max_hosts`` distinct
+    hosts are excluded everywhere (template content); host set sizes are
+    counted over the capped fingerprint set; ``jaccard = n_shared /
+    (|A| + |B| - n_shared)``.
+
+    Ray shape: ONE bucketed shuffle by fingerprint does all the heavy
+    lifting — within-batch distinct combiner first, then per md5-bucket
+    (all rows of a fingerprint land together) global distinct, df cap,
+    vectorized self-merge pair emission (the stages/neardup.py idiom)
+    AND per-host size partials, emitted as one tagged stream; a second
+    slim shuffle folds pair counts and host sizes by key.  The host-size
+    table (one int per host) is collected and broadcast for the final
+    jaccard — the documented small-side envelope (hosts ≪ pages; at
+    10^12 docs a host table is ~10^7 rows of ints).
+    """
+    from .snapshots import _slim_pages
+
+    def hm_partial(df: pd.DataFrame) -> pa.Table:
+        host = df["url"].str.extract(DOMAIN_RE, expand=False).fillna("")
+        out = pd.DataFrame({"host": host, "md5": df["text_md5"]}).drop_duplicates()
+        t = pa.Table.from_pandas(
+            out, schema=_MIRROR_HM_SCHEMA, preserve_index=False
+        )
+        b = (
+            stable_bucket_ids(t["md5"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def emit_tagged(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _MIRROR_TAG_SCHEMA.empty_table()
+        g = g.drop_duplicates(["host", "md5"])
+        nh = g.groupby("md5")["host"].transform("size").to_numpy()
+        g = g.loc[nh <= max_hosts]
+        if g.empty:
+            return _MIRROR_TAG_SCHEMA.empty_table()
+        sizes = g.groupby("host", sort=False).size()
+        kind = [np.int8(0)] * len(sizes)
+        a_vals = list(sizes.index)
+        b_vals = [""] * len(sizes)
+        n_vals = [int(v) for v in sizes.to_numpy()]
+        m = g.merge(g, on="md5")
+        m = m[m["host_x"] < m["host_y"]]
+        if not m.empty:
+            pc_ = (
+                m.groupby(["host_x", "host_y"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            kind += [np.int8(1)] * len(pc_)
+            a_vals += pc_["host_x"].tolist()
+            b_vals += pc_["host_y"].tolist()
+            n_vals += [int(v) for v in pc_["n"].to_numpy()]
+        return pa.Table.from_arrays(
+            [
+                pa.array(kind, pa.int8()),
+                pa.array(a_vals, pa.string()),
+                pa.array(b_vals, pa.string()),
+                pa.array(n_vals, pa.int64()),
+            ],
+            schema=_MIRROR_TAG_SCHEMA,
+        )
+
+    def rekey(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__kb", pa.array([], pa.int32()))
+        key = pa.compute.binary_join_element_wise(t["a"], t["b"], "\x1f")
+        b = stable_bucket_ids(key, num_buckets)
+        return t.append_column("__kb", pa.array(b, pa.int32()))
+
+    tagged = (
+        _slim_pages(sf_dir, expand)
+        .map_batches(hm_partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(emit_tagged, batch_format="pandas")
+        .map_batches(rekey, batch_format="pyarrow")
+        .groupby("__kb")
+    )
+
+    _FOLD_SCHEMA = _MIRROR_TAG_SCHEMA
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _FOLD_SCHEMA.empty_table()
+        out = (
+            g.groupby(["kind", "a", "b"], as_index=False, sort=False)["n"].sum()
+        )
+        return pa.Table.from_pandas(
+            out[["kind", "a", "b", "n"]],
+            schema=_FOLD_SCHEMA,
+            preserve_index=False,
+        )
+
+    folded = tagged.map_groups(fold, batch_format="pandas").materialize()
+
+    # host-size table: small side (one int per host) — collect + broadcast
+    sizes_df = folded.filter(expr="kind == 0").to_pandas()
+    size_map = dict(zip(sizes_df["a"], sizes_df["n"].astype(np.int64)))
+    sizes_ref = ray.put(size_map)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[(df["kind"] == 1) & (df["n"] >= min_shared)]
+        if df.empty:
+            return _MIRROR_OUT_SCHEMA.empty_table()
+        sm = _cached_broadcast(sizes_ref)
+        sa = df["a"].map(sm).to_numpy(dtype=np.int64)
+        sb = df["b"].map(sm).to_numpy(dtype=np.int64)
+        n = df["n"].to_numpy(dtype=np.int64)
+        jac = n / (sa + sb - n)
+        return pa.Table.from_arrays(
+            [
+                pa.array(df["a"].tolist(), pa.string()),
+                pa.array(df["b"].tolist(), pa.string()),
+                pa.array(n, pa.int64()),
+                pa.array(jac, pa.float64()),
+            ],
+            schema=_MIRROR_OUT_SCHEMA,
+        )
+
+    return folded.map_batches(finalize, batch_format="pyarrow")

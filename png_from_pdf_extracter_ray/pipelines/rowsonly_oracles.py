@@ -1471,3 +1471,37 @@ def write_messy_urls_oracle(sf_dir: str, expand: int = 2) -> str:
         names=["url", "warc_ts"],
     )
     return _commit(messy_pages_batch(full), path)
+
+
+def write_pages_text_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Flat ``(url, warc_us, text)`` pages parquet — the INPUT the
+    snapshot-drift oracle SQL runs real DuckDB ``lag()`` +
+    ``list_intersect`` window semantics over (same protocol as
+    write_pages_slim_oracle, keeping the raw text instead of its md5)."""
+    from ..corpus.synth import pages_rows_for_doc
+
+    path = _oracle_path(sf_dir, "pages_text", expand)
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    urls: list[str] = []
+    tss: list[int] = []
+    texts: list[str] = []
+    for doc_id, text, lang in zip(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist()
+    ):
+        rows = pages_rows_for_doc(doc_id, text or "", lang or "", expand, include_html=False)
+        urls.extend(rows["url"])
+        tss.extend(rows["warc_ts"])
+        texts.extend(rows["text"])
+    full = pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.int64()),
+            pa.array(texts, pa.string()),
+        ],
+        names=["url", "warc_us", "text"],
+    )
+    return _commit(full, path)

@@ -39,6 +39,7 @@ messages are the sequential analog of re-crawled urls).
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -179,3 +180,98 @@ def snapshot_churn(slim: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
 def pages_snapshot_churn(sf_dir: str, expand: int = 2) -> rd.Dataset:
     """Churn stats over the synthetic pages table."""
     return snapshot_churn(_slim_pages(sf_dir, expand))
+
+
+# ---------------------------------------------------------------------------
+# Snapshot content drift (token-set Jaccard between consecutive re-crawls)
+# ---------------------------------------------------------------------------
+
+_WS = re.compile(r"\s+")
+
+_DRIFT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("prev_us", pa.int64()),
+        ("warc_us", pa.int64()),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+
+def _token_set(text: str) -> set:
+    s = (text or "").strip().lower()
+    return set(_WS.split(s)) if s else set()
+
+
+def pages_snapshot_drift(
+    sf_dir: str, expand: int = 2, num_buckets: int = 32
+) -> rd.Dataset:
+    """Content-drift MAGNITUDE between consecutive snapshots of a url:
+    one row per (prev, next) snapshot pair with the token-set Jaccard
+    similarity of the two texts — churn (pages_snapshot_churn) says THAT
+    a page changed, this says HOW MUCH, the signal that separates
+    timestamp-only template churn from real content updates when
+    scheduling re-crawls.
+
+    Ray shape: the one unavoidable hash shuffle by url ships
+    ``(url, warc_us, text)`` — the text crosses the wire once; pairs are
+    formed per bucket by the same vectorized sort + shifted-mask the
+    churn op uses, with the per-pair set intersection being the accepted
+    per-row kernel cost class (same as the md5 fingerprint loops).  The
+    snapshot total order is ``(warc_us, text)`` — spelled identically in
+    the oracle's window ``ORDER BY`` (REAL DuckDB lag() + list_intersect
+    over a flat (url, warc_us, text) parquet,
+    rowsonly_oracles.write_pages_text_oracle).
+
+    Scale note: re-crawled urls are a small corpus fraction (~5% here);
+    urls with one snapshot emit nothing and could be pre-filtered by a
+    count combiner if re-crawls dominated.
+    """
+
+    def slim_text(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [
+                batch["url"],
+                batch["warc_ts"].cast(pa.int64()),
+                batch["text"],
+            ],
+            names=["url", "warc_us", "text"],
+        )
+        b = (
+            stable_bucket_ids(t["url"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def drift(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _DRIFT_SCHEMA.empty_table()
+        g = g.sort_values(["url", "warc_us", "text"], kind="mergesort")
+        urls = g["url"].to_numpy()
+        us = g["warc_us"].to_numpy(dtype=np.int64)
+        texts = g["text"].to_numpy()
+        nxt = np.flatnonzero(urls[1:] == urls[:-1]) + 1  # row i pairs with i-1
+        if len(nxt) == 0:
+            return _DRIFT_SCHEMA.empty_table()
+        jac = np.empty(len(nxt), dtype=np.float64)
+        for k, i in enumerate(nxt):
+            ta, tb = _token_set(texts[i - 1]), _token_set(texts[i])
+            union = len(ta | tb)
+            jac[k] = 1.0 if union == 0 else len(ta & tb) / union
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls[nxt].tolist(), pa.string()),
+                pa.array(us[nxt - 1], pa.int64()),
+                pa.array(us[nxt], pa.int64()),
+                pa.array(jac, pa.float64()),
+            ],
+            schema=_DRIFT_SCHEMA,
+        )
+
+    return (
+        synthesize_pages(sf_dir, expand=expand, include_html=False)
+        .map_batches(slim_text, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(drift, batch_format="pandas")
+    )

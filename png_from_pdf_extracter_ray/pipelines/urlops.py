@@ -242,3 +242,110 @@ def canonical_url_dedup(
         .groupby("__bucket")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Politeness-aware re-crawl scheduling
+# ---------------------------------------------------------------------------
+
+# One fetch per host per this interval (the crawler's politeness delay).
+# Single-sourced into the oracle SQL.
+POLITENESS_DELAY_US = 5_000_000
+
+_SCHED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("slot", pa.int64()),
+        ("sched_offset_us", pa.int64()),
+    ]
+)
+
+
+def crawl_politeness_schedule(
+    sf_dir: str,
+    expand: int = 2,
+    num_buckets: int = 32,
+    delay_us: int = POLITENESS_DELAY_US,
+) -> rd.Dataset:
+    """Politeness-aware re-crawl schedule: every known url gets a fetch
+    slot such that no host is hit more than once per ``delay_us``,
+    stalest pages first — the work queue a production crawler derives
+    from its corpus between crawls.
+
+    Semantics (mirrored by the REAL DuckDB ``row_number`` window
+    oracle): per url take the LATEST ``warc_us`` over its snapshots;
+    per host, order urls by ``(last_us, url)`` (stalest first, url as
+    the deterministic tie-break) and assign 0-based ``slot``;
+    ``sched_offset_us = slot * delay_us``.
+
+    Ray shape: two slim bucketed shuffles — (url → max warc_us) fold
+    with a within-batch max combiner, then a host-bucketed vectorized
+    rank (B pandas groups; a host's urls all land in one bucket, so the
+    rank is locally decidable; never one Ray group per host).  Payloads
+    never travel; rows are ~60 bytes.
+    """
+    from .data_quality import DOMAIN_RE
+    from .snapshots import _slim_pages
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("url", as_index=False, sort=False)["warc_us"].max()
+        out["__bucket"] = stable_bucket_ids(
+            pa.array(out["url"], pa.string()), num_buckets
+        )
+        return out
+
+    _LATEST_SCHEMA = pa.schema([("url", pa.string()), ("last_us", pa.int64())])
+
+    def fold_latest(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _LATEST_SCHEMA.empty_table()
+        out = g.groupby("url", as_index=False, sort=False)["warc_us"].max()
+        out = out.rename(columns={"warc_us": "last_us"})
+        return pa.Table.from_pandas(
+            out, schema=_LATEST_SCHEMA, preserve_index=False
+        )
+
+    def rehost(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("host", pa.array([], pa.string())).append_column(
+                "__hb", pa.array([], pa.int32())
+            )
+        hosts = (
+            pd.Series(t["url"].to_pylist())
+            .str.extract(DOMAIN_RE, expand=False)
+            .fillna("")
+        )
+        t = t.append_column("host", pa.array(hosts.tolist(), pa.string()))
+        b = stable_bucket_ids(t["host"], num_buckets)
+        return t.append_column("__hb", pa.array(b, pa.int32()))
+
+    def rank(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _SCHED_SCHEMA.empty_table()
+        g = g.sort_values(["host", "last_us", "url"], kind="mergesort")
+        h = g["host"].to_numpy()
+        starts = np.concatenate([[True], h[1:] != h[:-1]])
+        # 0-based rank within host run: index - index-of-run-start
+        idx = np.arange(len(g), dtype=np.int64)
+        run_start = idx[starts][np.cumsum(starts) - 1]
+        slot = idx - run_start
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["url"].tolist(), pa.string()),
+                pa.array(h.tolist(), pa.string()),
+                pa.array(slot, pa.int64()),
+                pa.array(slot * delay_us, pa.int64()),
+            ],
+            schema=_SCHED_SCHEMA,
+        )
+
+    return (
+        _slim_pages(sf_dir, expand)
+        .map_batches(pre, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(fold_latest, batch_format="pandas")
+        .map_batches(rehost, batch_format="pyarrow")
+        .groupby("__hb")
+        .map_groups(rank, batch_format="pandas")
+    )
