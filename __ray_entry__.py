@@ -86,7 +86,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from png_from_pdf_extracter_ray.pipelines import urlops
     from png_from_pdf_extracter_ray.pipelines.extract_pipeline import flagship
 
-    from png_from_pdf_extracter_ray.pipelines.summary import flagship_summary
+    from png_from_pdf_extracter_ray.pipelines.summary import (
+        flagship_summary,
+        span_tag_path_stats,
+    )
     from png_from_pdf_extracter_ray.pipelines.summary import (
         flagship_rows as _flagship_rows,
     )
@@ -216,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- incremental-crawl / url-ops long tail ---
         "pages_latest_snapshot": snaps.pages_latest_snapshot,
         "pages_snapshot_drift": snaps.pages_snapshot_drift,
+        "crawl_novelty_by_day": snaps.crawl_novelty_by_day,
         "url_canonicalize": urlops.url_canonicalize,
         "crawl_politeness_schedule": urlops.crawl_politeness_schedule,
         # --- TPC-H long tail ---
@@ -290,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_new_docs": dq.incremental_new_docs,
         "paragraph_dedup": dq.paragraph_dedup_docs,
         "mirror_host_pairs": dq.mirror_host_pairs,
+        "span_tag_path_stats": span_tag_path_stats,
         # --- corpus statistics (all SQL-checked) ---
         "vocab_top_tokens": corpus_stats.vocab_top_tokens,
         "token_doc_frequency": corpus_stats.token_doc_frequency,
@@ -564,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
     _messy_urls_oracle = _rro._oracle_path(_oracle_sf, "messy_urls")
     _extracted_text_oracle = _rro._oracle_path(_oracle_sf, "extracted_text")
     _pages_text_oracle = _rro._oracle_path(_oracle_sf, "pages_text")
+    _span_rows_oracle = _rro._oracle_path(_oracle_sf, "span_rows")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -601,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_messy_urls_oracle(_oracle_sf)
         _rro.write_extracted_text_oracle(_oracle_sf)
         _rro.write_pages_text_oracle(_oracle_sf)
+        _rro.write_span_rows_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -829,6 +836,35 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM read_parquet('{_pages_slim_oracle}')
             ) WHERE rn = 1
+        """,
+        "crawl_novelty_by_day": f"""
+            WITH snap AS (
+                SELECT warc_us // 86400000000 AS day,
+                       COUNT(*) AS n_snapshots
+                FROM read_parquet('{_pages_slim_oracle}')
+                GROUP BY 1
+            ), f AS (
+                SELECT text_md5, MIN(warc_us) // 86400000000 AS day
+                FROM read_parquet('{_pages_slim_oracle}')
+                GROUP BY text_md5
+            ), new AS (
+                SELECT day, COUNT(*) AS n_new FROM f GROUP BY day
+            )
+            SELECT snap.day, snap.n_snapshots,
+                   CAST(COALESCE(new.n_new, 0) AS BIGINT)
+                       AS n_new_fingerprints
+            FROM snap LEFT JOIN new ON snap.day = new.day
+        """,
+        # span-struct surface: REAL declarative aggregation over the
+        # flat single-process span rows vs the engine's Arrow explode +
+        # bucketed partial fold
+        "span_tag_path_stats": f"""
+            SELECT path, kind,
+                   COUNT(*) AS n_spans,
+                   CAST(SUM("end" - "start") AS BIGINT) AS total_chars,
+                   COUNT(DISTINCT url) AS n_docs
+            FROM read_parquet('{_span_rows_oracle}')
+            GROUP BY path, kind
         """,
         "crawl_politeness_schedule": f"""
             WITH l AS (

@@ -1505,3 +1505,31 @@ def write_pages_text_oracle(sf_dir: str, expand: int = 2) -> str:
         names=["url", "warc_us", "text"],
     )
     return _commit(full, path)
+
+
+def write_span_rows_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Flat ``(url, start, end, path, kind)`` span rows from the
+    single-process extraction — the INPUT the span-stats oracle SQL
+    aggregates declaratively (GROUP BY + COUNT(DISTINCT) + SUM), vs the
+    engine's Arrow explode + bucketed partial fold."""
+    import pyarrow.compute as pc
+
+    path = _oracle_path(sf_dir, "span_rows", expand)
+    if os.path.exists(path):
+        return path
+    extracted = _oracle_extracted(sf_dir, expand)["extracted"]
+    spans = extracted["spans"].combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans)
+    urls = pc.take(extracted["url"].combine_chunks(), parents)
+    t = pa.Table.from_arrays(
+        [
+            urls,
+            flat.field("start"),
+            flat.field("end"),
+            flat.field("path"),
+            flat.field("kind"),
+        ],
+        names=["url", "start", "end", "path", "kind"],
+    )
+    return _commit(t, path)

@@ -275,3 +275,138 @@ def pages_snapshot_drift(
         .groupby("__bucket")
         .map_groups(drift, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl novelty rate (new vs re-seen content per crawl day)
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+_NOVELTY_SCHEMA = pa.schema(
+    [
+        ("day", pa.int64()),
+        ("n_snapshots", pa.int64()),
+        ("n_new_fingerprints", pa.int64()),
+    ]
+)
+
+
+def crawl_novelty_by_day(
+    sf_dir: str, expand: int = 2, num_buckets: int = 32
+) -> rd.Dataset:
+    """Crawl-health dashboard row per epoch day: how many snapshots the
+    crawl fetched and how many DISTINCT content fingerprints were seen
+    for the first time that day — the novelty-rate curve that tells a
+    crawl operator when a source is exhausted (re-seen content dominates)
+    vs still productive.
+
+    Semantics (mirrored by the declarative DuckDB oracle): ``day =
+    warc_us // 86_400_000_000``; a fingerprint is NEW on the day of its
+    minimum ``warc_us`` over the whole corpus.
+
+    Ray shape: two independent slim folds — per-day snapshot counts
+    (within-batch partials, day cardinality is tiny) and per-fingerprint
+    min-warc_us (the standard md5-bucket shuffle) reduced to per-day
+    first-seen counts — joined by the bucketed left join.  Nothing but
+    ~50-byte rows moves.
+    """
+    from ..stages.joins import bucketed_hash_join
+
+    slim = _slim_pages(sf_dir, expand).materialize()  # two consumers
+
+    _SNAP_SCHEMA = pa.schema([("day", pa.int64()), ("n_snapshots", pa.int64())])
+
+    def snap_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"day": t["warc_us"].to_numpy(zero_copy_only=False) // _US_PER_DAY}
+        )
+        out = df.groupby("day", as_index=False, sort=False).size()
+        out.columns = ["day", "n_snapshots"]
+        pt = pa.Table.from_pandas(out, schema=_SNAP_SCHEMA, preserve_index=False)
+        b = (
+            stable_bucket_ids(pt["day"], num_buckets)
+            if pt.num_rows
+            else np.empty(0, np.int32)
+        )
+        return pt.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def snap_fold(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _SNAP_SCHEMA.empty_table()
+        out = g.groupby("day", as_index=False, sort=False)["n_snapshots"].sum()
+        return pa.Table.from_pandas(out, schema=_SNAP_SCHEMA, preserve_index=False)
+
+    snaps = (
+        slim.map_batches(snap_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(snap_fold, batch_format="pandas")
+    )
+
+    _FIRST_SCHEMA = pa.schema([("text_md5", pa.string()), ("first_us", pa.int64())])
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "text_md5": t["text_md5"].to_pandas(),
+                "first_us": t["warc_us"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby("text_md5", as_index=False, sort=False)["first_us"].min()
+        pt = pa.Table.from_pandas(out, schema=_FIRST_SCHEMA, preserve_index=False)
+        b = (
+            stable_bucket_ids(pt["text_md5"], num_buckets)
+            if pt.num_rows
+            else np.empty(0, np.int32)
+        )
+        return pt.append_column("__bucket", pa.array(b, pa.int32()))
+
+    _NEW_SCHEMA = pa.schema([("day", pa.int64()), ("n_new_fingerprints", pa.int64())])
+
+    def first_fold(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _NEW_SCHEMA.empty_table()
+        first = g.groupby("text_md5", sort=False)["first_us"].min()
+        days = first.to_numpy(dtype=np.int64) // _US_PER_DAY
+        out = (
+            pd.DataFrame({"day": days})
+            .groupby("day", as_index=False, sort=False)
+            .size()
+        )
+        out.columns = ["day", "n_new_fingerprints"]
+        return pa.Table.from_pandas(out, schema=_NEW_SCHEMA, preserve_index=False)
+
+    def new_rebucket(t: pa.Table) -> pa.Table:
+        b = (
+            stable_bucket_ids(t["day"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__db", pa.array(b, pa.int32()))
+
+    def new_fold(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _NEW_SCHEMA.empty_table()
+        out = g.groupby("day", as_index=False, sort=False)[
+            "n_new_fingerprints"
+        ].sum()
+        return pa.Table.from_pandas(out, schema=_NEW_SCHEMA, preserve_index=False)
+
+    news = (
+        slim.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(first_fold, batch_format="pandas")
+        .map_batches(new_rebucket, batch_format="pyarrow")
+        .groupby("__db")
+        .map_groups(new_fold, batch_format="pandas")
+    )
+
+    joined = bucketed_hash_join(snaps, news, on="day", how="left")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nn = t["n_new_fingerprints"].fill_null(0)
+        return pa.Table.from_arrays(
+            [t["day"], t["n_snapshots"], nn], schema=_NOVELTY_SCHEMA
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -490,3 +490,106 @@ def summarize_extracted_table(t: pa.Table) -> pd.DataFrame:
     out["n_docs"] = out["n_docs"].astype("int64")
     out["xor_digest"] = out["xor_digest"].astype(np.uint64).astype(np.int64)
     return out.sort_values(["status", "content_type"], ignore_index=True)[SUMMARY_COLS]
+
+# ---------------------------------------------------------------------------
+# Span tag-path statistics (the north-star's span-struct surface, aggregated)
+# ---------------------------------------------------------------------------
+
+_SPAN_STATS_SCHEMA = pa.schema(
+    [
+        ("path", pa.string()),
+        ("kind", pa.string()),
+        ("n_spans", pa.int64()),
+        ("total_chars", pa.int64()),
+        ("n_docs", pa.int64()),
+    ]
+)
+
+
+def span_tag_path_stats(
+    sf_dir: str, expand: int = 2, num_buckets: int = 16
+) -> rd.Dataset:
+    """Corpus-wide statistics over the extraction's span records — per
+    DOM tag-path and span kind: span count, total covered characters,
+    and the number of distinct documents containing it.  This is the
+    aggregate view of the "span offsets as Arrow struct columns"
+    surface: which tag paths carry the corpus's main content, the
+    signal used to tune the block-score heuristics.
+
+    Ray shape: the spans column is exploded with zero-copy Arrow kernels
+    (``list_flatten`` + ``list_parent_indices`` — no Python row loop),
+    reduced within each batch to distinct ``(path, kind, url)`` partial
+    rows, then ONE bucketed shuffle by path folds counts and distinct
+    doc counts per (path, kind) — tag-path cardinality is tiny next to
+    spans, so the shuffle moves partials only.
+
+    SQL-checked: a REAL declarative DuckDB aggregation (GROUP BY +
+    COUNT(DISTINCT url) + SUM(end-start)) over a flat span-rows parquet
+    from the single-process extraction
+    (rowsonly_oracles.write_span_rows_oracle).
+    """
+    import pyarrow.compute as _pc
+
+    from ..stages.dedup import stable_bucket_ids
+    from .extract_pipeline import flagship
+
+    ds = flagship(sf_dir, expand=expand, summary_only=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        spans = t["spans"].combine_chunks()
+        flat = _pc.list_flatten(spans)
+        parents = _pc.list_parent_indices(spans)
+        urls = _pc.take(t["url"].combine_chunks(), parents)
+        df = pd.DataFrame(
+            {
+                "path": flat.field("path").to_pandas(),
+                "kind": flat.field("kind").to_pandas(),
+                "url": urls.to_pandas(),
+                "chars": (
+                    flat.field("end").to_numpy(zero_copy_only=False)
+                    - flat.field("start").to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+        out = (
+            df.groupby(["path", "kind", "url"], as_index=False, sort=False)
+            .agg(n=("chars", "size"), chars=("chars", "sum"))
+        )
+        pt = pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("path", pa.string()),
+                    ("kind", pa.string()),
+                    ("url", pa.string()),
+                    ("n", pa.int64()),
+                    ("chars", pa.int64()),
+                ]
+            )
+        )
+        b = (
+            stable_bucket_ids(pt["path"], num_buckets)
+            if pt.num_rows
+            else np.empty(0, np.int32)
+        )
+        return pt.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _SPAN_STATS_SCHEMA.empty_table()
+        out = (
+            g.groupby(["path", "kind"], as_index=False, sort=False)
+            .agg(
+                n_spans=("n", "sum"),
+                total_chars=("chars", "sum"),
+                n_docs=("url", "nunique"),
+            )
+        )
+        return pa.Table.from_pandas(
+            out, schema=_SPAN_STATS_SCHEMA, preserve_index=False
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
