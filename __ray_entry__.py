@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from png_from_pdf_extracter_ray.pipelines import dsir as dsel
     from png_from_pdf_extracter_ray.pipelines import linkgraph as lg
     from png_from_pdf_extracter_ray.pipelines import mlops
+    from png_from_pdf_extracter_ray.pipelines.tokenizer import (
+        tokenizer_fertility_by_lang as _tokenizer_fertility,
+    )
     from png_from_pdf_extracter_ray.pipelines import relational as rel
     from png_from_pdf_extracter_ray.pipelines import snapshots as snaps
     from png_from_pdf_extracter_ray.pipelines import textops
@@ -295,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": dq.paragraph_dedup_docs,
         "mirror_host_pairs": dq.mirror_host_pairs,
         "span_tag_path_stats": span_tag_path_stats,
+        "host_pagerank": lg.host_pagerank,
         # --- corpus statistics (all SQL-checked) ---
         "vocab_top_tokens": corpus_stats.vocab_top_tokens,
         "token_doc_frequency": corpus_stats.token_doc_frequency,
@@ -315,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_docs": mlops.bpe_encode_docs,
         "unigram_train_vocab": mlops.unigram_train_vocab,
         "unigram_encode_docs": mlops.unigram_encode_docs,
+        "tokenizer_fertility_by_lang": _tokenizer_fertility,
         # --- raw-output entries (rows-only: list/binary columns) ---
         "text_embeddings": textops.text_embeddings,
         "pages_image_features": textops.pages_image_features,
@@ -570,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
     _extracted_text_oracle = _rro._oracle_path(_oracle_sf, "extracted_text")
     _pages_text_oracle = _rro._oracle_path(_oracle_sf, "pages_text")
     _span_rows_oracle = _rro._oracle_path(_oracle_sf, "span_rows")
+    _host_pr_oracle = _rro._oracle_path(_oracle_sf, "host_pagerank")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -608,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_extracted_text_oracle(_oracle_sf)
         _rro.write_pages_text_oracle(_oracle_sf)
         _rro.write_span_rows_oracle(_oracle_sf)
+        _rro.write_host_pagerank_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -837,6 +844,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{_pages_slim_oracle}')
             ) WHERE rn = 1
         """,
+        "host_pagerank": f"""
+            SELECT host, rank_micros FROM read_parquet('{_host_pr_oracle}')
+        """,
         "crawl_novelty_by_day": f"""
             WITH snap AS (
                 SELECT warc_us // 86400000000 AS day,
@@ -960,6 +970,19 @@ def oracle_sql() -> dict[str, str]:
         "unigram_encode_docs": f"""
             SELECT doc_id, n_words, n_pieces, uni_ratio, uni_logprob
             FROM read_parquet('{_uni_enc_oracle}')
+        """,
+        "tokenizer_fertility_by_lang": f"""
+            SELECT d.lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+                   CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
+                   CASE WHEN SUM(e.n_words) > 0
+                        THEN CAST(SUM(e.n_pieces) AS DOUBLE)
+                             / CAST(SUM(e.n_words) AS DOUBLE)
+                        ELSE 0.0 END AS fertility
+            FROM read_parquet('{_uni_enc_oracle}') e
+            JOIN documents d ON e.doc_id = d.doc_id
+            GROUP BY d.lang
         """,
         "heavy_hitters_cms": f"""
             SELECT token, n_true, n_est FROM read_parquet('{_cms_oracle}')

@@ -453,3 +453,153 @@ def link_khop_reach(sf_dir: str) -> pd.DataFrame:
     edges = doc_edges(_deduped_pages_payloads(sf_dir))
     out = khop_reach(edges).to_pandas()
     return out.sort_values("node", ignore_index=True)[["node", "hops"]]
+
+
+# ---------------------------------------------------------------------------
+# Host-level PageRank (the domain quotient of the page graph)
+# ---------------------------------------------------------------------------
+
+
+def host_node_id(host: str) -> int:
+    """Deterministic int64 node id for a host string (the pagerank
+    operator's node space is int64).  Shared with the flat oracle by the
+    single-implementation rule — the id IS the contract; md5 over ~10^7
+    hosts has no realistic collision."""
+    d = hashlib.md5(f"host:{host}".encode("utf-8")).digest()
+    return int.from_bytes(d[:8], "big", signed=True)
+
+
+_HP_SCHEMA = pa.schema([("src_host", pa.string()), ("dst_host", pa.string())])
+
+
+def _host_pairs(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Distinct (src_host, dst_host) edges of the HOST QUOTIENT of the
+    doc→doc link graph: a link row ``(src_url, dst_doc)`` contributes an
+    edge from the source page's host to EVERY host serving the target
+    document (the url↔doc map from the deduped page universe) — raw
+    href hosts alone would miss mirrored/variant serving.  Self-loops
+    dropped, locally pre-deduped; the doc→host attachment is ONE
+    bucketed hash join on the int64 doc id."""
+    from ..kernel.links import src_doc_of_url
+    from ..stages.joins import bucketed_hash_join
+    from .data_quality import DOMAIN_RE
+
+    links = page_links(_deduped_pages_payloads(sf_dir)).select_columns(
+        ["src_url", "dst_doc"]
+    )
+
+    _SRC_SCHEMA = pa.schema([("src_host", pa.string()), ("dst_doc", pa.int64())])
+
+    def src_rows(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "src_host": pd.Series(t["src_url"].to_pylist(), dtype=object)
+                .str.extract(DOMAIN_RE, expand=False)
+                .fillna(""),
+                "dst_doc": t["dst_doc"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        df = df[df["dst_doc"] >= 0].drop_duplicates()
+        return pa.Table.from_pandas(df, schema=_SRC_SCHEMA, preserve_index=False)
+
+    _DOC_HOST_SCHEMA = pa.schema([("dst_doc", pa.int64()), ("dst_host", pa.string())])
+
+    def doc_hosts(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        df = pd.DataFrame(
+            {
+                "dst_doc": np.fromiter(
+                    (src_doc_of_url(u) for u in urls), dtype=np.int64, count=len(urls)
+                ),
+                "dst_host": pd.Series(urls, dtype=object)
+                .str.extract(DOMAIN_RE, expand=False)
+                .fillna(""),
+            }
+        )
+        df = df[df["dst_doc"] >= 0].drop_duplicates()
+        return pa.Table.from_pandas(df, schema=_DOC_HOST_SCHEMA, preserve_index=False)
+
+    # url universe only — skip payload synthesis (include_html=False) and
+    # dedup on the slim (url, warc_ts) projection
+    from ..sources.pages_source import synthesize_pages
+    from ..stages.dedup import dedup_keep_first
+
+    slim = synthesize_pages(sf_dir, expand=2, include_html=False).select_columns(
+        ["url", "warc_ts"]
+    )
+    doc_host_ds = (
+        dedup_keep_first(slim, key="url", order_col="warc_ts")
+        .drop_columns(["warc_ts"])
+        .map_batches(doc_hosts, batch_format="pyarrow")
+    )
+    joined = bucketed_hash_join(
+        links.map_batches(src_rows, batch_format="pyarrow"),
+        doc_host_ds,
+        on="dst_doc",
+        how="inner",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.select(["src_host", "dst_host"]).to_pandas()
+        df = df[df["src_host"] != df["dst_host"]].drop_duplicates()
+        return pa.Table.from_pandas(df, schema=_HP_SCHEMA, preserve_index=False)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def host_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS) -> pd.DataFrame:
+    """Integer PageRank over the HOST quotient graph (distinct
+    host→host edges from the hyperlink table) — the domain-authority
+    prior a crawler uses for scheduling and a curation pipeline uses as
+    a quality feature; at web scale the ~10^7-host quotient is what a
+    rank computation can afford to iterate on.
+
+    Composition: host pairs from the streaming link kernel → md5 node
+    ids (host_node_id, shared with the flat twin) → the standard
+    ``doc_edges`` bucket normalization (distinct + out-degree per src
+    group) → the integer ``pagerank`` operator (fixed-point, partition-
+    invariant).  The id→host map is the small side (one row per host),
+    collected and applied in the wrapper — the rank computation itself
+    never leaves Datasets.  SQL-checked against ``pagerank_flat`` over
+    the same flat host edges (dense numpy, opposite architecture)."""
+    from ..stages.dedup import stable_bucket_ids as _sbi
+    from ..stages.linkgraph import _edges_bucket
+
+    hp = _host_pairs(sf_dir).materialize()  # consumed twice: edges + id map
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        src = [host_node_id(h) for h in t["src_host"].to_pylist()]
+        dst = [host_node_id(h) for h in t["dst_host"].to_pylist()]
+        out = pa.Table.from_pydict(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+        b = _sbi(out["src"], 32) if out.num_rows else np.empty(0, np.int32)
+        return out.append_column("__bucket", pa.array(b, pa.int32()))
+
+    edges = (
+        hp.map_batches(to_ids, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_edges_bucket, batch_format="pandas")
+    )
+    ranks = pagerank(edges, iters=iters).to_pandas()
+
+    # id → host map: one row per distinct host, the documented small side
+    hosts_df = hp.to_pandas()
+    hosts = pd.unique(
+        np.concatenate([hosts_df["src_host"].to_numpy(), hosts_df["dst_host"].to_numpy()])
+    )
+    idmap = {host_node_id(h): h for h in hosts}
+    if ranks.empty:
+        return pd.DataFrame(
+            {
+                "host": pd.Series([], dtype=str),
+                "rank_micros": pd.Series([], dtype="int64"),
+            }
+        )
+    out = pd.DataFrame(
+        {
+            "host": ranks["node"].map(idmap),
+            "rank_micros": ranks["rank_micros"].astype("int64"),
+        }
+    )
+    return out.sort_values("host", ignore_index=True)

@@ -1533,3 +1533,71 @@ def write_span_rows_oracle(sf_dir: str, expand: int = 2) -> str:
         names=["url", "start", "end", "path", "kind"],
     )
     return _commit(t, path)
+
+
+def write_host_pagerank_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Oracle for ``host_pagerank``: flat link extraction over the
+    deduped page universe → host pairs (same DOMAIN_RE + self-loop /
+    non-http drop) → the same md5 node ids → ``pagerank_flat`` (dense
+    numpy, deliberately unlike the engine's bucketed join/fold loop) —
+    bit-identical fixed-point ranks or the architectures diverged."""
+    from ..kernel.links import extract_links, src_doc_of_url
+    from ..stages.linkgraph import pagerank_flat
+    from .data_quality import DOMAIN_RE
+    from .linkgraph import host_node_id
+    from .summary import oracle_unique_pages
+
+    path = _oracle_path(sf_dir, "host_pagerank", expand)
+    if os.path.exists(path):
+        return path
+    pages = oracle_unique_pages(sf_dir, expand=expand)
+    urls_all = pages["url"].to_pylist()
+    src_urls: list[str] = []
+    dst_docs: list[int] = []
+    for url, payload in zip(urls_all, pages["html"].to_pylist()):
+        for link in extract_links(payload, url):
+            if link["dst_doc"] >= 0:
+                src_urls.append(url)
+                dst_docs.append(link["dst_doc"])
+    link_df = pd.DataFrame(
+        {
+            "src_host": pd.Series(src_urls, dtype=object)
+            .str.extract(DOMAIN_RE, expand=False)
+            .fillna(""),
+            "dst_doc": pd.Series(dst_docs, dtype="int64"),
+        }
+    ).drop_duplicates()
+    doc_host = pd.DataFrame(
+        {
+            "dst_doc": pd.Series([src_doc_of_url(u) for u in urls_all], dtype="int64"),
+            "dst_host": pd.Series(urls_all, dtype=object)
+            .str.extract(DOMAIN_RE, expand=False)
+            .fillna(""),
+        }
+    )
+    doc_host = doc_host[doc_host["dst_doc"] >= 0].drop_duplicates()
+    df = link_df.merge(doc_host, on="dst_doc")[["src_host", "dst_host"]]
+    df = df[df["src_host"] != df["dst_host"]].drop_duplicates()
+    edges = pd.DataFrame(
+        {
+            "src": [host_node_id(h) for h in df["src_host"]],
+            "dst": [host_node_id(h) for h in df["dst_host"]],
+        }
+    )
+    ranks = pagerank_flat(edges)
+    hosts = pd.unique(
+        np.concatenate([df["src_host"].to_numpy(), df["dst_host"].to_numpy()])
+    )
+    idmap = {host_node_id(h): h for h in hosts}
+    out = pd.DataFrame(
+        {
+            "host": ranks["node"].map(idmap),
+            "rank_micros": ranks["rank_micros"].astype("int64"),
+        }
+    ).sort_values("host", ignore_index=True)
+    return _commit(
+        _from_pandas(
+            out, pa.schema([("host", pa.string()), ("rank_micros", pa.int64())])
+        ),
+        path,
+    )

@@ -460,3 +460,96 @@ def unigram_encode_flat(df: pd.DataFrame) -> pd.DataFrame:
     enc = UnigramEncoder(vocab_json=json.dumps(lp))
     out = enc(df).to_pandas()
     return out.sort_values("doc_id", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility evaluation (pieces per word, by language)
+# ---------------------------------------------------------------------------
+
+_FERTILITY_SCHEMA = pa.schema(
+    [
+        ("lang", pa.string()),
+        ("n_docs", pa.int64()),
+        ("n_words", pa.int64()),
+        ("n_pieces", pa.int64()),
+        ("fertility", pa.float64()),
+    ]
+)
+
+
+def tokenizer_fertility_by_lang(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+    """Tokenizer-quality evaluation: per language, corpus totals of
+    words and unigram-LM pieces plus the fertility ratio (pieces per
+    word) — the standard check that a trained tokenizer serves every
+    language fairly before committing a vocab to a training run
+    (high-fertility languages burn context length).
+
+    Composition: the unigram Viterti-encode actor stage supplies per-doc
+    ``(n_words, n_pieces)``; a bucketed hash join attaches the
+    documents' ``lang``; per-batch integer partials fold per language
+    (bounded cardinality).  Fertility is ONE float division of two exact
+    int64 sums — bit-stable across partitionings (the integer-reduction
+    rule, stages/ml.py).
+
+    SQL-checked: DuckDB joins the flat single-process encode parquet
+    against the ``documents`` view and re-derives the same sums.
+    """
+    import os
+
+    from ..stages.dedup import stable_bucket_ids
+    from ..stages.joins import bucketed_hash_join
+
+    enc = unigram_encode_docs(sf_dir).select_columns(
+        ["doc_id", "n_words", "n_pieces"]
+    )
+    langs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    joined = bucketed_hash_join(enc, langs, on="doc_id", how="inner")
+
+    _PART_SCHEMA = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_words", pa.int64()),
+            ("n_pieces", pa.int64()),
+        ]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = (
+            df.assign(n_docs=1)
+            .groupby("lang", as_index=False, sort=False)
+            .agg(
+                n_docs=("n_docs", "sum"),
+                n_words=("n_words", "sum"),
+                n_pieces=("n_pieces", "sum"),
+            )
+        )
+        pt = pa.Table.from_pandas(out, schema=_PART_SCHEMA, preserve_index=False)
+        b = (
+            stable_bucket_ids(pt["lang"], num_buckets)
+            if pt.num_rows
+            else np.empty(0, np.int32)
+        )
+        return pt.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _FERTILITY_SCHEMA.empty_table()
+        out = g.groupby("lang", as_index=False, sort=False)[
+            ["n_docs", "n_words", "n_pieces"]
+        ].sum()
+        words = out["n_words"].to_numpy(dtype=np.int64)
+        pieces = out["n_pieces"].to_numpy(dtype=np.int64)
+        fert = np.where(words > 0, pieces / np.maximum(words, 1), 0.0)
+        out["fertility"] = fert
+        return pa.Table.from_pandas(
+            out, schema=_FERTILITY_SCHEMA, preserve_index=False
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
