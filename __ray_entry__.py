@@ -282,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_text_fps": textops.normalized_text_fps,
         "rolling_fingerprints": textops.rolling_fingerprints,
         "langid_heuristic": textops.langid_heuristic,
+        "lang_confusion_matrix": textops.lang_confusion_matrix,
+        "dedup_group_size_histogram": textops.dedup_group_size_histogram,
         # --- data quality (all SQL-checked) ---
         "duplicate_span_stats": dq.duplicate_span_stats,
         "repetition_stats": dq.repetition_stats,
@@ -667,6 +669,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dedup_groups": f"""
             SELECT url, group_id FROM read_parquet('{_mh_groups_oracle}')
+        """,
+        "dedup_group_size_histogram": f"""
+            WITH s AS (
+                SELECT group_id, COUNT(*) AS group_size
+                FROM read_parquet('{_mh_groups_oracle}')
+                GROUP BY group_id
+            )
+            SELECT group_size, COUNT(*) AS n_groups
+            FROM s GROUP BY group_size
         """,
         "minhash_dedup_keep_best": f"""
             SELECT url, group_id, text_len, keep
@@ -1181,6 +1192,12 @@ def oracle_sql() -> dict[str, str]:
         "stopword_stats": _STOPWORD_SQL,
         "gopher_quality_filter": _GOPHER_SQL,
         "langid_heuristic": _langid_sql(),
+        "lang_confusion_matrix": f"""
+            WITH pred AS ({_langid_sql()})
+            SELECT d.lang, p.lang_pred, COUNT(*) AS n_docs
+            FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+            GROUP BY d.lang, p.lang_pred
+        """,
         "vocab_top_tokens": """
             WITH toks AS (
                 SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token

@@ -1020,3 +1020,149 @@ def doc_length_percentiles(sf_dir: str) -> rd.Dataset:
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(assign, batch_format="pandas")
+
+
+_CONFUSION_SCHEMA = pa.schema(
+    [("lang", pa.string()), ("lang_pred", pa.string()), ("n_docs", pa.int64())]
+)
+
+
+def lang_confusion_matrix(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+    """Language-metadata QA: confusion matrix of the corpus's DECLARED
+    ``lang`` column against the stopword-overlap language classifier —
+    the standard check that upstream metadata can be trusted before
+    using it for filtering or mixing (off-diagonal mass = mislabeled or
+    unidentifiable documents).
+
+    One streaming pass: the LangId actor stage appends ``lang_pred``
+    next to the declared ``lang`` (both columns ride the same batch, no
+    join), per-batch integer partials reduce to the tiny
+    |langs|×|langs| key space before the one bucketed fold.
+
+    SQL-checked: the oracle reuses the langid marker-set argmax SQL
+    (same marker tables, __ray_entry__._langid_sql) joined against the
+    documents view — REAL relational recompute, opposite architecture.
+    """
+    from ..stages.dedup import stable_bucket_ids
+    from ..stages.text_stats import LangId
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = (
+            df.assign(n_docs=1)
+            .groupby(["lang", "lang_pred"], as_index=False, sort=False)["n_docs"]
+            .sum()
+        )
+        pt = pa.Table.from_pandas(
+            out, schema=_CONFUSION_SCHEMA, preserve_index=False
+        )
+        b = (
+            stable_bucket_ids(pt["lang"], num_buckets)
+            if pt.num_rows
+            else np.empty(0, np.int32)
+        )
+        return pt.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _CONFUSION_SCHEMA.empty_table()
+        out = g.groupby(["lang", "lang_pred"], as_index=False, sort=False)[
+            "n_docs"
+        ].sum()
+        return pa.Table.from_pandas(
+            out, schema=_CONFUSION_SCHEMA, preserve_index=False
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+_GROUP_HIST_SCHEMA = pa.schema(
+    [("group_size", pa.int64()), ("n_groups", pa.int64())]
+)
+
+
+def dedup_group_size_histogram(sf_dir: str, threshold: float = 0.8, num_buckets: int = 16) -> rd.Dataset:
+    """Dedup REPORTING: histogram of near-dup cluster sizes (how many
+    groups of 2, of 3, …) over the MinHash component labels — the
+    one-line answer to "how much of this corpus is duplication, and in
+    what shape" that every dedup run publishes next to its output.
+
+    Composition: the distributed component labeling (iterated min-label
+    over the verified pair graph) feeds a group_id-bucketed size fold,
+    then a size-keyed fold builds the (bounded) histogram.  Labels stay
+    a Dataset end-to-end.
+
+    SQL-checked: DuckDB re-derives sizes from the union-find groups
+    oracle parquet with two GROUP BYs — REAL declarative aggregation
+    over an opposite-architecture labeling."""
+    from ..stages.dedup import stable_bucket_ids
+    from ..stages.neardup import min_label_components
+
+    pairs = minhash_near_dups(sf_dir, threshold=threshold)
+    if pairs.empty:
+        return rd.from_arrow(_GROUP_HIST_SCHEMA.empty_table())
+    labels = min_label_components(rd.from_pandas(pairs[["id_a", "id_b"]]))
+
+    _SIZE_SCHEMA = pa.schema([("group_id", pa.string()), ("sz", pa.int64())])
+
+    def size_partial(df: pd.DataFrame) -> pa.Table:
+        out = (
+            df.assign(sz=1)
+            .groupby("label", as_index=False, sort=False)["sz"]
+            .sum()
+            .rename(columns={"label": "group_id"})
+        )
+        pt = pa.Table.from_pandas(out, schema=_SIZE_SCHEMA, preserve_index=False)
+        b = (
+            stable_bucket_ids(pt["group_id"], num_buckets)
+            if pt.num_rows
+            else np.empty(0, np.int32)
+        )
+        return pt.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def size_fold(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _SIZE_SCHEMA.empty_table()
+        out = g.groupby("group_id", as_index=False, sort=False)["sz"].sum()
+        return pa.Table.from_pandas(out, schema=_SIZE_SCHEMA, preserve_index=False)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"group_size": t["sz"].to_numpy(zero_copy_only=False)})
+        out = (
+            df.assign(n_groups=1)
+            .groupby("group_size", as_index=False, sort=False)["n_groups"]
+            .sum()
+        )
+        pt = pa.Table.from_pandas(
+            out, schema=_GROUP_HIST_SCHEMA, preserve_index=False
+        )
+        b = (
+            stable_bucket_ids(pt["group_size"], num_buckets)
+            if pt.num_rows
+            else np.empty(0, np.int32)
+        )
+        return pt.append_column("__hb", pa.array(b, pa.int32()))
+
+    def hist_fold(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _GROUP_HIST_SCHEMA.empty_table()
+        out = g.groupby("group_size", as_index=False, sort=False)["n_groups"].sum()
+        return pa.Table.from_pandas(
+            out, schema=_GROUP_HIST_SCHEMA, preserve_index=False
+        )
+
+    return (
+        labels.map_batches(size_partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(size_fold, batch_format="pandas")
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("__hb")
+        .map_groups(hist_fold, batch_format="pandas")
+    )
