@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_heuristic": textops.langid_heuristic,
         "lang_confusion_matrix": textops.lang_confusion_matrix,
         "dedup_group_size_histogram": textops.dedup_group_size_histogram,
+        "compression_ratio_scores": textops.compression_ratio_scores,
         # --- data quality (all SQL-checked) ---
         "duplicate_span_stats": dq.duplicate_span_stats,
         "repetition_stats": dq.repetition_stats,
@@ -578,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
     _pages_text_oracle = _rro._oracle_path(_oracle_sf, "pages_text")
     _span_rows_oracle = _rro._oracle_path(_oracle_sf, "span_rows")
     _host_pr_oracle = _rro._oracle_path(_oracle_sf, "host_pagerank")
+    _zratio_oracle = _rro._oracle_path(_oracle_sf, "compression_ratio")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -617,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_pages_text_oracle(_oracle_sf)
         _rro.write_span_rows_oracle(_oracle_sf)
         _rro.write_host_pagerank_oracle(_oracle_sf)
+        _rro.write_compression_ratio_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -854,6 +857,10 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM read_parquet('{_pages_slim_oracle}')
             ) WHERE rn = 1
+        """,
+        "compression_ratio_scores": f"""
+            SELECT doc_id, n_bytes, n_compressed, compression_ratio
+            FROM read_parquet('{_zratio_oracle}')
         """,
         "host_pagerank": f"""
             SELECT host, rank_micros FROM read_parquet('{_host_pr_oracle}')

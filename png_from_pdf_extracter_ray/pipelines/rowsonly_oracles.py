@@ -1601,3 +1601,32 @@ def write_host_pagerank_oracle(sf_dir: str, expand: int = 2) -> str:
         ),
         path,
     )
+
+
+def write_compression_ratio_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Flat recompute for ``compression_ratio_scores`` — the same
+    per-doc zlib kernel (single-implementation rule: the codec IS the
+    contract) over the raw documents table, no Ray."""
+    from ..stages.text_stats import compression_ratio_batch
+
+    path = _oracle_path(sf_dir, "compression_ratio", expand)
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    out = compression_ratio_batch(docs)
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_bytes", pa.int64()),
+                    ("n_compressed", pa.int64()),
+                    ("compression_ratio", pa.float64()),
+                ]
+            ),
+        ),
+        path,
+    )

@@ -1166,3 +1166,16 @@ def dedup_group_size_histogram(sf_dir: str, threshold: float = 0.8, num_buckets:
         .groupby("__hb")
         .map_groups(hist_fold, batch_format="pandas")
     )
+
+
+def compression_ratio_scores(sf_dir: str) -> rd.Dataset:
+    """Per-document zlib compressibility (bytes, compressed bytes,
+    ratio) — the repetitiveness/noise quality heuristic; pure streaming
+    map, no shuffle.  SQL-checked against a flat single-process
+    recompute parquet (rowsonly_oracles.write_compression_ratio_oracle;
+    DuckDB has no zlib)."""
+    from ..stages.text_stats import compression_ratio_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        compression_ratio_batch, batch_format="pandas"
+    )

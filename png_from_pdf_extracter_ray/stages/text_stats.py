@@ -282,3 +282,32 @@ def normalize_text_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFra
     )
     fp = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in s]
     return df.assign(norm_fp=fp)
+
+
+def compression_ratio_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """zlib-compressibility quality signal (the CCNet/RefinedWeb-family
+    heuristic: highly compressible text is repetitive boilerplate, and
+    barely-compressible text is noise/binary junk).  Per document:
+    UTF-8 byte count, zlib level-6 compressed size, and their float
+    ratio.  zlib output for a fixed level is deterministic for a given
+    input (same library everywhere in this fleet), so the operator is
+    exactly reproducible; the oracle is a flat recompute (DuckDB cannot
+    zlib).  Per-row compress loop is the accepted kernel cost class
+    (same as the md5 fingerprint loops)."""
+    import zlib
+
+    n_bytes = np.zeros(len(df), dtype=np.int64)
+    n_comp = np.zeros(len(df), dtype=np.int64)
+    for i, text in enumerate(df[text_col].fillna("")):
+        raw = text.encode("utf-8")
+        n_bytes[i] = len(raw)
+        n_comp[i] = len(zlib.compress(raw, 6))
+    ratio = np.where(n_bytes > 0, n_comp / np.maximum(n_bytes, 1), 1.0)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "n_bytes": n_bytes,
+            "n_compressed": n_comp,
+            "compression_ratio": np.round(ratio, 6),
+        }
+    )
