@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion_matrix": textops.lang_confusion_matrix,
         "dedup_group_size_histogram": textops.dedup_group_size_histogram,
         "compression_ratio_scores": textops.compression_ratio_scores,
+        "embedding_benchmark_contamination": textops.embedding_benchmark_contamination,
         # --- data quality (all SQL-checked) ---
         "duplicate_span_stats": dq.duplicate_span_stats,
         "repetition_stats": dq.repetition_stats,
@@ -580,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
     _span_rows_oracle = _rro._oracle_path(_oracle_sf, "span_rows")
     _host_pr_oracle = _rro._oracle_path(_oracle_sf, "host_pagerank")
     _zratio_oracle = _rro._oracle_path(_oracle_sf, "compression_ratio")
+    _emb_contam_oracle = _rro._oracle_path(_oracle_sf, "embedding_contamination")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -620,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_span_rows_oracle(_oracle_sf)
         _rro.write_host_pagerank_oracle(_oracle_sf)
         _rro.write_compression_ratio_oracle(_oracle_sf)
+        _rro.write_embedding_contamination_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -857,6 +860,10 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM read_parquet('{_pages_slim_oracle}')
             ) WHERE rn = 1
+        """,
+        "embedding_benchmark_contamination": f"""
+            SELECT vec_id, bench_id, cos
+            FROM read_parquet('{_emb_contam_oracle}')
         """,
         "compression_ratio_scores": f"""
             SELECT doc_id, n_bytes, n_compressed, compression_ratio

@@ -1630,3 +1630,47 @@ def write_compression_ratio_oracle(sf_dir: str, expand: int = 2) -> str:
         ),
         path,
     )
+
+
+def write_embedding_contamination_oracle(
+    sf_dir: str, threshold: float = 0.4, expand: int = 2
+) -> str:
+    """Flat recompute for ``embedding_benchmark_contamination`` — one
+    dense matmul of the whole corpus against the benchmark slice (same
+    float32 kernel), no Ray, no broadcast."""
+    from .corpus_stats import BENCHMARK_MOD
+
+    path = _oracle_path(sf_dir, "embedding_contamination", expand)
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = _ids_np(t["vec_id"]).astype(np.int64)
+    mat = _stack(t["embedding"])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    bench_mask = ids % BENCHMARK_MOD == 0
+    cos = mat[~bench_mask] @ mat[bench_mask].T
+    r, c = np.nonzero(cos >= threshold)
+    out = pd.DataFrame(
+        {
+            "vec_id": ids[~bench_mask][r],
+            "bench_id": ids[bench_mask][c],
+            "cos": np.round(cos[r, c].astype(np.float64), 3),
+        }
+    )
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("bench_id", pa.int64()),
+                    ("cos", pa.float64()),
+                ]
+            ),
+        ),
+        path,
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -1179,3 +1180,74 @@ def compression_ratio_scores(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         compression_ratio_batch, batch_format="pandas"
     )
+
+
+_EMB_CONTAM_SCHEMA = pa.schema(
+    [("vec_id", pa.int64()), ("bench_id", pa.int64()), ("cos", pa.float64())]
+)
+
+
+def embedding_benchmark_contamination(
+    sf_dir: str, threshold: float = 0.4
+) -> rd.Dataset:
+    """Embedding-level benchmark decontamination: every (corpus doc,
+    benchmark doc) pair with cosine ≥ threshold — the semantic sibling
+    of the n-gram contamination ops (catches paraphrased eval leakage
+    that exact shingles miss).  Benchmark side = ``vec_id %
+    BENCHMARK_MOD == 0`` (the corpus-wide eval-set stand-in,
+    pipelines/corpus_stats.py); corpus side is everything else.
+
+    Ray shape: the benchmark matrix is SMALL BY DEFINITION (an eval
+    set), so it is read pruned on the driver, normalized, broadcast via
+    ``ray.put`` once, and every batch does one matmul — no shuffle at
+    all; pairs above threshold are the only rows that leave a batch.
+    Same float conventions as embedding_near_dups (float32 matmul, cos
+    rounded to 3 in the output); SQL-checked against a flat recompute
+    parquet (rowsonly_oracles.write_embedding_contamination_oracle)."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from ..stages.similarity import _ids_np, _stack
+    from .corpus_stats import BENCHMARK_MOD
+    from .relational import _cached_broadcast
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = _ids_np(t["vec_id"]).astype(np.int64)
+    bench_mask = ids % BENCHMARK_MOD == 0
+    bench_ids = ids[bench_mask]
+    bmat = _stack(t["embedding"].combine_chunks().filter(pa.array(bench_mask)))
+    norms = np.linalg.norm(bmat, axis=1)
+    norms[norms == 0] = 1.0
+    bmat = bmat / norms[:, None]
+    bref = _ray.put((bench_ids, bmat))
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        b_ids, b = _cached_broadcast(bref)
+        vids = _ids_np(batch["vec_id"]).astype(np.int64)
+        keep = vids % BENCHMARK_MOD != 0
+        if not keep.any():
+            return _EMB_CONTAM_SCHEMA.empty_table()
+        rows = _stack(batch["embedding"].combine_chunks().filter(pa.array(keep)))
+        vids = vids[keep]
+        rn = np.linalg.norm(rows, axis=1)
+        rn[rn == 0] = 1.0
+        cos = (rows / rn[:, None]) @ b.T
+        r, c = np.nonzero(cos >= threshold)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(vids[r], pa.int64()),
+                "bench_id": pa.array(b_ids[c], pa.int64()),
+                "cos": pa.array(
+                    np.round(cos[r, c].astype(np.float64), 3), pa.float64()
+                ),
+            }
+        ).cast(_EMB_CONTAM_SCHEMA)
+
+    return ds.map_batches(score, batch_format="pyarrow")
