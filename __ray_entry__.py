@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_reputation": dq.domain_reputation,
         "blocklist_filter": dq.blocklist_filter,
         "incremental_new_docs": dq.incremental_new_docs,
+        "incremental_new_docs_neardup": dq.incremental_new_docs_neardup,
         "paragraph_dedup": dq.paragraph_dedup_docs,
         "mirror_host_pairs": dq.mirror_host_pairs,
         "span_tag_path_stats": span_tag_path_stats,
@@ -582,6 +583,7 @@ def oracle_sql() -> dict[str, str]:
     _host_pr_oracle = _rro._oracle_path(_oracle_sf, "host_pagerank")
     _zratio_oracle = _rro._oracle_path(_oracle_sf, "compression_ratio")
     _emb_contam_oracle = _rro._oracle_path(_oracle_sf, "embedding_contamination")
+    _inc_nd_oracle = _rro._oracle_path(_oracle_sf, "incremental_neardup")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -623,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_host_pagerank_oracle(_oracle_sf)
         _rro.write_compression_ratio_oracle(_oracle_sf)
         _rro.write_embedding_contamination_oracle(_oracle_sf)
+        _rro.write_incremental_neardup_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -860,6 +863,9 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM read_parquet('{_pages_slim_oracle}')
             ) WHERE rn = 1
+        """,
+        "incremental_new_docs_neardup": f"""
+            SELECT url, warc_us FROM read_parquet('{_inc_nd_oracle}')
         """,
         "embedding_benchmark_contamination": f"""
             SELECT vec_id, bench_id, cos

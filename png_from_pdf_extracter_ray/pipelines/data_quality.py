@@ -1627,3 +1627,178 @@ def mirror_host_pairs(
         )
 
     return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Incremental-crawl NEAR-dup dedup (delta batch vs base corpus by SimHash)
+# ---------------------------------------------------------------------------
+
+_INC_ND_SIDE_SCHEMA = pa.schema(
+    [
+        ("side", pa.int8()),  # 0 = base, 1 = delta
+        ("url", pa.string()),
+        ("warc_us", pa.int64()),
+        ("sig", pa.int64()),
+    ]
+)
+_INC_ND_OUT_SCHEMA = pa.schema([("url", pa.string()), ("warc_us", pa.int64())])
+
+
+def incremental_new_docs_neardup(
+    sf_dir: str, max_hamming: int = 3, num_buckets: int = 32
+) -> pd.DataFrame:
+    """Incremental-crawl NEAR-dup dedup: delta-batch snapshots whose
+    SimHash is within ``max_hamming`` of NO base-corpus signature —
+    the stronger sibling of ``incremental_new_docs`` (exact md5): it
+    also rejects recrawl-drift and template-tweaked re-renders, the
+    content that actually pollutes a continuously-ingested corpus.
+    Exact dups are hamming 0, so this strictly subsumes the md5 check.
+
+    Ray shape (bipartite block probing): both sides reduce to
+    ``(side, sig)`` rows per batch (base ships DISTINCT signatures
+    only); each signature explodes into its four 16-bit block rows;
+    one block_key-bucketed shuffle co-locates every (block, key) combo,
+    where a vectorized delta×base merge + XOR/popcount verifies hamming
+    — recall is EXACT for max_hamming ≤ 3 (pigeonhole over 4 disjoint
+    blocks, stages/neardup.hamming_near_dup_pairs).  Matched delta row
+    keys distinct-fold by key bucket, then one bucketed ANTI join
+    removes them from the delta side.  Text never shuffles.
+
+    SQL-checked against a flat recompute: same SimHash kernel, dense
+    delta×base popcount matrix, no Ray
+    (rowsonly_oracles.write_incremental_neardup_oracle)."""
+    from ..sources.pages_source import synthesize_pages
+    from ..stages.neardup import _popcount64, _simhash_batch
+
+    def sig_rows(df: pd.DataFrame) -> pa.Table:
+        site = df["url"].str.extract(INC_SITE_RE, expand=False).astype("int64")
+        delta = (site % INC_DELTA_MOD == 0).to_numpy()
+        sigs = _simhash_batch(df["text"].tolist()).view(np.int64)
+        us = df["warc_ts"].astype("int64").to_numpy()
+        d = pd.DataFrame(
+            {
+                "side": np.int8(1),
+                "url": df["url"].to_numpy()[delta],
+                "warc_us": us[delta],
+                "sig": sigs[delta],
+            }
+        )
+        b = pd.DataFrame(
+            {"side": np.int8(0), "url": "", "warc_us": np.int64(0), "sig": sigs[~delta]}
+        ).drop_duplicates(["sig"])
+        return pa.Table.from_pandas(
+            pd.concat([d, b], ignore_index=True)[_INC_ND_SIDE_SCHEMA.names],
+            schema=_INC_ND_SIDE_SCHEMA,
+            preserve_index=False,
+        )
+
+    def explode_blocks(t: pa.Table) -> pa.Table:
+        sh = t["sig"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        n = len(sh)
+        idx = np.repeat(np.arange(n), 4)
+        keys = (
+            (sh[:, None] >> (16 * np.arange(4, dtype=np.uint64))[None, :])
+            & np.uint64(0xFFFF)
+        ).astype(np.int32).ravel()
+        out = pa.Table.from_pydict(
+            {
+                "side": pc_take_col(t["side"], idx),
+                "url": pc_take_col(t["url"], idx),
+                "warc_us": pc_take_col(t["warc_us"], idx),
+                "sig": pa.array(np.repeat(sh.view(np.int64), 4), pa.int64()),
+                "block": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
+                "block_key": pa.array(keys, pa.int32()),
+            }
+        )
+        b = (
+            stable_bucket_ids(out["block_key"], num_buckets)
+            if out.num_rows
+            else np.empty(0, np.int32)
+        )
+        return out.append_column("__bucket", pa.array(b, pa.int32()))
+
+    _MATCH_SCHEMA = pa.schema([("__rid", pa.string())])
+
+    def matches(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _MATCH_SCHEMA.empty_table()
+        d = g[g["side"] == 1]
+        b = g[g["side"] == 0]
+        if d.empty or b.empty:
+            return _MATCH_SCHEMA.empty_table()
+        cols = ["block", "block_key", "sig"]
+        m = d[["url", "warc_us"] + cols].merge(b[cols], on=["block", "block_key"])
+        if m.empty:
+            return _MATCH_SCHEMA.empty_table()
+        x = m["sig_x"].to_numpy(dtype=np.int64).view(np.uint64)
+        y = m["sig_y"].to_numpy(dtype=np.int64).view(np.uint64)
+        hit = _popcount64(np.bitwise_xor(x, y)) <= max_hamming
+        m = m[hit]
+        if m.empty:
+            return _MATCH_SCHEMA.empty_table()
+        rid = (m["url"] + "\x1f" + m["warc_us"].astype(str)).drop_duplicates()
+        return pa.Table.from_arrays(
+            [pa.array(rid.tolist(), pa.string())], schema=_MATCH_SCHEMA
+        )
+
+    def rid_bucket(t: pa.Table) -> pa.Table:
+        b = (
+            stable_bucket_ids(t["__rid"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__rb", pa.array(b, pa.int32()))
+
+    def rid_distinct(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _MATCH_SCHEMA.empty_table()
+        return pa.Table.from_arrays(
+            [pa.array(g["__rid"].drop_duplicates().tolist(), pa.string())],
+            schema=_MATCH_SCHEMA,
+        )
+
+    pages = synthesize_pages(sf_dir, expand=2, include_html=False)
+    tagged = pages.map_batches(sig_rows, batch_format="pandas").materialize()
+
+    matched = (
+        tagged.map_batches(explode_blocks, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(matches, batch_format="pandas")
+        .map_batches(rid_bucket, batch_format="pyarrow")
+        .groupby("__rb")
+        .map_groups(rid_distinct, batch_format="pandas")
+    )
+
+    _DELTA_SCHEMA = pa.schema(
+        [("url", pa.string()), ("warc_us", pa.int64()), ("__rid", pa.string())]
+    )
+
+    def delta_rows(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["side"] == 1]
+        df["__rid"] = df["url"] + "\x1f" + df["warc_us"].astype(str)
+        return pa.Table.from_pandas(
+            df[["url", "warc_us", "__rid"]], schema=_DELTA_SCHEMA, preserve_index=False
+        )
+
+    delta = tagged.map_batches(delta_rows, batch_format="pyarrow")
+    new = bucketed_hash_join(
+        delta, matched, on="__rid", num_buckets=num_buckets, how="anti"
+    )
+    out = new.to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"url": pd.Series([], dtype=object), "warc_us": pd.Series([], dtype="int64")}
+        )
+    return (
+        out[["url", "warc_us"]]
+        .astype({"warc_us": "int64"})
+        .sort_values(["url", "warc_us"], ignore_index=True)
+    )
+
+
+def pc_take_col(col: "pa.ChunkedArray | pa.Array", idx: np.ndarray):  # noqa: ANN201
+    """take() that tolerates both Array and ChunkedArray inputs."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.take(pa.array(idx))

@@ -1674,3 +1674,57 @@ def write_embedding_contamination_oracle(
         ),
         path,
     )
+
+
+def write_incremental_neardup_oracle(
+    sf_dir: str, max_hamming: int = 3, expand: int = 2
+) -> str:
+    """Flat recompute for ``incremental_new_docs_neardup`` — same
+    SimHash kernel, dense delta×base XOR/popcount matrix, no probing,
+    no Ray."""
+    from ..pipelines.data_quality import INC_DELTA_MOD, INC_SITE_RE
+    from ..stages.neardup import _popcount64, _simhash_batch
+    from ..corpus.synth import pages_rows_for_doc
+    import re as _re
+
+    path = _oracle_path(sf_dir, "incremental_neardup", expand)
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    urls: list[str] = []
+    tss: list[int] = []
+    texts: list[str] = []
+    for doc_id, text, lang in zip(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist()
+    ):
+        rows = pages_rows_for_doc(doc_id, text or "", lang or "", expand, include_html=False)
+        urls.extend(rows["url"])
+        tss.extend(rows["warc_ts"])
+        texts.extend(rows["text"])
+    site_re = _re.compile(INC_SITE_RE)
+    sites = np.array([int(site_re.match(u).group(1)) for u in urls], dtype=np.int64)
+    delta = sites % INC_DELTA_MOD == 0
+    sigs = _simhash_batch(texts)
+    d_sigs, b_sigs = sigs[delta], np.unique(sigs[~delta])
+    d_urls = np.array(urls, dtype=object)[delta]
+    d_us = np.array(tss, dtype=np.int64)[delta]
+    if len(b_sigs) == 0:
+        new_mask = np.ones(len(d_sigs), dtype=bool)
+    else:
+        ham = _popcount64(
+            np.bitwise_xor(
+                np.repeat(d_sigs, len(b_sigs)), np.tile(b_sigs, len(d_sigs))
+            )
+        ).reshape(len(d_sigs), len(b_sigs))
+        new_mask = (ham > max_hamming).all(axis=1)
+    out = pd.DataFrame(
+        {"url": d_urls[new_mask], "warc_us": d_us[new_mask]}
+    ).sort_values(["url", "warc_us"], ignore_index=True)
+    return _commit(
+        _from_pandas(
+            out, pa.schema([("url", pa.string()), ("warc_us", pa.int64())])
+        ),
+        path,
+    )
