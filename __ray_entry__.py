@@ -130,14 +130,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_text": rel.dedup_exact_text,
         "semantic_dedup": textops.semantic_dedup_embeddings,
         "minhash_near_dups": textops.minhash_near_dups,
-        "minhash_dedup_groups": textops.minhash_dedup_groups,
         "simhash_near_dups": textops.simhash_near_dups,
-        "ngram_jaccard_near_dups": textops.ngram_jaccard_near_dups,
-        "embedding_near_dups": textops.embedding_near_dups,
         "embedding_near_dups_lsh": textops.embedding_near_dups_lsh,
-        "text_embedding_near_dups": textops.text_embedding_near_dups,
         "pages_phash_near_dups": textops.pages_phash_near_dups,
         "cross_doc_duplicate_spans": dq.cross_doc_duplicate_spans,
+        "paragraph_dedup": dq.paragraph_dedup_docs,
+        # --- crawl-curation family reps (r4-final; SQL-checked) ---
+        "mirror_host_pairs": dq.mirror_host_pairs,
+        "span_tag_path_stats": span_tag_path_stats,
+        "host_pagerank": lg.host_pagerank,
         # --- similarity search (brute-force / LSH / IVF / PQ; SQL-checked) ---
         "similarity_topk": textops.similarity_topk,
         "similarity_topk_lsh": textops.similarity_topk_lsh,
@@ -300,10 +301,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": dq.blocklist_filter,
         "incremental_new_docs": dq.incremental_new_docs,
         "incremental_new_docs_neardup": dq.incremental_new_docs_neardup,
-        "paragraph_dedup": dq.paragraph_dedup_docs,
-        "mirror_host_pairs": dq.mirror_host_pairs,
-        "span_tag_path_stats": span_tag_path_stats,
-        "host_pagerank": lg.host_pagerank,
+        "quality_filter_chain": dq.quality_filter_chain,
+        "minhash_dedup_groups": textops.minhash_dedup_groups,
+        "ngram_jaccard_near_dups": textops.ngram_jaccard_near_dups,
+        "embedding_near_dups": textops.embedding_near_dups,
+        "text_embedding_near_dups": textops.text_embedding_near_dups,
         # --- corpus statistics (all SQL-checked) ---
         "vocab_top_tokens": corpus_stats.vocab_top_tokens,
         "token_doc_frequency": corpus_stats.token_doc_frequency,
@@ -486,6 +488,12 @@ def oracle_sql() -> dict[str, str]:
 
     from png_from_pdf_extracter_ray.pipelines.urlops import (
         POLITENESS_DELAY_US as _POLITENESS_US,
+    )
+    from png_from_pdf_extracter_ray.pipelines.data_quality import (
+        ZRATIO_MAX as _ZR_MAX,
+    )
+    from png_from_pdf_extracter_ray.pipelines.data_quality import (
+        ZRATIO_MIN as _ZR_MIN,
     )
 
     _pii_aug_sql = _augmented_text_sql()
@@ -864,6 +872,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{_pages_slim_oracle}')
             ) WHERE rn = 1
         """,
+        "quality_filter_chain": f"""
+            WITH g AS ({{_GOPHER_FULL}}),
+                 l AS ({{_LANGID_FULL}}),
+                 z AS (
+                SELECT doc_id, compression_ratio
+                FROM read_parquet('{_zratio_oracle}')
+            )
+            SELECT g.doc_id, g.keep AS gopher_keep, z.compression_ratio,
+                   l.lang_pred,
+                   CAST(CASE WHEN g.keep = 1
+                              AND z.compression_ratio >= {_ZR_MIN}
+                              AND z.compression_ratio <= {_ZR_MAX}
+                              AND l.lang_pred <> 'und'
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM g
+            JOIN l ON g.doc_id = l.doc_id
+            JOIN z ON g.doc_id = z.doc_id
+        """.replace("{_GOPHER_FULL}", _GOPHER_SQL).replace(
+            "{_LANGID_FULL}", _langid_sql()
+        ),
         "incremental_new_docs_neardup": f"""
             SELECT url, warc_us FROM read_parquet('{_inc_nd_oracle}')
         """,

@@ -1802,3 +1802,71 @@ def pc_take_col(col: "pa.ChunkedArray | pa.Array", idx: np.ndarray):  # noqa: AN
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return col.take(pa.array(idx))
+
+
+# ---------------------------------------------------------------------------
+# Production quality-filter chain (Gopher ∧ compressibility ∧ language)
+# ---------------------------------------------------------------------------
+
+# zlib-ratio keep window: below = degenerate repetition, above = zlib
+# overhead on near-incompressible noise/short docs.  Single-sourced into
+# the oracle SQL.
+ZRATIO_MIN = 0.25
+ZRATIO_MAX = 0.95
+
+_CHAIN_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("gopher_keep", pa.int64()),
+        ("compression_ratio", pa.float64()),
+        ("lang_pred", pa.string()),
+        ("keep", pa.int64()),
+    ]
+)
+
+
+def quality_filter_chain(sf_dir: str) -> rd.Dataset:
+    """The production filter CHAIN: a document survives iff it passes
+    the Gopher word-level rules AND its zlib compressibility sits in
+    the sane window AND the language classifier recognizes it — the
+    standard pre-training gauntlet (Gopher / CCNet / RefinedWeb style)
+    composed from this engine's own kernels.
+
+    Ray shape: ONE streaming pass — all three kernels run on the same
+    batch (they are per-doc maps; composing them costs zero joins and
+    zero shuffles), emitting the per-signal columns plus the combined
+    flag.  The zlib ratio is the kernel's rounded float, so the oracle
+    (which reads the flat recompute parquet) compares identical
+    numbers.
+    """
+    from ..stages.text_stats import (
+        LangId,
+        compression_ratio_batch,
+        gopher_stats_batch,
+    )
+
+    langid = LangId()
+
+    def chain(df: pd.DataFrame) -> pa.Table:
+        g = gopher_stats_batch(df)
+        z = compression_ratio_batch(df)
+        preds = [langid.classify(t) for t in df["text"].fillna("")]
+        keep = (
+            (g["keep"].to_numpy(dtype=np.int64) == 1)
+            & (z["compression_ratio"].to_numpy() >= ZRATIO_MIN)
+            & (z["compression_ratio"].to_numpy() <= ZRATIO_MAX)
+            & (np.asarray(preds, dtype=object) != "und")
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+                "gopher_keep": pa.array(g["keep"].to_numpy(dtype=np.int64)),
+                "compression_ratio": pa.array(z["compression_ratio"].to_numpy()),
+                "lang_pred": pa.array(preds, pa.string()),
+                "keep": pa.array(keep),
+            }
+        ).cast(_CHAIN_SCHEMA)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chain, batch_format="pandas"
+    )
