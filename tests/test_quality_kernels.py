@@ -1,0 +1,62 @@
+"""Kernel-level tests for the round-4-final quality/crawl kernels
+(no Ray): zlib compression ratio, host node ids, paragraph split."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from png_from_pdf_extracter_ray.pipelines.data_quality import (
+    ZRATIO_MAX,
+    ZRATIO_MIN,
+    _split_paras,
+)
+from png_from_pdf_extracter_ray.pipelines.linkgraph import host_node_id
+from png_from_pdf_extracter_ray.stages.text_stats import compression_ratio_batch
+
+
+def test_compression_ratio_empty_and_repetitive() -> None:
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["", "ab " * 500, "the quick brown fox jumps over it"],
+        }
+    )
+    out = compression_ratio_batch(df)
+    # empty text: 0 bytes, ratio defined as 1.0 (neither keep-window edge)
+    assert out.loc[0, "n_bytes"] == 0
+    assert out.loc[0, "compression_ratio"] == 1.0
+    # highly repetitive text compresses far below the keep window
+    assert out.loc[1, "compression_ratio"] < ZRATIO_MIN
+    # zlib header overhead can push short unique text above 1.0
+    assert out.loc[2, "compression_ratio"] > ZRATIO_MIN
+    # determinism
+    out2 = compression_ratio_batch(df)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_compression_ratio_none_text() -> None:
+    out = compression_ratio_batch(pd.DataFrame({"doc_id": [7], "text": [None]}))
+    assert out.loc[0, "n_bytes"] == 0
+
+
+def test_zratio_window_sane() -> None:
+    assert 0.0 < ZRATIO_MIN < ZRATIO_MAX < 1.5
+
+
+def test_host_node_id_deterministic_and_distinct() -> None:
+    hosts = [f"site{i}.example" for i in range(500)] + ["", "a.b", "A.B"]
+    ids = [host_node_id(h) for h in hosts]
+    assert len(set(ids)) == len(hosts)  # no collisions on a realistic set
+    assert host_node_id("x.example") == host_node_id("x.example")
+    assert all(isinstance(i, int) and -(2**63) <= i < 2**63 for i in ids)
+
+
+def test_split_paras_positions_and_empties() -> None:
+    # indices refer to the RAW split (stable under later drops), empty
+    # pieces are excluded from the paragraph universe
+    text = "a\n\n\n\nb\n\nc"  # split: ['a', '', 'b', 'c'] on \n\n
+    paras = _split_paras(text)
+    assert paras == [(0, "a"), (2, "b"), (3, "c")]
+    assert _split_paras("") == []
+    assert _split_paras("\n\n") == []
