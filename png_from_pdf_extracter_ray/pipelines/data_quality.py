@@ -1342,9 +1342,16 @@ def paragraph_dedup_docs(
     the accepted hashlib exception (ROUND_NOTES) — md5-per-paragraph has
     no Arrow kernel.
     """
+    import dataclasses
+
+    from ..config import DEFAULT_CONFIG
     from .extract_pipeline import flagship
 
-    docs_all = flagship(sf_dir, expand=expand, summary_only=False)
+    # this consumer never touches page rasters — skip the PNG render
+    # branch entirely (extracted_text/spans are unaffected by
+    # cfg.render_pages; kernel/extract.py:125 gates only the raster loop)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, render_pages=False)
+    docs_all = flagship(sf_dir, cfg, expand=expand, summary_only=False)
 
     def slim_docs(batch: pa.Table) -> pa.Table:
         t = batch.select(["url", "extracted_text"])

@@ -528,12 +528,18 @@ def span_tag_path_stats(
     from the single-process extraction
     (rowsonly_oracles.write_span_rows_oracle).
     """
+    import dataclasses
+
     import pyarrow.compute as _pc
 
+    from ..config import DEFAULT_CONFIG
     from ..stages.dedup import stable_bucket_ids
     from .extract_pipeline import flagship
 
-    ds = flagship(sf_dir, expand=expand, summary_only=False)
+    # span stats never touch page rasters — skip the PNG render branch
+    # (extracted text/spans are independent of cfg.render_pages)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, render_pages=False)
+    ds = flagship(sf_dir, cfg, expand=expand, summary_only=False)
 
     def partial(t: pa.Table) -> pa.Table:
         spans = t["spans"].combine_chunks()
