@@ -149,3 +149,61 @@ class TestTokenChunkInvariants:
         assert all(len(w) == chunk for w in windows[:-1])
         if windows:
             assert 1 <= len(windows[-1]) <= chunk
+
+
+class TestUrlCanonicalizationProperties:
+    """Property hardening for pipelines/urlops.py."""
+
+    @given(
+        doc=st.integers(min_value=0, max_value=10_000),
+        variant=st.integers(min_value=0, max_value=3),
+        ts1=st.integers(min_value=0, max_value=2**40),
+        ts2=st.integers(min_value=0, max_value=2**40),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_all_snapshots_share_one_canonical_form(
+        self, doc: int, variant: int, ts1: int, ts2: int
+    ) -> None:
+        # THE invariant canonical-url dedup rests on: every messy
+        # snapshot of a url canonicalizes to the SAME form (retained
+        # "real" params are a function of the url alone; only the
+        # noise varies with the timestamp), and that form differs from
+        # the clean url at most by those retained real params.
+        from png_from_pdf_extracter_ray.corpus.synth import page_url
+        from png_from_pdf_extracter_ray.pipelines.urlops import (
+            canonicalize_url,
+            messy_url,
+        )
+
+        url = page_url(doc, variant)
+        c1 = canonicalize_url(messy_url(url, ts1))
+        c2 = canonicalize_url(messy_url(url, ts2))
+        assert c1 == c2
+        assert c1.split("?", 1)[0] == canonicalize_url(url).split("?", 1)[0]
+
+    @given(
+        host=st.from_regex(r"[a-z][a-z0-9.\-]{0,20}", fullmatch=True),
+        path=st.from_regex(r"(/[A-Za-z0-9._\-]{0,8}){0,4}", fullmatch=True),
+        params=st.lists(
+            st.from_regex(r"[a-z]{1,6}=[A-Za-z0-9]{0,6}", fullmatch=True),
+            max_size=4,
+        ),
+        frag=st.from_regex(r"(#[A-Za-z0-9]{0,6})?", fullmatch=True),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_canonical_has_no_noise(
+        self, host: str, path: str, params: list, frag: str
+    ) -> None:
+        from png_from_pdf_extracter_ray.pipelines.urlops import canonicalize_url
+
+        raw = f"https://{host}{path}"
+        if params:
+            raw += "?" + "&".join(params)
+        raw += frag
+        out = canonicalize_url(raw)
+        assert "#" not in out
+        assert not out.split("?", 1)[0].endswith("/") or path.endswith("//")
+        auth = out.split("?", 1)[0]
+        assert auth == auth.split("://", 1)[0].lower() + "://" + auth.split("://", 1)[1]
+        for p in out.split("?", 1)[1].split("&") if "?" in out else []:
+            assert not p.startswith(("utm_", "fbclid=", "gclid=", "ref="))
