@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from png_from_pdf_extracter_ray.pipelines import data_quality as dq
     from png_from_pdf_extracter_ray.pipelines import dsir as dsel
     from png_from_pdf_extracter_ray.pipelines import linkgraph as lg
+    from png_from_pdf_extracter_ray.pipelines import ingest as _ingest
     from png_from_pdf_extracter_ray.pipelines import mlops
     from png_from_pdf_extracter_ray.pipelines.tokenizer import (
         tokenizer_fertility_by_lang as _tokenizer_fertility,
@@ -302,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_new_docs": dq.incremental_new_docs,
         "incremental_new_docs_neardup": dq.incremental_new_docs_neardup,
         "quality_filter_chain": dq.quality_filter_chain,
+        "warclike_ingest_rows": _ingest.warclike_ingest_rows,
         "minhash_dedup_groups": textops.minhash_dedup_groups,
         "ngram_jaccard_near_dups": textops.ngram_jaccard_near_dups,
         "embedding_near_dups": textops.embedding_near_dups,
@@ -592,6 +594,7 @@ def oracle_sql() -> dict[str, str]:
     _zratio_oracle = _rro._oracle_path(_oracle_sf, "compression_ratio")
     _emb_contam_oracle = _rro._oracle_path(_oracle_sf, "embedding_contamination")
     _inc_nd_oracle = _rro._oracle_path(_oracle_sf, "incremental_neardup")
+    _warc_oracle = _rro._oracle_path(_oracle_sf, "warclike_expected")
     _imgfeat_oracle = image_features_oracle_path(_oracle_sf, expand=2)
     try:
         _rro.write_minhash_oracles(_oracle_sf)
@@ -634,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_compression_ratio_oracle(_oracle_sf)
         _rro.write_embedding_contamination_oracle(_oracle_sf)
         _rro.write_incremental_neardup_oracle(_oracle_sf)
+        _rro.write_warclike_expected_oracle(_oracle_sf)
     except Exception as exc:  # noqa: BLE001
         print(
             f"[__ray_entry__] rows-only-upgrade oracle write failed: {exc!r}; "
@@ -871,6 +875,10 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM read_parquet('{_pages_slim_oracle}')
             ) WHERE rn = 1
+        """,
+        "warclike_ingest_rows": f"""
+            SELECT url, warc_us, lang, payload_md5, payload_bytes
+            FROM read_parquet('{_warc_oracle}')
         """,
         "quality_filter_chain": f"""
             WITH g AS ({{_GOPHER_FULL}}),

@@ -1,0 +1,111 @@
+"""WARC-like ingest pipeline: record-framed shards → Dataset rows.
+
+The query under test is the DISTRIBUTED READER
+(sources/warclike_source.WarcLikeDatasource): shard files are
+materialized once per corpus from the deterministic page kernel (input
+generation, shared with the oracle writer by the single-implementation
+rule), then read back through Ray's datasource machinery — one read
+task per shard, streaming Arrow blocks.  The oracle recomputes the
+expected rows FLAT from the same kernel without ever touching the
+record framing or the reader, so any framing/parse/split bug in the
+datasource diverges.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..sources.warclike_source import read_warclike, write_warclike_shard
+
+WARC_SHARDS = 8
+_WARC_ROOT = "/tmp/graft_warclike"
+
+_INGEST_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_us", pa.int64()),
+        ("lang", pa.string()),
+        ("payload_md5", pa.string()),
+        ("payload_bytes", pa.int64()),
+    ]
+)
+
+
+def warclike_dir(sf_dir: str, expand: int = 2) -> str:
+    """Versioned shard-directory path (same cache protocol as the
+    oracle parquets — corpus + engine version keyed)."""
+    from .. import __version__ as ENGINE_VERSION
+    from ..corpus.synth import CORPUS_VERSION
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(
+        _WARC_ROOT, f"{h}_x{expand}_v{CORPUS_VERSION}_e{ENGINE_VERSION}"
+    )
+
+
+def ensure_warclike_shards(sf_dir: str, expand: int = 2) -> str:
+    """Materialize the record-framed shard files once per corpus:
+    ``WARC_SHARDS`` files, doc-id range partitioned (the same shard
+    protocol as the manifest/resume machinery).  Deterministic content;
+    atomic per-shard writes; skipped when all shards exist."""
+    import pyarrow.parquet as pq
+
+    from ..corpus.synth import pages_rows_for_doc
+
+    out_dir = warclike_dir(sf_dir, expand)
+    paths = [
+        os.path.join(out_dir, f"shard_{i:03d}.warcg") for i in range(WARC_SHARDS)
+    ]
+    if all(os.path.exists(p) for p in paths):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    n_docs = (max(ids) + 1) if ids else 0
+    per = max(1, (n_docs + WARC_SHARDS - 1) // WARC_SHARDS)
+    for i, path in enumerate(paths):
+        lo, hi = i * per, (i + 1) * per
+        rows: dict = {"url": [], "warc_ts": [], "html": [], "lang": []}
+        for doc_id, text, lang in zip(ids, texts, langs):
+            if lo <= doc_id < hi:
+                r = pages_rows_for_doc(doc_id, text or "", lang or "", expand)
+                for k in rows:
+                    rows[k].extend(r[k])
+        write_warclike_shard(rows, path)
+    return out_dir
+
+
+def warclike_ingest_rows(sf_dir: str, expand: int = 2) -> rd.Dataset:
+    """Distributed WARC-like ingest: read the record-framed shards via
+    the custom Datasource and emit one verification row per record —
+    url, crawl micros, lang, payload md5 + byte count.  SQL-checked
+    against a flat no-reader recompute
+    (rowsonly_oracles.write_warclike_expected_oracle)."""
+    out_dir = ensure_warclike_shards(sf_dir, expand)
+    ds = read_warclike(out_dir)
+
+    def verify_rows(t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        md5s = [hashlib.md5(p or b"").hexdigest() for p in payloads]
+        sizes = [len(p or b"") for p in payloads]
+        return pa.Table.from_arrays(
+            [
+                t["url"].combine_chunks(),
+                t["warc_us"].combine_chunks(),
+                t["lang"].combine_chunks(),
+                pa.array(md5s, pa.string()),
+                pa.array(sizes, pa.int64()),
+            ],
+            schema=_INGEST_SCHEMA,
+        )
+
+    return ds.map_batches(verify_rows, batch_format="pyarrow")

@@ -1728,3 +1728,45 @@ def write_incremental_neardup_oracle(
         ),
         path,
     )
+
+
+def write_warclike_expected_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Expected rows for ``warclike_ingest_rows`` — recomputed FLAT from
+    the corpus kernel, never touching the record framing or the reader:
+    any datasource framing/parse bug diverges."""
+    from ..corpus.synth import pages_rows_for_doc
+
+    path = _oracle_path(sf_dir, "warclike_expected", expand)
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    urls: list = []
+    tss: list = []
+    langs: list = []
+    md5s: list = []
+    sizes: list = []
+    for doc_id, text, lang in zip(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist()
+    ):
+        rows = pages_rows_for_doc(doc_id, text or "", lang or "", expand)
+        for u, ts, payload, lg in zip(
+            rows["url"], rows["warc_ts"], rows["html"], rows["lang"]
+        ):
+            urls.append(u)
+            tss.append(int(ts))
+            langs.append(lg)
+            md5s.append(hashlib.md5(payload or b"").hexdigest())
+            sizes.append(len(payload or b""))
+    t = pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.int64()),
+            pa.array(langs, pa.string()),
+            pa.array(md5s, pa.string()),
+            pa.array(sizes, pa.int64()),
+        ],
+        names=["url", "warc_us", "lang", "payload_md5", "payload_bytes"],
+    )
+    return _commit(t, path)
