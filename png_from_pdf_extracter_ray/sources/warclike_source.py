@@ -178,3 +178,67 @@ def read_warclike(paths: Union[str, List[str]], **kwargs):
     import ray.data as rd
 
     return rd.read_datasource(WarcLikeDatasource(paths, **kwargs))
+
+
+class WarcLikeDatasink:
+    """Distributed WARC-like writer (``ray.data.Datasink`` duck type):
+    each write task serializes its blocks into ONE record-framed shard
+    named by task index — deterministic, resumable layout (a re-run
+    overwrites byte-identical shards atomically; no partial files
+    thanks to temp+rename).  Pass to ``Dataset.write_datasink``.
+
+    Input schema: RECORD_SCHEMA (url, warc_us, lang, payload)."""
+
+    def __init__(self, out_dir: str) -> None:
+        self._dir = out_dir
+
+    # -- ray.data.Datasink protocol ------------------------------------
+    def get_name(self) -> str:
+        return "WarcLike"
+
+    @property
+    def supports_distributed_writes(self) -> bool:
+        return True
+
+    @property
+    def min_rows_per_write(self):  # noqa: ANN201
+        return None
+
+    def on_write_start(self) -> None:
+        os.makedirs(self._dir, exist_ok=True)
+
+    def write(self, blocks, ctx) -> list:  # noqa: ANN001
+        import pandas as _pd
+
+        written = []
+        for i, block in enumerate(blocks):
+            t = (
+                pa.Table.from_pandas(block, preserve_index=False)
+                if isinstance(block, _pd.DataFrame)
+                else block
+            )
+            if t.num_rows == 0:
+                continue
+            rows = {
+                "url": t["url"].to_pylist(),
+                "warc_ts": t["warc_us"].to_pylist(),
+                "html": t["payload"].to_pylist(),
+                "lang": t["lang"].to_pylist(),
+            }
+            path = os.path.join(
+                self._dir, f"part_{ctx.task_idx:05d}_{i:03d}.warcg"
+            )
+            write_warclike_shard(rows, path)
+            written.append(path)
+        return written
+
+    def on_write_complete(self, write_result) -> None:  # noqa: ANN001
+        pass
+
+    def on_write_failed(self, error: Exception) -> None:
+        pass
+
+
+def write_warclike(ds, out_dir: str) -> None:  # noqa: ANN001
+    """Dataset (RECORD_SCHEMA) → record-framed shard directory."""
+    ds.write_datasink(WarcLikeDatasink(out_dir))

@@ -72,3 +72,26 @@ def test_missing_header_raises(tmp_path) -> None:  # noqa: ANN001
         f.write(MAGIC + b"url: x\n\n")  # no content-length
     with pytest.raises(ValueError, match="malformed"):
         _read_all(p)
+
+
+def test_sink_roundtrip_under_ray(ray_session, tmp_path) -> None:  # noqa: ANN001
+    import ray.data as rd
+
+    from png_from_pdf_extracter_ray.sources.warclike_source import (
+        read_warclike,
+        write_warclike,
+    )
+
+    t = pa.table(
+        {
+            "url": ROWS["url"],
+            "warc_us": ROWS["warc_ts"],
+            "lang": ROWS["lang"],
+            "payload": ROWS["html"],
+        }
+    )
+    out = str(tmp_path / "sinkdir")
+    write_warclike(rd.from_arrow(t), out)
+    back = read_warclike(out).to_pandas().sort_values("url", ignore_index=True)
+    assert back["url"].tolist() == ROWS["url"]
+    assert back["payload"].tolist() == ROWS["html"]
