@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from png_from_pdf_extracter_ray.pipelines import dsir as dsel
     from png_from_pdf_extracter_ray.pipelines import linkgraph as lg
     from png_from_pdf_extracter_ray.pipelines import ingest as _ingest
+    from png_from_pdf_extracter_ray.pipelines import profiler as _prof
     from png_from_pdf_extracter_ray.pipelines import mlops
     from png_from_pdf_extracter_ray.pipelines.tokenizer import (
         tokenizer_fertility_by_lang as _tokenizer_fertility,
@@ -304,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_new_docs_neardup": dq.incremental_new_docs_neardup,
         "quality_filter_chain": dq.quality_filter_chain,
         "warclike_ingest_rows": _ingest.warclike_ingest_rows,
+        "profile_lineitem": _prof.profile_table,
         "minhash_dedup_groups": textops.minhash_dedup_groups,
         "ngram_jaccard_near_dups": textops.ngram_jaccard_near_dups,
         "embedding_near_dups": textops.embedding_near_dups,
@@ -496,6 +498,22 @@ def oracle_sql() -> dict[str, str]:
     )
     from png_from_pdf_extracter_ray.pipelines.data_quality import (
         ZRATIO_MIN as _ZR_MIN,
+    )
+
+    from png_from_pdf_extracter_ray.pipelines.profiler import (
+        PROFILE_COLUMNS as _PROF_COLS,
+    )
+    from png_from_pdf_extracter_ray.pipelines.profiler import (
+        PROFILE_TABLE as _PROF_TABLE,
+    )
+
+    _profile_sql = " UNION ALL ".join(
+        f"""SELECT '{c}' AS col, COUNT(*) AS n_rows,
+            CAST(COALESCE(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS n_nulls,
+            COUNT(DISTINCT {c}) AS n_distinct
+            FROM {_PROF_TABLE}"""
+        for c in _PROF_COLS
     )
 
     _pii_aug_sql = _augmented_text_sql()
@@ -876,6 +894,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{_pages_slim_oracle}')
             ) WHERE rn = 1
         """,
+        "profile_lineitem": _profile_sql,
         "warclike_ingest_rows": f"""
             SELECT url, warc_us, lang, payload_md5, payload_bytes
             FROM read_parquet('{_warc_oracle}')
