@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_counts": rel.events_window_counts,
         "cumulative_order_value": rel.cumulative_order_value,
         "orders_rollup": rel.orders_rollup,
+        "orders_cube": rel.orders_cube,
         "events_trailing_mean": rel.events_trailing_mean,
         "nation_balance_full_outer": rel.nation_balance_full_outer,
         "top_orders_per_customer": rel.top_orders_per_customer,
@@ -1263,6 +1264,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
             ORDER BY o_orderpriority, o_orderstatus
+        """,
+        "orders_cube": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   ROUND(SUM(o_totalprice), 2) AS sum_totalprice,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY CUBE(o_orderpriority, o_orderstatus)
         """,
         "stopword_stats": _STOPWORD_SQL,
         "gopher_quality_filter": _GOPHER_SQL,

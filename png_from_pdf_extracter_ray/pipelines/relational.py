@@ -2877,3 +2877,44 @@ def events_retention_cohorts(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame
         .rename(columns={"n": "n_users"})
     )
     return out.sort_values(["cohort_day", "age_days"], ignore_index=True)
+
+
+def orders_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE(o_orderpriority, o_orderstatus): all four grouping sets —
+    finest, per-priority, per-status, grand total ('ALL' labels, the
+    rollup convention).  Same plan as ``orders_rollup``: only the
+    FINEST level aggregates distributed; every coarser set re-aggregates
+    the tiny finest result on the driver — a CUBE never needs a second
+    data pass."""
+    finest = grouped_sum(
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]),
+        ["o_orderpriority", "o_orderstatus"],
+        None,
+        ["o_totalprice"],
+        count_col="n_orders",
+    ).to_pandas()
+    finest = finest.rename(columns={"o_totalprice": "sum_totalprice"})
+    sub_p = (
+        finest.groupby("o_orderpriority", as_index=False)[["sum_totalprice", "n_orders"]]
+        .sum()
+        .assign(o_orderstatus="ALL")
+    )
+    sub_s = (
+        finest.groupby("o_orderstatus", as_index=False)[["sum_totalprice", "n_orders"]]
+        .sum()
+        .assign(o_orderpriority="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "o_orderpriority": ["ALL"],
+            "o_orderstatus": ["ALL"],
+            "sum_totalprice": [finest["sum_totalprice"].sum()],
+            "n_orders": [finest["n_orders"].sum()],
+        }
+    )
+    out = pd.concat([finest, sub_p, sub_s, total], ignore_index=True)
+    out["sum_totalprice"] = out["sum_totalprice"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(
+        ["o_orderpriority", "o_orderstatus"], ignore_index=True
+    )[["o_orderpriority", "o_orderstatus", "sum_totalprice", "n_orders"]]
