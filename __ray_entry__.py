@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_chain": dq.quality_filter_chain,
         "warclike_ingest_rows": _ingest.warclike_ingest_rows,
         "profile_lineitem": _prof.profile_table,
+        "profile_lineitem_approx": _prof.profile_table_approx,
         "minhash_dedup_groups": textops.minhash_dedup_groups,
         "ngram_jaccard_near_dups": textops.ngram_jaccard_near_dups,
         "embedding_near_dups": textops.embedding_near_dups,

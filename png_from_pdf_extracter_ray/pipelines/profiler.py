@@ -197,3 +197,63 @@ def profile_table(
         .groupby("__cb")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def profile_table_approx(
+    sf_dir: str, table: str = PROFILE_TABLE
+) -> pd.DataFrame:
+    """ZERO-SHUFFLE approximate profile — the 10^12-row variant of
+    :func:`profile_table`: per column, row/null counts are exact int64
+    sums and the distinct count is an HLL estimate (stages/sketch.py
+    registers, ~1.6% stderr at 2^11 registers).  Every batch emits one
+    (col → registers + counters) partial; partials merge by register
+    max — O(columns × 4 KiB) cross-batch state, nothing else moves.
+    Rows-only (an estimate can never hash-match COUNT(DISTINCT)); the
+    accuracy bound is pinned by pytest against the exact profiler.
+    """
+    import os
+
+    from ..stages.sketch import hll_estimate, hll_merge, hll_partial
+
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    cols = PROFILE_COLUMNS if table == PROFILE_TABLE else None
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        names = cols or t.column_names
+        rows = []
+        for name in names:
+            arr = t[name]
+            nn = arr.null_count
+            s = pc.cast(
+                arr.combine_chunks().drop_null(), pa.string()
+            ).to_numpy(zero_copy_only=False)
+            regs = hll_partial(s)
+            rows.append(
+                {
+                    "col": name,
+                    "n_rows": t.num_rows,
+                    "n_nulls": nn,
+                    "regs": regs.tobytes(),
+                }
+            )
+        out = pd.DataFrame(rows)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for col, g in parts.groupby("col", sort=False):
+        regs = None
+        for rb in g["regs"]:
+            r = np.frombuffer(rb, dtype=np.uint8)
+            regs = r if regs is None else hll_merge(regs, r)
+        rows.append(
+            {
+                "col": col,
+                "n_rows": int(g["n_rows"].sum()),
+                "n_nulls": int(g["n_nulls"].sum()),
+                "n_distinct_est": hll_estimate(regs),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("col", ignore_index=True)

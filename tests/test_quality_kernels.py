@@ -60,3 +60,25 @@ def test_split_paras_positions_and_empties() -> None:
     assert paras == [(0, "a"), (2, "b"), (3, "c")]
     assert _split_paras("") == []
     assert _split_paras("\n\n") == []
+
+
+def test_profile_approx_error_bound(ray_session, sf_dir) -> None:  # noqa: ANN001
+    # the HLL profile must track the exact profile within the sketch's
+    # error envelope (~1.6% stderr; assert a generous 6% on every column)
+    from png_from_pdf_extracter_ray.pipelines.profiler import (
+        profile_table,
+        profile_table_approx,
+    )
+
+    exact = (
+        profile_table(sf_dir).to_pandas().sort_values("col", ignore_index=True)
+    )
+    approx = profile_table_approx(sf_dir)
+    assert list(exact["col"]) == list(approx["col"])
+    assert (exact["n_rows"] == approx["n_rows"]).all()
+    assert (exact["n_nulls"] == approx["n_nulls"]).all()
+    rel = (
+        (approx["n_distinct_est"] - exact["n_distinct"]).abs()
+        / exact["n_distinct"].clip(lower=1)
+    )
+    assert rel.max() < 0.06, rel
