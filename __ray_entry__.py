@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tokenizer_fertility_by_lang as _tokenizer_fertility,
     )
     from png_from_pdf_extracter_ray.pipelines import relational as rel
+    from png_from_pdf_extracter_ray.pipelines import selection as selp
     from png_from_pdf_extracter_ray.pipelines import snapshots as snaps
     from png_from_pdf_extracter_ray.pipelines import textops
     from png_from_pdf_extracter_ray.pipelines import urlops
@@ -141,11 +142,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_host_pairs": dq.mirror_host_pairs,
         "span_tag_path_stats": span_tag_path_stats,
         "host_pagerank": lg.host_pagerank,
-        # --- similarity search (brute-force / LSH / IVF / PQ; SQL-checked) ---
+        # --- similarity search (brute-force + IVF reps; the LSH and PQ
+        # variants live in the long tail) ---
         "similarity_topk": textops.similarity_topk,
-        "similarity_topk_lsh": textops.similarity_topk_lsh,
         "similarity_topk_ivf": textops.similarity_topk_ivf,
-        "similarity_topk_pq": mlops.similarity_topk_pq,
+        # --- budgeted / balanced corpus selection (r4: distributed
+        # weighted-threshold cut — histogram refinement, no global
+        # sort — vs a DuckDB global window; exact-integer per-source
+        # rebalancing vs pure declarative SQL) ---
+        "token_budget_select": selp.token_budget_select,
+        "lang_balanced_sample": selp.balanced_sample,
+        # --- graph analytics (degree-ordered distributed triangle
+        # counting over the host quotient graph vs DuckDB's declarative
+        # triple self-join; orientation-invariant counts) ---
+        "host_triangle_counts": lg.host_triangle_counts,
         # --- distributed ML (iterative k-means, one-pass ridge fit,
         # BPE tokenizer training; all SQL-checked vs flat twins) ---
         "kmeans_doc_clusters": mlops.kmeans_doc_clusters,
@@ -173,7 +183,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_shipping_priority": rel.q3_shipping_priority,
         "q5_local_supplier_volume": rel.q5_local_supplier_volume,
-        "q6_forecast_revenue": rel.q6_forecast_revenue,
         # --- LM-score / perplexity-bucketing family rep (r4 closing
         # session; q8 moved to the TPC-H long tail — four TPC-H reps
         # remain in the window) ---
@@ -217,6 +226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_phash_dedup_groups": textops.pages_phash_dedup_groups,
         "pages_frame_sample": textops.pages_frame_sample,
         # --- ANN long tail ---
+        "similarity_topk_lsh": textops.similarity_topk_lsh,
+        "similarity_topk_pq": mlops.similarity_topk_pq,
         "similarity_topk_ivfpq": mlops.similarity_topk_ivfpq,
         # --- windows long tail ---
         "events_sliding_window": rel.events_sliding_window,
@@ -229,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": urlops.url_canonicalize,
         "crawl_politeness_schedule": urlops.crawl_politeness_schedule,
         # --- TPC-H long tail ---
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q8_market_share": rel.q8_market_share,
         "q13_customer_distribution": rel.q13_customer_distribution,
@@ -483,6 +495,15 @@ def oracle_sql() -> dict[str, str]:
         MIX_WEIGHTS as _MIX_WEIGHTS,
     )
     from png_from_pdf_extracter_ray.pipelines.textops import mix_threshold_hex as _mt
+    from png_from_pdf_extracter_ray.pipelines.selection import (
+        HASH_SPACE as _HASH_SPACE,
+    )
+    from png_from_pdf_extracter_ray.pipelines.selection import (
+        TOKEN_BUDGET_PCT as _BUDGET_PCT,
+    )
+    from png_from_pdf_extracter_ray.pipelines.selection import (
+        ZTARGET_MICROS as _ZTARGET,
+    )
 
     _mix_case = "CASE lang " + " ".join(
         f"WHEN '{lang}' THEN '{_mt(rate)}'" for lang, rate in _MIX_WEIGHTS.items()
@@ -611,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
     _pages_text_oracle = _rro._oracle_path(_oracle_sf, "pages_text")
     _span_rows_oracle = _rro._oracle_path(_oracle_sf, "span_rows")
     _host_pr_oracle = _rro._oracle_path(_oracle_sf, "host_pagerank")
+    _host_edges_oracle = _rro._oracle_path(_oracle_sf, "host_edges")
     _zratio_oracle = _rro._oracle_path(_oracle_sf, "compression_ratio")
     _emb_contam_oracle = _rro._oracle_path(_oracle_sf, "embedding_contamination")
     _inc_nd_oracle = _rro._oracle_path(_oracle_sf, "incremental_neardup")
@@ -654,6 +676,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_pages_text_oracle(_oracle_sf)
         _rro.write_span_rows_oracle(_oracle_sf)
         _rro.write_host_pagerank_oracle(_oracle_sf)
+        _rro.write_host_edges_oracle(_oracle_sf)
         _rro.write_compression_ratio_oracle(_oracle_sf)
         _rro.write_embedding_contamination_oracle(_oracle_sf)
         _rro.write_incremental_neardup_oracle(_oracle_sf)
@@ -931,6 +954,78 @@ def oracle_sql() -> dict[str, str]:
         "compression_ratio_scores": f"""
             SELECT doc_id, n_bytes, n_compressed, compression_ratio
             FROM read_parquet('{_zratio_oracle}')
+        """,
+        # Budgeted selection: DuckDB recomputes the kept set with ONE
+        # global window prefix-sum over (zdist, doc_id) — the opposite
+        # architecture of the engine's histogram-refinement cut
+        # (stages/selection.py).  zdist from the flat zlib recompute
+        # parquet; the token weight from the declarative tokenizer.
+        "token_budget_select": f"""
+            WITH z AS (
+                SELECT doc_id,
+                       ABS(CASE WHEN n_bytes = 0 THEN 1000000
+                                ELSE (n_compressed * 1000000) // n_bytes END
+                           - {_ZTARGET}) AS zdist
+                FROM read_parquet('{_zratio_oracle}')
+            ), tok AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ), j AS (
+                SELECT z.doc_id, z.zdist, tok.n_tokens
+                FROM z JOIN tok ON z.doc_id = tok.doc_id
+            ), w AS (
+                SELECT doc_id, zdist, n_tokens,
+                       SUM(n_tokens) OVER (
+                           ORDER BY zdist, doc_id ROWS UNBOUNDED PRECEDING
+                       ) AS cum,
+                       (SELECT (SUM(n_tokens) * {_BUDGET_PCT}) // 100 FROM j)
+                           AS budget
+                FROM j
+            )
+            SELECT doc_id, zdist, n_tokens FROM w
+            WHERE cum - n_tokens < budget AND budget >= 1
+        """,
+        # Per-language rebalancing: exact integer thresholds, the same
+        # md5-prefix predicate evaluated declaratively (lang is the
+        # corpus's skewed grouping; source is uniform by construction).
+        "lang_balanced_sample": f"""
+            WITH cnt AS (
+                SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+            ), m AS (SELECT MIN(n) AS mn FROM cnt),
+            th AS (
+                SELECT lang, ({_HASH_SPACE} * mn) // n AS thresh FROM cnt, m
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN th USING (lang)
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))
+                       AS BIGINT) < th.thresh
+        """,
+        # Triangle closure is orientation-invariant: DuckDB closes the
+        # flat host-edge parquet with a triple self-join under plain
+        # lexicographic orientation; the engine's degree-ordered wedge
+        # join must produce the identical per-host counts.
+        "host_triangle_counts": f"""
+            WITH hp AS (
+                SELECT DISTINCT least(src_host, dst_host) AS a,
+                                greatest(src_host, dst_host) AS b
+                FROM read_parquet('{_host_edges_oracle}')
+                WHERE src_host <> dst_host
+            ), t AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM hp e1
+                JOIN hp e2 ON e2.a = e1.b
+                JOIN hp e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM (
+                SELECT x AS host FROM t
+                UNION ALL SELECT y AS host FROM t
+                UNION ALL SELECT z AS host FROM t
+            )
+            GROUP BY host
         """,
         "host_pagerank": f"""
             SELECT host, rank_micros FROM read_parquet('{_host_pr_oracle}')

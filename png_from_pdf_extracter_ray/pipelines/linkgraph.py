@@ -603,3 +603,29 @@ def host_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS) -> pd.DataFrame:
         }
     )
     return out.sort_values("host", ignore_index=True)
+
+
+def host_triangle_counts(sf_dir: str) -> rd.Dataset:
+    """Per-host triangle participation over the HOST quotient graph —
+    the community-density / mirror-cluster signal of the crawl (mirror
+    constellations and navigational cliques show up as dense triangle
+    neighborhoods; isolated spam hosts show none).
+
+    Composition: the same ``_host_pairs`` edge stream as
+    ``host_pagerank`` → ``stages/linkgraph.triangle_counts``
+    (degree-ordered node-iterator: bucketed undirected dedup, broadcast
+    degree map, wedge generation per source bucket, one bucketed SEMI
+    join closing wedges against the oriented edge set).  SQL-checked
+    against a flat host-edges parquet
+    (rowsonly_oracles.write_host_edges_oracle) closed declaratively by
+    DuckDB's triple self-join under LEXICOGRAPHIC orientation — the
+    triangle multiset is orientation-invariant, so the two opposite
+    architectures must agree exactly."""
+    from ..stages.linkgraph import triangle_counts
+
+    out = triangle_counts(_host_pairs(sf_dir), "src_host", "dst_host")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["host", "n_triangles"])
+
+    return out.map_batches(rename, batch_format="pyarrow")

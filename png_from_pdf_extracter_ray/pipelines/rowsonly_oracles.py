@@ -1535,21 +1535,15 @@ def write_span_rows_oracle(sf_dir: str, expand: int = 2) -> str:
     return _commit(t, path)
 
 
-def write_host_pagerank_oracle(sf_dir: str, expand: int = 2) -> str:
-    """Oracle for ``host_pagerank``: flat link extraction over the
-    deduped page universe → host pairs (same DOMAIN_RE + self-loop /
-    non-http drop) → the same md5 node ids → ``pagerank_flat`` (dense
-    numpy, deliberately unlike the engine's bucketed join/fold loop) —
-    bit-identical fixed-point ranks or the architectures diverged."""
+def _flat_host_pairs(sf_dir: str, expand: int = 2) -> pd.DataFrame:
+    """Flat twin of pipelines/linkgraph._host_pairs: link extraction
+    over the deduped page universe → distinct directed (src_host,
+    dst_host) pairs of the host QUOTIENT graph (same DOMAIN_RE +
+    self-loop / non-http drop), all in-process pandas merges."""
     from ..kernel.links import extract_links, src_doc_of_url
-    from ..stages.linkgraph import pagerank_flat
     from .data_quality import DOMAIN_RE
-    from .linkgraph import host_node_id
     from .summary import oracle_unique_pages
 
-    path = _oracle_path(sf_dir, "host_pagerank", expand)
-    if os.path.exists(path):
-        return path
     pages = oracle_unique_pages(sf_dir, expand=expand)
     urls_all = pages["url"].to_pylist()
     src_urls: list[str] = []
@@ -1577,7 +1571,41 @@ def write_host_pagerank_oracle(sf_dir: str, expand: int = 2) -> str:
     )
     doc_host = doc_host[doc_host["dst_doc"] >= 0].drop_duplicates()
     df = link_df.merge(doc_host, on="dst_doc")[["src_host", "dst_host"]]
-    df = df[df["src_host"] != df["dst_host"]].drop_duplicates()
+    return df[df["src_host"] != df["dst_host"]].drop_duplicates()
+
+
+def write_host_edges_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Flat distinct host→host edge parquet (``_flat_host_pairs``) —
+    the input side of the ``host_triangle_counts`` oracle, whose
+    triangle closure DuckDB then performs declaratively (triple
+    self-join under lexicographic orientation)."""
+    path = _oracle_path(sf_dir, "host_edges", expand)
+    if os.path.exists(path):
+        return path
+    df = _flat_host_pairs(sf_dir, expand).sort_values(
+        ["src_host", "dst_host"], ignore_index=True
+    )
+    return _commit(
+        _from_pandas(
+            df, pa.schema([("src_host", pa.string()), ("dst_host", pa.string())])
+        ),
+        path,
+    )
+
+
+def write_host_pagerank_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Oracle for ``host_pagerank``: flat host pairs
+    (``_flat_host_pairs``) → the same md5 node ids → ``pagerank_flat``
+    (dense numpy, deliberately unlike the engine's bucketed join/fold
+    loop) — bit-identical fixed-point ranks or the architectures
+    diverged."""
+    from ..stages.linkgraph import pagerank_flat
+    from .linkgraph import host_node_id
+
+    path = _oracle_path(sf_dir, "host_pagerank", expand)
+    if os.path.exists(path):
+        return path
+    df = _flat_host_pairs(sf_dir, expand)
     edges = pd.DataFrame(
         {
             "src": [host_node_id(h) for h in df["src_host"]],

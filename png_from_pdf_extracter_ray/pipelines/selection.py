@@ -1,0 +1,179 @@
+"""Budgeted / balanced corpus-selection pipelines (beyond-reference
+LLM-pipeline operators; the reference converts one attachment at a time,
+src/services/pdf_converter.py — it has no corpus-level selection).
+
+Two operators:
+
+- ``token_budget_select`` — "spend a token budget on the best
+  documents": rank every document by an integer quality key (distance
+  of its zlib compression ratio from a clean-text target band — the
+  CCNet/RefinedWeb-family repetitiveness/noise heuristic, same kernel
+  as ``compression_ratio_scores``), then keep documents in (key asc,
+  doc_id asc) order until a fixed percentage of the corpus's total
+  whitespace tokens is spent, INCLUDING the straddling document.  The
+  engine never sorts globally: the cut key is found by
+  ``stages/selection.weighted_key_cut`` (iterative histogram
+  refinement, driver sees only 4096-int vectors), ties on the cut key
+  are resolved by a second cut over ``doc_id`` within the tie group,
+  and the final pass is a streaming filter.  The DuckDB oracle is the
+  opposite architecture — ONE global window
+  ``SUM(n_tokens) OVER (ORDER BY key, doc_id)`` over a flat recompute
+  parquet — so a wrong histogram boundary, a lost bin, or an off-by-one
+  in the tie split diverges immediately.
+
+- ``balanced_sample`` — equalize expected per-group document counts
+  (the alpha→0 limit of temperature-based mixture reweighting), by
+  ``lang`` in the registered query (the corpus's only skewed grouping —
+  ``source`` is uniform by construction, which would make the operator
+  a no-op): per-group keep probability = min_count / count, applied as
+  a deterministic md5 threshold so the "sample" is a pure function of
+  the data.  Thresholds are EXACT integer arithmetic
+  (``(2^24 * min_count) // count`` versus the first 6 hex chars of
+  ``md5(doc_id)`` parsed as an integer), so DuckDB evaluates the
+  identical predicate declaratively — no flat oracle needed.  Ray
+  shape: one tiny groupby (source cardinality), thresholds broadcast,
+  one streaming filter; nothing N-sized ever leaves the workers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..stages.selection import weighted_key_cut
+from ..stages.text_stats import token_count_batch
+
+# Target zlib ratio (micros) for "clean prose": empirically mid-band for
+# the synthetic corpus and for web text generally (~0.4 compressed/raw).
+ZTARGET_MICROS = 400_000
+# Fraction of the corpus's total whitespace tokens the selection keeps.
+TOKEN_BUDGET_PCT = 40
+
+# 24-bit md5-prefix space for the per-source keep thresholds.
+HASH_SPACE = 16**6
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+_SLIM_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("zdist", pa.int64()), ("n_tokens", pa.int64())]
+)
+
+
+def zdist_tokens_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-document integer quality key + token weight.
+
+    ``zdist = |ratio_micros - ZTARGET_MICROS|`` with ``ratio_micros =
+    (n_compressed * 10^6) // n_bytes`` (1.0 for empty docs — same
+    convention as stages/text_stats.compression_ratio_batch, but kept in
+    exact integer micros so the ordering key is batch-invariant and
+    DuckDB-reproducible).  ``n_tokens`` is the whitespace token count
+    (the token_counts tokenizer: regex \\s+ on the stripped text)."""
+    n = len(df)
+    zdist = np.zeros(n, dtype=np.int64)
+    for i, text in enumerate(df["text"].fillna("")):
+        raw = text.encode("utf-8")
+        if raw:
+            micros = (len(zlib.compress(raw, 6)) * 1_000_000) // len(raw)
+        else:
+            micros = 1_000_000
+        zdist[i] = abs(micros - ZTARGET_MICROS)
+    toks = token_count_batch(df)["n_tokens"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "zdist": zdist,
+            "n_tokens": toks,
+        }
+    )
+
+
+def token_budget_select(sf_dir: str, budget_pct: int = TOKEN_BUDGET_PCT) -> rd.Dataset:
+    """Documents kept by the token-budget selection, as a Dataset of
+    ``(doc_id, zdist, n_tokens)``.
+
+    Selection rule (shared bit-for-bit with the oracle's window): order
+    by ``(zdist asc, doc_id asc)``; a document is kept iff the total
+    tokens of all documents strictly before it is < budget, where
+    ``budget = (total_tokens * budget_pct) // 100`` — i.e. the smallest
+    prefix whose token sum reaches the budget.
+
+    Scale: the slim (24-byte-row) projection is materialized once and
+    scanned by ``weighted_key_cut``'s histogram passes (2 passes for
+    this 20-bit key space, zero shuffles, 4096-int driver state); the
+    tie group on the cut key gets one more cut over doc_id; the kept
+    set is a streaming filter over the same slim Dataset."""
+    slim = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(zdist_tokens_batch, batch_format="pandas")
+        .materialize()
+    )
+    total = int(slim.sum("n_tokens"))
+    budget = (total * budget_pct) // 100
+    if budget < 1:
+        return rd.from_arrow(_SLIM_SCHEMA.empty_table())
+    k_star, below = weighted_key_cut(slim, "zdist", "n_tokens", budget)
+    rem = budget - below  # > 0 by the cut's contract
+
+    ties = slim.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["zdist"], k_star)),
+        batch_format="pyarrow",
+    )
+    d_star, _ = weighted_key_cut(ties, "doc_id", "n_tokens", rem)
+
+    def keep(t: pa.Table) -> pa.Table:
+        z = t["zdist"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((z < k_star) | ((z == k_star) & (d <= d_star))))
+
+    return slim.map_batches(keep, batch_format="pyarrow")
+
+
+def balanced_sample(sf_dir: str, by: str = "lang") -> rd.Dataset:
+    """Deterministic per-group rebalancing sample: every ``by`` group
+    keeps ``min_group_count / group_count`` of its documents
+    (expected), so all groups contribute ~equally — the
+    flatten-the-mixture step of a training pipeline (e.g. stop English
+    drowning the other languages).  Keep iff ``int(md5(doc_id)[:6], 16)
+    < (2^24 * min_count) // count`` — exact integers on both
+    architectures."""
+    schema = pa.schema([("doc_id", pa.int64()), (by, pa.string())])
+    counts = (
+        _docs(sf_dir, [by])
+        .groupby(by)
+        .count()
+        .to_pandas()  # group cardinality rows — the documented small side
+    )
+    n_by_grp = dict(zip(counts[by], counts["count()"].astype(int)))
+    mn = min(n_by_grp.values())
+    thresh = {g: (HASH_SPACE * mn) // n for g, n in n_by_grp.items()}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+                for i in df["doc_id"]
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        t = df[by].map(thresh).to_numpy(dtype=np.int64)
+        return df.loc[h < t, ["doc_id", by]]
+
+    return (
+        _docs(sf_dir, ["doc_id", by])
+        .map_batches(keep, batch_format="pandas")
+        .map_batches(
+            lambda df: pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+            batch_format="pandas",
+        )
+    )

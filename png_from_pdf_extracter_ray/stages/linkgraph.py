@@ -867,3 +867,221 @@ def khop_reach_flat(
     )
     out["hops"] = out["node"].map(hops).astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered node-iterator)
+# ---------------------------------------------------------------------------
+
+_TRI_SEP = "\x1f"  # never appears in a hostname
+_UND_SCHEMA = pa.schema([("u", pa.string()), ("v", pa.string())])
+_ORIENT_SCHEMA = pa.schema(
+    [("a", pa.string()), ("b", pa.string()), ("__bucket", pa.int32())]
+)
+_WEDGE_SCHEMA = pa.schema(
+    [
+        ("c", pa.string()),
+        ("wv", pa.string()),
+        ("ww", pa.string()),
+        ("pair_key", pa.string()),
+    ]
+)
+_TRI_COUNT_SCHEMA = pa.schema([("node", pa.string()), ("n_triangles", pa.int64())])
+
+
+def triangle_counts(
+    pairs: rd.Dataset,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Per-node triangle participation counts over an undirected graph
+    given as (possibly directed, possibly duplicated) string-node pairs
+    — the local-clustering / community-density signal of the host graph.
+
+    Degree-ordered node-iterator (the standard distributed scheme —
+    Suri & Vassilvitskii's MR triangle counting): orient every
+    undirected edge from its lower-(degree, name) endpoint to the
+    higher one, so every out-adjacency list is O(sqrt(m)) regardless of
+    hubs; each triangle is then counted EXACTLY once — as a wedge
+    (v, w) at its minimum-rank vertex closed by the oriented edge
+    v→w.  Ray shape: one bucket shuffle for the global undirected
+    dedup, a tiny degree aggregate broadcast via ``ray.put`` (one row
+    per node — the documented small side, same envelope as
+    host_pagerank's id map), a bucket shuffle of oriented edges by
+    source for wedge generation, and one bucketed SEMI join
+    (stages/joins.py) of wedges against the oriented edge set on the
+    composite (v, w) key.  The count is orientation-invariant, so the
+    DuckDB oracle may use plain lexicographic orientation — any
+    divergence in dedup, degrees, wedges or the closing join shows up
+    as a count mismatch."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = np.asarray(t[src_col].to_pandas(), dtype=object)
+        d = np.asarray(t[dst_col].to_pandas(), dtype=object)
+        m = s != d
+        s, d = s[m], d[m]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        out = pa.Table.from_arrays(
+            [pa.array(lo, pa.string()), pa.array(hi, pa.string())],
+            schema=_UND_SCHEMA,
+        )
+        key = pa.array([a + _TRI_SEP + b for a, b in zip(lo, hi)], pa.string())
+        b = (
+            stable_bucket_ids(key, num_buckets)
+            if out.num_rows
+            else np.empty(0, np.int32)
+        )
+        return out.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def dedup_bucket(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _UND_SCHEMA.empty_table()
+        return pa.Table.from_pandas(
+            g.drop_duplicates(["u", "v"])[["u", "v"]],
+            schema=_UND_SCHEMA,
+            preserve_index=False,
+        )
+
+    und = (
+        pairs.map_batches(canon, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+        .materialize()  # consumed three times: degrees, orientation, closing join
+    )
+
+    # per-node degree: per-batch partial counts -> tiny groupby -> driver
+    def deg_partial(t: pa.Table) -> pa.Table:
+        vc = (
+            pd.concat(
+                [t["u"].to_pandas(), t["v"].to_pandas()], ignore_index=True
+            )
+            .value_counts()
+            .rename_axis("node")
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(
+            vc,
+            schema=pa.schema([("node", pa.string()), ("n", pa.int64())]),
+            preserve_index=False,
+        )
+
+    deg_df = (
+        und.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .sum("n")
+        .to_pandas()
+    )
+    import ray as _ray
+
+    deg_ref = _ray.put(dict(zip(deg_df["node"], deg_df["sum(n)"].astype(int))))
+
+    def orient(t: pa.Table) -> pa.Table:
+        deg = _ray.get(deg_ref)
+        u = np.asarray(t["u"].to_pandas(), dtype=object)
+        v = np.asarray(t["v"].to_pandas(), dtype=object)
+        du = pd.Series(u, dtype=object).map(deg).to_numpy(dtype=np.int64)
+        dv = pd.Series(v, dtype=object).map(deg).to_numpy(dtype=np.int64)
+        # rank = (degree, name): orient low -> high
+        swap = (dv < du) | ((dv == du) & (v < u))
+        a = np.where(swap, v, u)
+        b = np.where(swap, u, v)
+        out = pa.Table.from_arrays(
+            [pa.array(a, pa.string()), pa.array(b, pa.string())],
+            names=["a", "b"],
+        )
+        bk = (
+            stable_bucket_ids(out["a"], num_buckets)
+            if out.num_rows
+            else np.empty(0, np.int32)
+        )
+        return out.append_column("__bucket", pa.array(bk, pa.int32()))
+
+    oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges_bucket(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _WEDGE_SCHEMA.empty_table()
+        deg = _ray.get(deg_ref)
+        cs: list[str] = []
+        vs: list[str] = []
+        ws: list[str] = []
+        for c, grp in g.groupby("a", sort=False):
+            ns = grp["b"].to_numpy(dtype=object)
+            if len(ns) < 2:
+                continue
+            # sort out-neighbors by rank so wedge pairs are oriented
+            order = np.lexsort((ns, np.array([deg[x] for x in ns])))
+            ns = ns[order]
+            ii, jj = np.triu_indices(len(ns), k=1)
+            cs.extend([c] * len(ii))
+            vs.extend(ns[ii])
+            ws.extend(ns[jj])
+        keys = [a + _TRI_SEP + b for a, b in zip(vs, ws)]
+        return pa.Table.from_arrays(
+            [
+                pa.array(cs, pa.string()),
+                pa.array(vs, pa.string()),
+                pa.array(ws, pa.string()),
+                pa.array(keys, pa.string()),
+            ],
+            schema=_WEDGE_SCHEMA,
+        )
+
+    wedges = (
+        oriented.groupby("__bucket")
+        .map_groups(wedges_bucket, batch_format="pandas")
+    )
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        return pa.Table.from_arrays(
+            [pa.array([x + _TRI_SEP + y for x, y in zip(a, b)], pa.string())],
+            names=["pair_key"],
+        )
+
+    closing = oriented.map_batches(edge_keys, batch_format="pyarrow")
+    triangles = bucketed_hash_join(
+        wedges, closing, on="pair_key", num_buckets=num_buckets, how="semi"
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        vc = (
+            pd.concat(
+                [t["c"].to_pandas(), t["wv"].to_pandas(), t["ww"].to_pandas()],
+                ignore_index=True,
+            )
+            .value_counts()
+            .rename_axis("node")
+            .reset_index(name="n")
+        )
+        out = pa.Table.from_pandas(
+            vc,
+            schema=pa.schema([("node", pa.string()), ("n", pa.int64())]),
+            preserve_index=False,
+        )
+        b = (
+            stable_bucket_ids(out["node"], num_buckets)
+            if out.num_rows
+            else np.empty(0, np.int32)
+        )
+        return out.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def sum_bucket(g: pd.DataFrame) -> pa.Table:
+        # typed empty on the all-empty path (the _typed_table rule) so a
+        # triangle-free graph still yields the declared schema
+        if g.empty:
+            return _TRI_COUNT_SCHEMA.empty_table()
+        agg = g.groupby("node", as_index=False)["n"].sum()
+        agg = agg.rename(columns={"n": "n_triangles"})
+        return pa.Table.from_pandas(
+            agg, schema=_TRI_COUNT_SCHEMA, preserve_index=False
+        )
+
+    return (
+        triangles.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(sum_bucket, batch_format="pandas")
+    )

@@ -1,0 +1,152 @@
+"""Distributed weighted-threshold selection (the "global prefix-sum cut"
+primitive).
+
+``weighted_key_cut`` answers, over an int64 key column with int64
+weights: *what is the smallest key value k\\* such that the total weight
+of rows with key <= k\\* reaches a target?* — without a global sort and
+without collecting any N-sized state on the driver.  It is the
+distributed building block behind budgeted data selection ("keep the
+best documents until the token budget is spent", DSIR/DoReMi-style
+curation), weighted percentiles over unbounded-cardinality keys, and
+top-k-by-weight cuts.
+
+Algorithm: iterative histogram refinement (the classic distributed
+selection / k-th-element scheme).  Each round lays ``num_bins`` equal
+integer sub-ranges over the current candidate key range ``[lo, hi]``,
+computes per-bin weight sums in ONE streaming pass (per-block
+``np.bincount`` partials folded by a tree ``Dataset.aggregate`` — no
+shuffle at all, the driver only ever sees a ``num_bins``-sized vector),
+walks the bins to find the one containing the cut, and recurses into
+it.  Rounds needed: ``ceil(log_num_bins(key_range))`` — 2 passes for a
+20-bit key space, 6 for the full int64 range.  At 10^12 rows each pass
+is a pruned scan of a 24-byte-row projection; nothing else moves.
+
+Exactness: keys and weights are int64 and every bin boundary is integer
+arithmetic, so the returned cut is bit-exact and batch-invariant (the
+same design rule as stages/ml.py: no float reduction ever crosses a
+batch boundary).  Ties on the key are NOT broken here — callers that
+need a within-key order (e.g. by doc id) run a second cut over the tie
+group, which this module's ``token_budget`` caller does.
+
+No reference analog (beyond-reference LLM-pipeline operator; the
+reference processes one attachment at a time,
+src/services/pdf_converter.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import AggregateFn
+from ray.data.block import BlockAccessor
+
+__all__ = ["weighted_key_cut", "key_range"]
+
+
+def key_range(ds: rd.Dataset, key_col: str) -> tuple[int, int]:
+    """(min, max) of an int64 column — one streaming aggregate pass."""
+    row = ds.aggregate(
+        AggregateFn(
+            init=lambda _: (np.iinfo(np.int64).max, np.iinfo(np.int64).min),
+            accumulate_block=lambda acc, block: _minmax_block(acc, block, key_col),
+            merge=lambda a, b: (min(a[0], b[0]), max(a[1], b[1])),
+            name="key_range",
+        )
+    )
+    lo, hi = row["key_range"]
+    if lo > hi:
+        raise ValueError(f"key_range over empty dataset for {key_col!r}")
+    return int(lo), int(hi)
+
+
+def _minmax_block(acc, block, key_col):  # noqa: ANN001, ANN202
+    t = BlockAccessor.for_block(block).to_arrow()
+    if t.num_rows == 0:
+        return acc
+    k = t[key_col].to_numpy(zero_copy_only=False)
+    return (min(acc[0], int(k.min())), max(acc[1], int(k.max())))
+
+
+def _bin_bounds(lo: int, hi: int, nb: int, b: int) -> tuple[int, int]:
+    """Inclusive key range covered by bin ``b`` of ``nb`` equal integer
+    sub-ranges over ``[lo, hi]`` (bin of key k = (k-lo)*nb // width)."""
+    width = hi - lo + 1
+    b_lo = lo + (b * width + nb - 1) // nb
+    b_hi = lo + ((b + 1) * width + nb - 1) // nb - 1
+    return b_lo, b_hi
+
+
+def _hist_pass(
+    ds: rd.Dataset, key_col: str, weight_col: str, lo: int, hi: int, nb: int
+) -> np.ndarray:
+    """Per-bin int64 weight sums for keys in [lo, hi] — one streaming
+    pass, tree-folded fixed-size vectors, rows outside the range are
+    ignored (they were accounted in earlier rounds)."""
+    width = hi - lo + 1
+
+    def acc_block(acc: np.ndarray, block) -> np.ndarray:  # noqa: ANN001
+        t = BlockAccessor.for_block(block).to_arrow()
+        if t.num_rows == 0:
+            return acc
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        m = (k >= lo) & (k <= hi)
+        if not m.any():
+            return acc
+        # (k-lo)*nb can overflow int64 only if width*nb > 2^63; guard by
+        # computing in object-free float-safe int64 after range-shift
+        # (width <= 2^62 is enforced by the caller's first round split).
+        bins = (k[m] - lo) * nb // width
+        out = acc.copy()
+        np.add.at(out, bins, w[m])
+        return out
+
+    row = ds.aggregate(
+        AggregateFn(
+            init=lambda _: np.zeros(nb, dtype=np.int64),
+            accumulate_block=acc_block,
+            merge=lambda a, b: a + b,
+            name="whist",
+        )
+    )
+    return np.asarray(row["whist"], dtype=np.int64)
+
+
+def weighted_key_cut(
+    ds: rd.Dataset,
+    key_col: str,
+    weight_col: str,
+    target: int,
+    num_bins: int = 4096,
+) -> tuple[int, int]:
+    """Smallest int64 key ``k*`` with ``sum(weight | key <= k*) >=
+    target``, plus ``below = sum(weight | key < k*)``.
+
+    ``target`` must be >= 1 and <= the total weight (weights must be
+    non-negative; rows with zero weight never become the cut key).
+    Returns ``(k_star, below)`` with ``below < target`` guaranteed.
+    """
+    if target < 1:
+        raise ValueError(f"target must be >= 1, got {target}")
+    lo, hi = key_range(ds, key_col)
+    below = 0  # total weight with key < lo
+    while True:
+        # int64-overflow guard for (k-lo)*nb: halve nb until safe
+        nb = min(num_bins, hi - lo + 1)
+        while nb > 2 and (hi - lo + 1) > (2**62) // nb:
+            nb //= 2
+        hist = _hist_pass(ds, key_col, weight_col, lo, hi, nb)
+        cum = below + np.cumsum(hist)
+        idx = int(np.searchsorted(cum, target, side="left"))
+        if idx >= nb:
+            raise ValueError(
+                f"target {target} exceeds total weight {int(cum[-1]) if nb else below}"
+            )
+        b_lo, b_hi = _bin_bounds(lo, hi, nb, idx)
+        if idx > 0:
+            below = int(cum[idx - 1])
+        if b_lo == b_hi:
+            return b_lo, below
+        lo, hi = b_lo, b_hi

@@ -1,0 +1,209 @@
+"""Unit tests for the distributed weighted-threshold cut
+(stages/selection.py), the budgeted/balanced selection pipelines, and
+the degree-ordered triangle counter (stages/linkgraph.triangle_counts).
+The end-to-end DuckDB parity of the three registered queries is covered
+by test_queries_vs_duckdb.py; these tests pin the primitives on small
+adversarial inputs where the answer is computable by hand / flat numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from png_from_pdf_extracter_ray.stages.selection import key_range, weighted_key_cut
+
+
+def _flat_cut(keys, weights, target):
+    """Reference: sort by key, walk the prefix sum."""
+    df = (
+        pd.DataFrame({"k": keys, "w": weights})
+        .groupby("k", as_index=False)["w"]
+        .sum()
+        .sort_values("k", ignore_index=True)
+    )
+    cum = df["w"].cumsum()
+    idx = int(np.searchsorted(cum.to_numpy(), target, side="left"))
+    below = int(cum.iloc[idx - 1]) if idx > 0 else 0
+    return int(df["k"].iloc[idx]), below
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWeightedKeyCut:
+    def _ds(self, keys, weights, blocks=5):
+        df = pd.DataFrame(
+            {"k": np.asarray(keys, np.int64), "w": np.asarray(weights, np.int64)}
+        )
+        return rd.from_pandas(df).repartition(blocks)
+
+    def test_matches_flat_reference_random(self):
+        rng = np.random.RandomState(7)
+        keys = rng.randint(-1000, 1000, size=500).astype(np.int64)
+        weights = rng.randint(0, 50, size=500).astype(np.int64)
+        total = int(weights.sum())
+        ds = self._ds(keys, weights)
+        for target in (1, total // 3, total // 2, total):
+            assert weighted_key_cut(ds, "k", "w", target) == _flat_cut(
+                keys, weights, target
+            )
+
+    def test_wide_key_range_many_rounds(self):
+        # keys spread over ~2^40 force several histogram rounds
+        rng = np.random.RandomState(11)
+        keys = rng.randint(0, 2**40, size=200).astype(np.int64)
+        weights = np.ones(200, dtype=np.int64)
+        ds = self._ds(keys, weights)
+        k, below = weighted_key_cut(ds, "k", "w", 100)
+        assert k == int(np.sort(keys)[99])
+        assert below == int((keys < k).sum())
+
+    def test_negative_keys_and_duplicates(self):
+        keys = [-5, -5, -5, 0, 0, 7]
+        weights = [2, 3, 1, 4, 1, 10]
+        ds = self._ds(keys, weights, blocks=3)
+        assert weighted_key_cut(ds, "k", "w", 6) == (-5, 0)
+        assert weighted_key_cut(ds, "k", "w", 7) == (0, 6)
+        assert weighted_key_cut(ds, "k", "w", 12) == (7, 11)
+
+    def test_batch_invariance(self):
+        rng = np.random.RandomState(3)
+        keys = rng.randint(0, 10**6, size=300).astype(np.int64)
+        weights = rng.randint(1, 9, size=300).astype(np.int64)
+        t = int(weights.sum()) // 2
+        a = weighted_key_cut(self._ds(keys, weights, blocks=1), "k", "w", t)
+        b = weighted_key_cut(self._ds(keys, weights, blocks=13), "k", "w", t)
+        assert a == b == _flat_cut(keys, weights, t)
+
+    def test_target_exceeds_total_raises(self):
+        ds = self._ds([1, 2], [1, 1])
+        with pytest.raises(ValueError):
+            weighted_key_cut(ds, "k", "w", 3)
+
+    def test_key_range(self):
+        ds = self._ds([-7, 3, 9999], [1, 1, 1], blocks=2)
+        assert key_range(ds, "k") == (-7, 9999)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSelectionPipelines:
+    def test_token_budget_prefix_property(self, sf_dir):
+        """Kept set = exactly the docs whose exclusive prefix sum over
+        (zdist, doc_id) order is < budget — recomputed flat."""
+        from png_from_pdf_extracter_ray.pipelines.selection import (
+            TOKEN_BUDGET_PCT,
+            token_budget_select,
+            zdist_tokens_batch,
+        )
+
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        slim = zdist_tokens_batch(docs).sort_values(
+            ["zdist", "doc_id"], ignore_index=True
+        )
+        budget = (int(slim["n_tokens"].sum()) * TOKEN_BUDGET_PCT) // 100
+        cum_excl = slim["n_tokens"].cumsum() - slim["n_tokens"]
+        expected = set(slim.loc[cum_excl < budget, "doc_id"])
+
+        got = token_budget_select(sf_dir).to_pandas()
+        assert set(got["doc_id"]) == expected
+        assert 0 < len(got) < len(slim)  # non-degenerate on the corpus
+
+    def test_balanced_sample_group_rates(self, sf_dir):
+        """Every group's kept count respects its exact integer
+        threshold; the skewed group (en) is actually downsampled."""
+        from png_from_pdf_extracter_ray.pipelines.selection import (
+            HASH_SPACE,
+            balanced_sample,
+        )
+
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        ).to_pandas()
+        n = docs.groupby("lang").size()
+        thresh = {g: (HASH_SPACE * int(n.min())) // int(c) for g, c in n.items()}
+        expected = {
+            int(i)
+            for i, g in zip(docs["doc_id"], docs["lang"])
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) < thresh[g]
+        }
+        got = balanced_sample(sf_dir).to_pandas()
+        assert set(got["doc_id"]) == expected
+        kept = got.groupby("lang").size()
+        assert kept["en"] < n["en"]  # the dominant group was downsampled
+        assert n.min() > 0 and len(kept) == len(n)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTriangleCounts:
+    def _counts(self, pairs):
+        from png_from_pdf_extracter_ray.stages.linkgraph import triangle_counts
+        from png_from_pdf_extracter_ray.stages.neardup import _to_pandas_safe
+
+        df = pd.DataFrame(pairs, columns=["src_host", "dst_host"])
+        out = _to_pandas_safe(
+            triangle_counts(rd.from_pandas(df)), ["node", "n_triangles"]
+        )
+        return dict(zip(out["node"], out["n_triangles"]))
+
+    def test_known_small_graph(self):
+        # K4 on {a,b,c,d}: 4 triangles, every node in 3
+        nodes = ["a", "b", "c", "d"]
+        pairs = [(u, v) for u in nodes for v in nodes if u != v]
+        assert self._counts(pairs) == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    def test_triangle_plus_tail(self):
+        # triangle a-b-c plus pendant edge c-d: d in no triangle
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+        assert self._counts(pairs) == {"a": 1, "b": 1, "c": 1}
+
+    def test_direction_and_duplicates_ignored(self):
+        pairs = [
+            ("a", "b"),
+            ("b", "a"),
+            ("b", "c"),
+            ("c", "a"),
+            ("a", "c"),
+            ("a", "a"),  # self loop dropped
+            ("a", "b"),  # duplicate
+        ]
+        assert self._counts(pairs) == {"a": 1, "b": 1, "c": 1}
+
+    def test_square_no_triangles(self):
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+        assert self._counts(pairs) == {}
+
+    def test_random_graph_vs_flat(self):
+        rng = np.random.RandomState(5)
+        hosts = [f"h{i}" for i in range(30)]
+        pairs = set()
+        for _ in range(120):
+            u, v = rng.choice(30, 2, replace=False)
+            pairs.add((hosts[u], hosts[v]))
+        # flat reference: adjacency-set intersection per edge
+        und = {frozenset(p) for p in pairs}
+        adj: dict[str, set[str]] = {}
+        for e in und:
+            u, v = sorted(e)
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        flat: dict[str, int] = {}
+        tri = 0
+        for u, v in (sorted(e) for e in und):
+            for w in adj[u] & adj[v]:
+                if w > v:  # count each triangle once (u < v < w)
+                    tri += 1
+                    for x in (u, v, w):
+                        flat[x] = flat.get(x, 0) + 1
+        got = self._counts(sorted(pairs))
+        assert got == flat
+        assert sum(got.values()) == 3 * tri
