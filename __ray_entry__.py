@@ -229,6 +229,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_lsh": textops.similarity_topk_lsh,
         "similarity_topk_pq": mlops.similarity_topk_pq,
         "similarity_topk_ivfpq": mlops.similarity_topk_ivfpq,
+        # --- selection long tail (unbounded-key weighted percentiles
+        # via the same histogram-refinement cut as token_budget_select) ---
+        "token_weighted_length_percentiles": selp.token_weighted_length_percentiles,
+        # --- graph-analytics long tail (triangle machinery + degree) ---
+        "host_clustering_coeff": lg.host_clustering_coeff,
+        # --- interchange-format long tail (distributed JSONL sink →
+        # source hop digest-checked against the original parquet) ---
+        "documents_jsonl_roundtrip": _ingest.jsonl_roundtrip_digest,
         # --- windows long tail ---
         "events_sliding_window": rel.events_sliding_window,
         "events_retention_cohorts": rel.events_retention_cohorts,
@@ -988,6 +996,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, zdist, n_tokens FROM w
             WHERE cum - n_tokens < budget AND budget >= 1
         """,
+        # JSONL roundtrip: the digest of what came BACK through the
+        # write_json → read_json hop must equal the digest DuckDB
+        # computes from the original parquet.
+        "documents_jsonl_roundtrip": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(bit_xor(
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                           || ':' || COALESCE(text, '')), 1, 15)) AS BIGINT)
+                   ) AS BIGINT) AS xor_digest,
+                   CAST(SUM(length(COALESCE(text, ''))) AS BIGINT)
+                       AS total_chars
+            FROM documents
+        """,
+        # Unbounded-key token-weighted percentiles: DuckDB recomputes
+        # each cut with a global window cumulative sum (the engine used
+        # one histogram-refinement cut per percentile, no sort).
+        "token_weighted_length_percentiles": """
+            WITH tok AS (
+                SELECT n_chars,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ), by_len AS (
+                SELECT n_chars, SUM(n_tokens) AS w FROM tok GROUP BY n_chars
+            ), c AS (
+                SELECT n_chars, SUM(w) OVER (ORDER BY n_chars) AS cum,
+                       (SELECT SUM(n_tokens) FROM tok) AS tot
+                FROM by_len
+            )
+            SELECT CAST(p.pct AS BIGINT) AS pct,
+                   CAST(MIN(c.n_chars) AS BIGINT) AS n_chars_le
+            FROM c CROSS JOIN (VALUES (25), (50), (75), (90)) AS p(pct)
+            WHERE c.cum >= GREATEST((c.tot * p.pct) // 100, 1)
+            GROUP BY p.pct
+        """,
         # Per-language rebalancing: exact integer thresholds, the same
         # md5-prefix predicate evaluated declaratively (lang is the
         # corpus's skewed grouping; source is uniform by construction).
@@ -1026,6 +1070,40 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT z AS host FROM t
             )
             GROUP BY host
+        """,
+        # Local clustering coefficient: triangle closure + degree fold,
+        # both declarative over the flat host-edges parquet; exact
+        # integer micros on both sides.
+        "host_clustering_coeff": f"""
+            WITH hp AS (
+                SELECT DISTINCT least(src_host, dst_host) AS a,
+                                greatest(src_host, dst_host) AS b
+                FROM read_parquet('{_host_edges_oracle}')
+                WHERE src_host <> dst_host
+            ), t AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM hp e1
+                JOIN hp e2 ON e2.a = e1.b
+                JOIN hp e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), tc AS (
+                SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                FROM (
+                    SELECT x AS host FROM t
+                    UNION ALL SELECT y AS host FROM t
+                    UNION ALL SELECT z AS host FROM t
+                )
+                GROUP BY host
+            ), deg AS (
+                SELECT host, CAST(COUNT(*) AS BIGINT) AS degree
+                FROM (
+                    SELECT a AS host FROM hp UNION ALL SELECT b AS host FROM hp
+                )
+                GROUP BY host
+            )
+            SELECT tc.host, deg.degree, tc.n_triangles,
+                   (2 * tc.n_triangles * 1000000)
+                       // (deg.degree * (deg.degree - 1)) AS cc_micros
+            FROM tc JOIN deg ON tc.host = deg.host
         """,
         "host_pagerank": f"""
             SELECT host, rank_micros FROM read_parquet('{_host_pr_oracle}')

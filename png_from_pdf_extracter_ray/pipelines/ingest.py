@@ -109,3 +109,88 @@ def warclike_ingest_rows(sf_dir: str, expand: int = 2) -> rd.Dataset:
         )
 
     return ds.map_batches(verify_rows, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# JSONL sink → source roundtrip (the interchange-format check)
+# ---------------------------------------------------------------------------
+
+_JSONL_ROOT = "/tmp/graft_jsonl"
+
+_JSONL_DIGEST_SCHEMA = pa.schema(
+    [
+        ("n_rows", pa.int64()),
+        ("xor_digest", pa.int64()),
+        ("total_chars", pa.int64()),
+    ]
+)
+
+
+def jsonl_dir(sf_dir: str) -> str:
+    from .. import __version__ as ENGINE_VERSION
+    from ..corpus.synth import CORPUS_VERSION
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(_JSONL_ROOT, f"{h}_v{CORPUS_VERSION}_e{ENGINE_VERSION}")
+
+
+def jsonl_roundtrip_digest(sf_dir: str) -> pa.Table:
+    """Documents → Ray's distributed NDJSON sink (``write_json``, one
+    shard per block) → Ray's distributed JSON source (``read_json``,
+    one read task per shard) → one digest row folded from per-batch
+    partials: row count, ``bit_xor`` of an md5-derived int64 per
+    ``(doc_id, text)`` pair, total text chars.  The DuckDB twin computes
+    the identical digest from the ORIGINAL parquet view — so a row
+    lost, duplicated, or mutated anywhere in the JSON encode/decode hop
+    (escaping, unicode, newline handling, shard split) flips the
+    result.  The JSONL interchange hop is how corpora leave/enter this
+    engine for tools that don't speak parquet."""
+    out_dir = jsonl_dir(sf_dir)
+    done = os.path.join(out_dir, "_done")
+    if not os.path.exists(done):
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ).write_json(out_dir)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        x = 0
+        chars = 0
+        for i, txt in zip(ids, texts):
+            s = txt or ""
+            chars += len(s)
+            h = hashlib.md5(f"{i}:{s}".encode("utf-8")).hexdigest()
+            x ^= int(h[:15], 16)
+        return pa.Table.from_pydict(
+            {
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "xor_digest": pa.array([x], pa.int64()),
+                "total_chars": pa.array([chars], pa.int64()),
+            },
+            schema=_JSONL_DIGEST_SCHEMA,
+        )
+
+    parts = (
+        rd.read_json(out_dir, file_extensions=["json"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # one tiny row per batch
+    )
+    if parts.empty:
+        vals = [0, 0, 0]
+    else:
+        x = 0
+        for v in parts["xor_digest"]:
+            x ^= int(v)
+        vals = [int(parts["n_rows"].sum()), x, int(parts["total_chars"].sum())]
+    return pa.Table.from_pydict(
+        {
+            "n_rows": pa.array([vals[0]], pa.int64()),
+            "xor_digest": pa.array([vals[1]], pa.int64()),
+            "total_chars": pa.array([vals[2]], pa.int64()),
+        },
+        schema=_JSONL_DIGEST_SCHEMA,
+    )

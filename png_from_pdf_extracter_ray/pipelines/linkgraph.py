@@ -629,3 +629,50 @@ def host_triangle_counts(sf_dir: str) -> rd.Dataset:
         return t.rename_columns(["host", "n_triangles"])
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+CC_SCALE = 1_000_000
+
+
+def host_clustering_coeff(sf_dir: str) -> rd.Dataset:
+    """Per-host LOCAL clustering coefficient (micros) over the host
+    quotient graph: ``cc = 2·triangles / (degree·(degree−1))`` — how
+    clique-like a host's neighborhood is (mirror constellations ≈ 1.0,
+    hub-and-spoke link farms ≈ 0).  Exact integer output
+    ``(2·tri·10^6) // (d·(d−1))`` so the DuckDB twin (triangle closure
+    + degree fold over the flat host-edges parquet) matches bit-for-bit.
+    Only hosts participating in ≥1 triangle appear (cc of a
+    triangle-free host is 0 by definition and is omitted, matching the
+    oracle's inner join).  Same machinery as ``host_triangle_counts``
+    with the degree column carried through."""
+    from ..stages.linkgraph import triangle_counts
+
+    out = triangle_counts(
+        _host_pairs(sf_dir), "src_host", "dst_host", with_degree=True
+    )
+
+    _CC_SCHEMA = pa.schema(
+        [
+            ("host", pa.string()),
+            ("degree", pa.int64()),
+            ("n_triangles", pa.int64()),
+            ("cc_micros", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        node = t["node"].to_pylist()
+        tri = t["n_triangles"].to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cc = (2 * tri * CC_SCALE) // (deg * (deg - 1))
+        return pa.Table.from_arrays(
+            [
+                pa.array(node, pa.string()),
+                pa.array(deg, pa.int64()),
+                pa.array(tri, pa.int64()),
+                pa.array(cc, pa.int64()),
+            ],
+            schema=_CC_SCHEMA,
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -177,3 +177,44 @@ def balanced_sample(sf_dir: str, by: str = "lang") -> rd.Dataset:
             batch_format="pandas",
         )
     )
+
+
+PCTS = (25, 50, 75, 90)
+
+_PCT_SCHEMA = pa.schema([("pct", pa.int64()), ("n_chars_le", pa.int64())])
+
+
+def token_weighted_length_percentiles(
+    sf_dir: str, pcts: tuple = PCTS
+) -> pa.Table:
+    """"p% of the corpus's tokens live in documents of <= L chars" — the
+    token-mass distribution over document length that sizes packing
+    windows and length-bucketed sampling.  One weighted-threshold cut
+    (stages/selection.weighted_key_cut) per percentile over the slim
+    (n_chars, n_tokens) projection: key cardinality is unbounded
+    (doc lengths), so the bounded-cardinality histogram-broadcast trick
+    of doc_length_percentiles does not apply — this IS the
+    unbounded-key variant, and the histogram-refinement cut is what
+    replaces the global sort.  Exact integers end-to-end; the DuckDB
+    oracle recomputes each L with a global window cumulative sum."""
+    slim = (
+        _docs(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(
+            lambda df: token_count_batch(df)[["n_chars", "n_tokens"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    total = int(slim.sum("n_tokens"))
+    rows = []
+    for p in pcts:
+        target = max(1, (total * p) // 100)
+        k, _ = weighted_key_cut(slim, "n_chars", "n_tokens", target)
+        rows.append((int(p), int(k)))
+    return pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.int64()),
+            pa.array([r[1] for r in rows], pa.int64()),
+        ],
+        schema=_PCT_SCHEMA,
+    )

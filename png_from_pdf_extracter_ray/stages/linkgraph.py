@@ -887,6 +887,9 @@ _WEDGE_SCHEMA = pa.schema(
     ]
 )
 _TRI_COUNT_SCHEMA = pa.schema([("node", pa.string()), ("n_triangles", pa.int64())])
+_TRI_DEG_SCHEMA = pa.schema(
+    [("node", pa.string()), ("n_triangles", pa.int64()), ("degree", pa.int64())]
+)
 
 
 def triangle_counts(
@@ -894,6 +897,7 @@ def triangle_counts(
     src_col: str = "src_host",
     dst_col: str = "dst_host",
     num_buckets: int = 32,
+    with_degree: bool = False,
 ) -> rd.Dataset:
     """Per-node triangle participation counts over an undirected graph
     given as (possibly directed, possibly duplicated) string-node pairs
@@ -1069,15 +1073,20 @@ def triangle_counts(
         )
         return out.append_column("__bucket", pa.array(b, pa.int32()))
 
+    out_schema = _TRI_DEG_SCHEMA if with_degree else _TRI_COUNT_SCHEMA
+
     def sum_bucket(g: pd.DataFrame) -> pa.Table:
         # typed empty on the all-empty path (the _typed_table rule) so a
         # triangle-free graph still yields the declared schema
         if g.empty:
-            return _TRI_COUNT_SCHEMA.empty_table()
+            return out_schema.empty_table()
         agg = g.groupby("node", as_index=False)["n"].sum()
         agg = agg.rename(columns={"n": "n_triangles"})
+        if with_degree:
+            deg = _ray.get(deg_ref)
+            agg["degree"] = agg["node"].map(deg).astype(np.int64)
         return pa.Table.from_pandas(
-            agg, schema=_TRI_COUNT_SCHEMA, preserve_index=False
+            agg, schema=out_schema, preserve_index=False
         )
 
     return (

@@ -207,3 +207,66 @@ class TestTriangleCounts:
         got = self._counts(sorted(pairs))
         assert got == flat
         assert sum(got.values()) == 3 * tri
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFollowOns:
+    def test_token_weighted_percentiles_vs_flat(self, sf_dir):
+        from png_from_pdf_extracter_ray.pipelines.selection import (
+            PCTS,
+            token_weighted_length_percentiles,
+        )
+        from png_from_pdf_extracter_ray.stages.text_stats import token_count_batch
+
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+        ).to_pandas()
+        slim = token_count_batch(docs)[["n_chars", "n_tokens"]]
+        by_len = (
+            slim.groupby("n_chars", as_index=False)["n_tokens"]
+            .sum()
+            .sort_values("n_chars", ignore_index=True)
+        )
+        cum = by_len["n_tokens"].cumsum().to_numpy()
+        tot = int(slim["n_tokens"].sum())
+        expect = {}
+        for p in PCTS:
+            target = max(1, (tot * p) // 100)
+            expect[p] = int(
+                by_len["n_chars"].iloc[int(np.searchsorted(cum, target, "left"))]
+            )
+        got = token_weighted_length_percentiles(sf_dir).to_pandas()
+        assert dict(zip(got["pct"], got["n_chars_le"])) == expect
+        # monotone by construction
+        assert got["n_chars_le"].is_monotonic_increasing
+
+    def test_clustering_coeff_formula(self):
+        """cc on K4 is exactly 1.0 (degree 3, 3 triangles per node)."""
+        from png_from_pdf_extracter_ray.stages.linkgraph import triangle_counts
+
+        nodes = ["a", "b", "c", "d"]
+        pairs = pd.DataFrame(
+            [(u, v) for u in nodes for v in nodes if u != v],
+            columns=["src_host", "dst_host"],
+        )
+        out = triangle_counts(
+            rd.from_pandas(pairs), with_degree=True
+        ).to_pandas()
+        assert set(out["degree"]) == {3}
+        cc = (2 * out["n_triangles"] * 1_000_000) // (
+            out["degree"] * (out["degree"] - 1)
+        )
+        assert set(cc) == {1_000_000}
+
+    def test_jsonl_roundtrip_digest_nonzero(self, sf_dir):
+        from png_from_pdf_extracter_ray.pipelines.ingest import (
+            jsonl_roundtrip_digest,
+        )
+
+        t = jsonl_roundtrip_digest(sf_dir).to_pandas()
+        assert len(t) == 1
+        assert int(t["n_rows"][0]) == 500
+        assert int(t["xor_digest"][0]) != 0
+        assert int(t["total_chars"][0]) > 0
