@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- interchange-format long tail (distributed JSONL sink →
         # source hop digest-checked against the original parquet) ---
         "documents_jsonl_roundtrip": _ingest.jsonl_roundtrip_digest,
+        # --- corpus-diagnostics long tail (Heaps-law growth; the Zipf
+        # fit's companion) ---
+        "heaps_vocab_curve": corpus_stats.heaps_vocab_curve,
         # --- windows long tail ---
         "events_sliding_window": rel.events_sliding_window,
         "events_retention_cohorts": rel.events_retention_cohorts,
@@ -995,6 +998,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, zdist, n_tokens FROM w
             WHERE cum - n_tokens < budget AND budget >= 1
+        """,
+        # Heaps-law curve: DuckDB recomputes token first-occurrence
+        # declaratively (MIN(doc_id) GROUP BY token) and counts per
+        # grid point; the engine used bucketed min-folds + searchsorted.
+        "heaps_vocab_curve": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                           AS token
+                FROM documents WHERE trim(text) <> ''
+            ), first AS (
+                SELECT token, MIN(doc_id) AS md FROM tok GROUP BY token
+            )
+            SELECT CAST(k.k AS BIGINT) AS k_docs,
+                   CAST(COUNT(*) AS BIGINT) AS vocab_size
+            FROM first
+            CROSS JOIN (VALUES (50), (100), (200), (500), (1000), (2000),
+                               (5000)) AS k(k)
+            WHERE first.md < k.k
+              AND k.k <= (SELECT COUNT(*) FROM documents)
+            GROUP BY k.k
         """,
         # JSONL roundtrip: the digest of what came BACK through the
         # write_json → read_json hop must equal the digest DuckDB

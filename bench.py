@@ -245,6 +245,8 @@ def bench_queries() -> dict[str, float]:
         "paragraph_dedup",
         "mirror_host_pairs",
         "pages_snapshot_drift",
+        "token_budget_select",
+        "host_triangle_counts",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

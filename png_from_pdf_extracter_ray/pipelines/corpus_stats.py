@@ -1202,3 +1202,96 @@ def vocab_zipf_fit(sf_dir: str) -> pd.DataFrame:
             "intercept": pd.Series([round(my - slope * mx, 6)], dtype="float64"),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+HEAPS_GRID = (50, 100, 200, 500, 1000, 2000, 5000)
+
+_HEAPS_SCHEMA = pa.schema([("k_docs", pa.int64()), ("vocab_size", pa.int64())])
+
+
+def heaps_vocab_curve(sf_dir: str, grid: tuple = HEAPS_GRID) -> pa.Table:
+    """Vocabulary size after the first ``k`` documents (doc_id order),
+    for each grid ``k`` ≤ corpus size — the Heaps-law growth curve that
+    complements ``vocab_zipf_fit``: sublinear growth is healthy prose,
+    near-linear growth flags id/hash/boilerplate noise inflating the
+    token space.
+
+    A token is counted at grid point ``k`` iff its FIRST occurrence
+    (min doc_id over docs containing it) is < ``k``.  Ray shape: the
+    standard token-partials pass emits per-batch (token, min_doc) rows
+    (same lower/whitespace tokenizer as the vocab/df ops), one
+    hash-bucket shuffle folds the global min per token, then each
+    bucket collapses to |grid| partial counts via one vectorized
+    searchsorted — the driver only ever sees B × |grid| rows.  Exact
+    integers; the DuckDB twin recomputes first-occurrence with
+    MIN(doc_id) GROUP BY token declaratively."""
+    num_buckets = 32
+    ks = np.asarray(sorted(grid), dtype=np.int64)
+
+    def partials(df: pd.DataFrame) -> pa.Table:
+        s = df["text"].fillna("").str.strip().str.lower()
+        mask = s != ""
+        toks = s[mask].str.split(_WS)
+        ids = df.loc[mask, "doc_id"].to_numpy(dtype=np.int64)
+        if toks.empty:
+            t = pa.Table.from_pydict(
+                {
+                    "token": pa.array([], pa.string()),
+                    "md": pa.array([], pa.int64()),
+                }
+            )
+            return t.append_column("__bucket", pa.array([], pa.int32()))
+        rep = pd.DataFrame(
+            {
+                "token": toks.to_numpy(),
+                "md": ids,
+            }
+        ).explode("token", ignore_index=True)
+        agg = rep.groupby("token", as_index=False, sort=False)["md"].min()
+        t = pa.Table.from_pandas(
+            agg,
+            schema=pa.schema([("token", pa.string()), ("md", pa.int64())]),
+            preserve_index=False,
+        )
+        b = stable_bucket_ids(t["token"], num_buckets)
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def fold_bucket(g: pd.DataFrame) -> pa.Table:
+        out_schema = pa.schema([("k_docs", pa.int64()), ("n", pa.int64())])
+        if g.empty:
+            return out_schema.empty_table()
+        md = g.groupby("token", sort=False)["md"].min().to_numpy(dtype=np.int64)
+        # tokens with first doc < k, per grid point: one sort + searchsorted
+        md.sort()
+        counts = np.searchsorted(md, ks, side="left")
+        return pa.Table.from_pydict(
+            {
+                "k_docs": pa.array(ks, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partials, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()  # B × |grid| rows — the documented small side
+    )
+    agg = parts.groupby("k_docs", as_index=False)["n"].sum()
+    agg = agg[agg["k_docs"] <= n_docs].sort_values("k_docs", ignore_index=True)
+    return pa.Table.from_pydict(
+        {
+            "k_docs": pa.array(agg["k_docs"].to_numpy(dtype=np.int64), pa.int64()),
+            "vocab_size": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
+        },
+        schema=_HEAPS_SCHEMA,
+    )
