@@ -229,9 +229,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_lsh": textops.similarity_topk_lsh,
         "similarity_topk_pq": mlops.similarity_topk_pq,
         "similarity_topk_ivfpq": mlops.similarity_topk_ivfpq,
-        # --- selection long tail (unbounded-key weighted percentiles
-        # via the same histogram-refinement cut as token_budget_select) ---
+        # --- selection long tail (unbounded-key weighted percentiles,
+        # the weight-balanced shard planner, and the exact-count sample
+        # — all on the same histogram-refinement cut primitive) ---
         "token_weighted_length_percentiles": selp.token_weighted_length_percentiles,
+        "token_balanced_shards": selp.token_balanced_shards,
+        "exact_count_sample": selp.exact_count_sample,
         # --- graph-analytics long tail (triangle machinery + degree) ---
         "host_clustering_coeff": lg.host_clustering_coeff,
         # --- interchange-format long tail (distributed JSONL sink →
@@ -514,6 +517,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from png_from_pdf_extracter_ray.pipelines.selection import (
         ZTARGET_MICROS as _ZTARGET,
+    )
+    from png_from_pdf_extracter_ray.pipelines.selection import (
+        N_SHARDS as _N_SHARDS,
+    )
+    from png_from_pdf_extracter_ray.pipelines.selection import (
+        SAMPLE_K as _SAMPLE_K,
     )
 
     _mix_case = "CASE lang " + " ".join(
@@ -1032,6 +1041,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(COALESCE(text, ''))) AS BIGINT)
                        AS total_chars
             FROM documents
+        """,
+        # Weight-balanced shard planner: the engine finds S-1 boundary
+        # cuts (histogram refinement) and assigns by boundary
+        # comparison; DuckDB evaluates the closed form from ONE global
+        # window — any off-by-one in any boundary diverges on some row.
+        "token_balanced_shards": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) AS hkey,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ), w AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (
+                           ORDER BY hkey, doc_id ROWS UNBOUNDED PRECEDING
+                       ) - n_tokens AS cum_excl,
+                       (SELECT SUM(n_tokens) FROM tok) AS tot
+                FROM tok
+            )
+            SELECT doc_id,
+                   CAST(LEAST(({_N_SHARDS} * (cum_excl + 1) - 1) // tot,
+                              {_N_SHARDS - 1}) AS BIGINT) AS shard_id
+            FROM w
+        """,
+        # Exact-count deterministic sample: ROW_NUMBER over the
+        # (md5, doc_id) order vs the engine's composite cut with
+        # weight 1.
+        "exact_count_sample": f"""
+            WITH o AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY CAST(('0x' || substr(
+                               md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                               doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id FROM o WHERE rn <= {_SAMPLE_K}
         """,
         # Unbounded-key token-weighted percentiles: DuckDB recomputes
         # each cut with a global window cumulative sum (the engine used

@@ -121,14 +121,7 @@ def token_budget_select(sf_dir: str, budget_pct: int = TOKEN_BUDGET_PCT) -> rd.D
     budget = (total * budget_pct) // 100
     if budget < 1:
         return rd.from_arrow(_SLIM_SCHEMA.empty_table())
-    k_star, below = weighted_key_cut(slim, "zdist", "n_tokens", budget)
-    rem = budget - below  # > 0 by the cut's contract
-
-    ties = slim.map_batches(
-        lambda t: t.filter(pa.compute.equal(t["zdist"], k_star)),
-        batch_format="pyarrow",
-    )
-    d_star, _ = weighted_key_cut(ties, "doc_id", "n_tokens", rem)
+    k_star, d_star = ordered_cut(slim, "zdist", "doc_id", "n_tokens", budget)
 
     def keep(t: pa.Table) -> pa.Table:
         z = t["zdist"].to_numpy(zero_copy_only=False)
@@ -218,3 +211,137 @@ def token_weighted_length_percentiles(
         ],
         schema=_PCT_SCHEMA,
     )
+
+
+def ordered_cut(
+    slim: rd.Dataset,
+    key_col: str,
+    tie_col: str,
+    weight_col: str,
+    target: int,
+) -> tuple[int, int]:
+    """Boundary of the smallest weighted prefix reaching ``target``
+    under (key asc, tie asc) order: the (key, tie) of the FIRST row
+    whose inclusive prefix sum >= target.  Two-level composite cut —
+    one ``weighted_key_cut`` over the key, one more over the tie column
+    within the key's tie group (the machinery shared by
+    token_budget_select and the shard planner)."""
+    k_star, below = weighted_key_cut(slim, key_col, weight_col, target)
+    rem = target - below  # > 0 by the cut's contract
+
+    def only_ties(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.equal(t[key_col], k_star))
+
+    ties = slim.map_batches(only_ties, batch_format="pyarrow")
+    d_star, _ = weighted_key_cut(ties, tie_col, weight_col, rem)
+    return k_star, d_star
+
+
+# Export sharding: equal-token shard count.
+N_SHARDS = 8
+
+_SHARD_SCHEMA = pa.schema([("doc_id", pa.int64()), ("shard_id", pa.int64())])
+
+
+def _hkey_tokens_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, hkey, n_tokens): hkey = first 15 md5 hex chars of the
+    doc id as int64 — the deterministic pseudo-random total order
+    shared with DuckDB's md5()."""
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    hk = np.fromiter(
+        (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            for i in df["doc_id"]
+        ),
+        dtype=np.int64,
+        count=len(df),
+    )
+    toks = token_count_batch(df)["n_tokens"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({"doc_id": ids, "hkey": hk, "n_tokens": toks})
+
+
+def token_balanced_shards(sf_dir: str, n_shards: int = N_SHARDS) -> rd.Dataset:
+    """Weight-balanced range partitioner for export: assign every
+    document to one of ``n_shards`` shards so each shard holds ~equal
+    TOKEN mass (not doc count) — the planner behind "write the corpus
+    as S equal-sized training shards, resumable per shard".  Shard
+    boundaries are the ``target_i = (total·i)//S`` prefix cuts of the
+    (md5(doc_id), doc_id) pseudo-random total order, found by
+    ``ordered_cut`` (histogram refinement — never a global sort); the
+    assignment pass is a streaming comparison of each row against the
+    S−1 broadcast boundaries.  A document's shard is the number of
+    boundaries at or before its exclusive prefix position, identically
+    ``min(S−1, (S·(cum_excl+1)−1)//total)`` — the closed form the
+    DuckDB twin evaluates from ONE global window, so any off-by-one in
+    any boundary diverges on some row.
+
+    Scale: S−1 composite cuts (each ~3 histogram passes over the slim
+    24-byte-row projection) + one assignment pass; the boundaries are
+    S−1 scalars.  At 10^12 rows nothing but the slim projection is ever
+    scanned and nothing N-sized leaves the workers."""
+    slim = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_hkey_tokens_batch, batch_format="pandas")
+        .materialize()
+    )
+    total = int(slim.sum("n_tokens"))
+    bounds: list[tuple[int, int]] = []
+    for i in range(1, n_shards):
+        target = (total * i) // n_shards
+        if target < 1:
+            # degenerate tiny corpus: empty leading shards
+            bounds.append((np.iinfo(np.int64).min, np.iinfo(np.int64).min))
+            continue
+        bounds.append(ordered_cut(slim, "hkey", "doc_id", "n_tokens", target))
+
+    def assign(t: pa.Table) -> pa.Table:
+        hk = t["hkey"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        shard = np.zeros(len(hk), dtype=np.int64)
+        for k_b, d_b in bounds:
+            shard += (hk > k_b) | ((hk == k_b) & (ids > d_b))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(shard, pa.int64())],
+            schema=_SHARD_SCHEMA,
+        )
+
+    return slim.map_batches(assign, batch_format="pyarrow")
+
+
+SAMPLE_K = 200
+
+_EXACT_SAMPLE_SCHEMA = pa.schema([("doc_id", pa.int64())])
+
+
+def exact_count_sample(sf_dir: str, k: int = SAMPLE_K) -> rd.Dataset:
+    """EXACTLY ``k`` documents, deterministically pseudo-random: the
+    first ``k`` rows of the (md5(doc_id), doc_id) order — the
+    fixed-size-sample op a hash-threshold sample can't give (thresholds
+    hit an EXPECTED fraction, not an exact count).  One composite cut
+    (weight = 1 per doc) + a streaming filter; the DuckDB twin is a
+    ROW_NUMBER() window with LIMIT-like predicate."""
+    slim = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(
+            lambda df: _hkey_tokens_batch(df.assign(text=""))[["doc_id", "hkey"]]
+            .assign(one=np.int64(1)),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    n = slim.count()
+    if k >= n:
+        return slim.map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+        )
+    k_b, d_b = ordered_cut(slim, "hkey", "doc_id", "one", k)
+
+    def keep(t: pa.Table) -> pa.Table:
+        hk = t["hkey"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = (hk < k_b) | ((hk == k_b) & (ids <= d_b))
+        return pa.Table.from_arrays(
+            [pa.array(ids[m], pa.int64())], schema=_EXACT_SAMPLE_SCHEMA
+        )
+
+    return slim.map_batches(keep, batch_format="pyarrow")

@@ -270,3 +270,65 @@ class TestFollowOns:
         assert int(t["n_rows"][0]) == 500
         assert int(t["xor_digest"][0]) != 0
         assert int(t["total_chars"][0]) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShardsAndSample:
+    def test_token_balanced_shards_vs_flat(self, sf_dir):
+        """Assignment equals the flat closed form AND the shard token
+        masses are balanced (each within one max-doc of total/S)."""
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from png_from_pdf_extracter_ray.pipelines.selection import (
+            N_SHARDS,
+            token_balanced_shards,
+        )
+        from png_from_pdf_extracter_ray.stages.text_stats import token_count_batch
+
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        slim = token_count_batch(docs)[["doc_id", "n_tokens"]].copy()
+        slim["hkey"] = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            for i in slim["doc_id"]
+        ]
+        slim = slim.sort_values(["hkey", "doc_id"], ignore_index=True)
+        cum_excl = slim["n_tokens"].cumsum() - slim["n_tokens"]
+        tot = int(slim["n_tokens"].sum())
+        expect = np.minimum(
+            (N_SHARDS * (cum_excl + 1) - 1) // tot, N_SHARDS - 1
+        ).to_numpy()
+
+        got = token_balanced_shards(sf_dir).to_pandas()
+        m = dict(zip(got["doc_id"], got["shard_id"]))
+        assert [m[i] for i in slim["doc_id"]] == list(expect)
+        mass = slim.assign(s=expect).groupby("s")["n_tokens"].sum()
+        assert len(mass) == N_SHARDS
+        assert mass.max() - mass.min() <= tot // N_SHARDS + int(slim["n_tokens"].max())
+
+    def test_exact_count_sample_is_exact_prefix(self, sf_dir):
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from png_from_pdf_extracter_ray.pipelines.selection import (
+            SAMPLE_K,
+            exact_count_sample,
+        )
+
+        ids = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).to_pandas()["doc_id"]
+        order = sorted(
+            ids,
+            key=lambda i: (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16),
+                i,
+            ),
+        )
+        got = set(exact_count_sample(sf_dir).to_pandas()["doc_id"])
+        assert got == set(order[:SAMPLE_K])
+        assert len(got) == SAMPLE_K
