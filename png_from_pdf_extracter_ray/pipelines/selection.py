@@ -47,7 +47,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..stages.selection import weighted_key_cut
+from ..stages.selection import weighted_key_cut, weighted_multi_cut
 from ..stages.text_stats import token_count_batch
 
 # Target zlib ratio (micros) for "clean prose": empirically mid-band for
@@ -199,11 +199,9 @@ def token_weighted_length_percentiles(
         .materialize()
     )
     total = int(slim.sum("n_tokens"))
-    rows = []
-    for p in pcts:
-        target = max(1, (total * p) // 100)
-        k, _ = weighted_key_cut(slim, "n_chars", "n_tokens", target)
-        rows.append((int(p), int(k)))
+    targets = [max(1, (total * p) // 100) for p in pcts]
+    cuts = weighted_multi_cut(slim, "n_chars", "n_tokens", targets)
+    rows = [(int(p), int(k)) for p, (k, _) in zip(pcts, cuts)]
     return pa.Table.from_arrays(
         [
             pa.array([r[0] for r in rows], pa.int64()),
@@ -213,6 +211,34 @@ def token_weighted_length_percentiles(
     )
 
 
+def ordered_multi_cut(
+    slim: rd.Dataset,
+    key_col: str,
+    tie_col: str,
+    weight_col: str,
+    targets: list[int],
+) -> list[tuple[int, int]]:
+    """Boundaries of the smallest weighted prefixes reaching each
+    ``target`` under (key asc, tie asc) order: per target, the
+    (key, tie) of the FIRST row whose inclusive prefix sum >= target.
+    Two-level composite cut — ONE ``weighted_multi_cut`` over the key
+    (all targets share each refinement round's pass), then one tie cut
+    per target inside its key's tie group (the machinery shared by
+    token_budget_select and the shard planner)."""
+    key_cuts = weighted_multi_cut(slim, key_col, weight_col, targets)
+    out: list[tuple[int, int]] = []
+    for target, (k_star, below) in zip(targets, key_cuts):
+        rem = target - below  # > 0 by the cut's contract
+
+        def only_ties(t: pa.Table, k_star=k_star) -> pa.Table:  # noqa: B008
+            return t.filter(pa.compute.equal(t[key_col], k_star))
+
+        ties = slim.map_batches(only_ties, batch_format="pyarrow")
+        d_star, _ = weighted_key_cut(ties, tie_col, weight_col, rem)
+        out.append((k_star, d_star))
+    return out
+
+
 def ordered_cut(
     slim: rd.Dataset,
     key_col: str,
@@ -220,21 +246,7 @@ def ordered_cut(
     weight_col: str,
     target: int,
 ) -> tuple[int, int]:
-    """Boundary of the smallest weighted prefix reaching ``target``
-    under (key asc, tie asc) order: the (key, tie) of the FIRST row
-    whose inclusive prefix sum >= target.  Two-level composite cut —
-    one ``weighted_key_cut`` over the key, one more over the tie column
-    within the key's tie group (the machinery shared by
-    token_budget_select and the shard planner)."""
-    k_star, below = weighted_key_cut(slim, key_col, weight_col, target)
-    rem = target - below  # > 0 by the cut's contract
-
-    def only_ties(t: pa.Table) -> pa.Table:
-        return t.filter(pa.compute.equal(t[key_col], k_star))
-
-    ties = slim.map_batches(only_ties, batch_format="pyarrow")
-    d_star, _ = weighted_key_cut(ties, tie_col, weight_col, rem)
-    return k_star, d_star
+    return ordered_multi_cut(slim, key_col, tie_col, weight_col, [target])[0]
 
 
 # Export sharding: equal-token shard count.
@@ -285,14 +297,16 @@ def token_balanced_shards(sf_dir: str, n_shards: int = N_SHARDS) -> rd.Dataset:
         .materialize()
     )
     total = int(slim.sum("n_tokens"))
-    bounds: list[tuple[int, int]] = []
-    for i in range(1, n_shards):
-        target = (total * i) // n_shards
-        if target < 1:
-            # degenerate tiny corpus: empty leading shards
-            bounds.append((np.iinfo(np.int64).min, np.iinfo(np.int64).min))
-            continue
-        bounds.append(ordered_cut(slim, "hkey", "doc_id", "n_tokens", target))
+    raw_targets = [(total * i) // n_shards for i in range(1, n_shards)]
+    live = [t for t in raw_targets if t >= 1]
+    live_cuts = iter(ordered_multi_cut(slim, "hkey", "doc_id", "n_tokens", live))
+    # degenerate tiny-corpus targets (< 1 token) get sentinel boundaries
+    bounds = [
+        next(live_cuts)
+        if t >= 1
+        else (np.iinfo(np.int64).min, np.iinfo(np.int64).min)
+        for t in raw_targets
+    ]
 
     def assign(t: pa.Table) -> pa.Table:
         hk = t["hkey"].to_numpy(zero_copy_only=False)

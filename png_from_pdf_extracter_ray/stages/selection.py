@@ -42,7 +42,7 @@ import ray.data as rd
 from ray.data.aggregate import AggregateFn
 from ray.data.block import BlockAccessor
 
-__all__ = ["weighted_key_cut", "key_range"]
+__all__ = ["weighted_key_cut", "weighted_multi_cut", "key_range"]
 
 
 def key_range(ds: rd.Dataset, key_col: str) -> tuple[int, int]:
@@ -78,13 +78,31 @@ def _bin_bounds(lo: int, hi: int, nb: int, b: int) -> tuple[int, int]:
     return b_lo, b_hi
 
 
-def _hist_pass(
-    ds: rd.Dataset, key_col: str, weight_col: str, lo: int, hi: int, nb: int
+def _safe_nb(lo: int, hi: int, num_bins: int) -> int:
+    """Bin count for [lo, hi]: capped at the range width, halved until
+    (k-lo)*nb cannot overflow int64."""
+    nb = min(num_bins, hi - lo + 1)
+    while nb > 2 and (hi - lo + 1) > (2**62) // nb:
+        nb //= 2
+    return nb
+
+
+def _multi_hist_pass(
+    ds: rd.Dataset,
+    key_col: str,
+    weight_col: str,
+    los: np.ndarray,
+    his: np.ndarray,
+    nbs: np.ndarray,
+    offsets: np.ndarray,
 ) -> np.ndarray:
-    """Per-bin int64 weight sums for keys in [lo, hi] — one streaming
-    pass, tree-folded fixed-size vectors, rows outside the range are
-    ignored (they were accounted in earlier rounds)."""
-    width = hi - lo + 1
+    """One streaming pass computing the per-bin weight sums of SEVERAL
+    disjoint key ranges at once (the ranges are nodes of the same
+    refinement partition tree, so any two are identical-or-disjoint and
+    the deduped set is disjoint and sorted).  Returns the concatenated
+    histogram vector (``offsets`` lays each range's ``nbs`` bins out)."""
+    total = int(offsets[-1])
+    widths = his - los + 1
 
     def acc_block(acc: np.ndarray, block) -> np.ndarray:  # noqa: ANN001
         t = BlockAccessor.for_block(block).to_arrow()
@@ -92,26 +110,79 @@ def _hist_pass(
             return acc
         k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        m = (k >= lo) & (k <= hi)
-        if not m.any():
+        ri = np.searchsorted(los, k, side="right") - 1
+        valid = ri >= 0
+        riv = np.where(valid, ri, 0)
+        valid &= k <= his[riv]
+        if not valid.any():
             return acc
-        # (k-lo)*nb can overflow int64 only if width*nb > 2^63; guard by
-        # computing in object-free float-safe int64 after range-shift
-        # (width <= 2^62 is enforced by the caller's first round split).
-        bins = (k[m] - lo) * nb // width
+        ri, k, w = riv[valid], k[valid], w[valid]
+        bins = offsets[ri] + (k - los[ri]) * nbs[ri] // widths[ri]
         out = acc.copy()
-        np.add.at(out, bins, w[m])
+        np.add.at(out, bins, w)
         return out
 
     row = ds.aggregate(
         AggregateFn(
-            init=lambda _: np.zeros(nb, dtype=np.int64),
+            init=lambda _: np.zeros(total, dtype=np.int64),
             accumulate_block=acc_block,
             merge=lambda a, b: a + b,
             name="whist",
         )
     )
     return np.asarray(row["whist"], dtype=np.int64)
+
+
+def weighted_multi_cut(
+    ds: rd.Dataset,
+    key_col: str,
+    weight_col: str,
+    targets: list[int],
+    num_bins: int = 4096,
+) -> list[tuple[int, int]]:
+    """``weighted_key_cut`` for SEVERAL targets with shared passes: each
+    refinement round runs ONE streaming aggregate that histograms every
+    still-active target's candidate range (the shard planner's S−1
+    boundary cuts cost one pass per ROUND, not per boundary).  Returns
+    ``[(k_star, below), ...]`` aligned with ``targets``."""
+    for t in targets:
+        if t < 1:
+            raise ValueError(f"targets must be >= 1, got {t}")
+    if not targets:
+        return []
+    lo0, hi0 = key_range(ds, key_col)
+    # state per target: (lo, hi, below, target, output index)
+    active = [(lo0, hi0, 0, t, i) for i, t in enumerate(targets)]
+    results: list[tuple[int, int] | None] = [None] * len(targets)
+    while active:
+        ranges = sorted({(lo, hi) for lo, hi, _, _, _ in active})
+        nbs = np.asarray(
+            [_safe_nb(lo, hi, num_bins) for lo, hi in ranges], dtype=np.int64
+        )
+        los = np.asarray([r[0] for r in ranges], dtype=np.int64)
+        his = np.asarray([r[1] for r in ranges], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(nbs)]).astype(np.int64)
+        hist = _multi_hist_pass(ds, key_col, weight_col, los, his, nbs, offsets)
+        range_idx = {r: j for j, r in enumerate(ranges)}
+        nxt = []
+        for lo, hi, below, target, i in active:
+            j = range_idx[(lo, hi)]
+            nb = int(nbs[j])
+            h = hist[int(offsets[j]) : int(offsets[j]) + nb]
+            cum = below + np.cumsum(h)
+            idx = int(np.searchsorted(cum, target, side="left"))
+            if idx >= nb:
+                raise ValueError(
+                    f"target {target} exceeds total weight {int(cum[-1])}"
+                )
+            b_lo, b_hi = _bin_bounds(lo, hi, nb, idx)
+            nbelow = int(cum[idx - 1]) if idx > 0 else below
+            if b_lo == b_hi:
+                results[i] = (b_lo, nbelow)
+            else:
+                nxt.append((b_lo, b_hi, nbelow, target, i))
+        active = nxt
+    return results  # type: ignore[return-value]
 
 
 def weighted_key_cut(
@@ -128,25 +199,4 @@ def weighted_key_cut(
     non-negative; rows with zero weight never become the cut key).
     Returns ``(k_star, below)`` with ``below < target`` guaranteed.
     """
-    if target < 1:
-        raise ValueError(f"target must be >= 1, got {target}")
-    lo, hi = key_range(ds, key_col)
-    below = 0  # total weight with key < lo
-    while True:
-        # int64-overflow guard for (k-lo)*nb: halve nb until safe
-        nb = min(num_bins, hi - lo + 1)
-        while nb > 2 and (hi - lo + 1) > (2**62) // nb:
-            nb //= 2
-        hist = _hist_pass(ds, key_col, weight_col, lo, hi, nb)
-        cum = below + np.cumsum(hist)
-        idx = int(np.searchsorted(cum, target, side="left"))
-        if idx >= nb:
-            raise ValueError(
-                f"target {target} exceeds total weight {int(cum[-1]) if nb else below}"
-            )
-        b_lo, b_hi = _bin_bounds(lo, hi, nb, idx)
-        if idx > 0:
-            below = int(cum[idx - 1])
-        if b_lo == b_hi:
-            return b_lo, below
-        lo, hi = b_lo, b_hi
+    return weighted_multi_cut(ds, key_col, weight_col, [target], num_bins)[0]

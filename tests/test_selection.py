@@ -332,3 +332,32 @@ class TestShardsAndSample:
         got = set(exact_count_sample(sf_dir).to_pandas()["doc_id"])
         assert got == set(order[:SAMPLE_K])
         assert len(got) == SAMPLE_K
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultiCut:
+    def test_multi_matches_singles(self):
+        from png_from_pdf_extracter_ray.stages.selection import (
+            weighted_key_cut,
+            weighted_multi_cut,
+        )
+
+        rng = np.random.RandomState(19)
+        keys = rng.randint(0, 2**45, size=400).astype(np.int64)
+        weights = rng.randint(1, 20, size=400).astype(np.int64)
+        df = pd.DataFrame({"k": keys, "w": weights})
+        ds = rd.from_pandas(df).repartition(7)
+        tot = int(weights.sum())
+        targets = [1, tot // 7, tot // 3, tot // 2, (3 * tot) // 4, tot]
+        multi = weighted_multi_cut(ds, "k", "w", targets)
+        singles = [weighted_key_cut(ds, "k", "w", t) for t in targets]
+        assert multi == singles
+
+    def test_duplicate_and_unsorted_targets(self):
+        from png_from_pdf_extracter_ray.stages.selection import weighted_multi_cut
+
+        df = pd.DataFrame({"k": [5, 1, 9, 1], "w": [2, 3, 4, 1]})
+        ds = rd.from_pandas(df).repartition(2)
+        # order preserved, duplicates independent
+        out = weighted_multi_cut(ds, "k", "w", [6, 4, 6, 10])
+        assert out == [(5, 4), (1, 0), (5, 4), (9, 6)]
