@@ -532,11 +532,15 @@ def _host_pairs(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
         .drop_columns(["warc_ts"])
         .map_batches(doc_hosts, batch_format="pyarrow")
     )
+    # both sides are lazy lineages that cross the url-dedup shuffle —
+    # pass the statically-known schemas so the join does not execute a
+    # full upstream pass per side just to infer them (joins.py note)
     joined = bucketed_hash_join(
         links.map_batches(src_rows, batch_format="pyarrow"),
         doc_host_ds,
         on="dst_doc",
         how="inner",
+        schemas=(_SRC_SCHEMA, _DOC_HOST_SCHEMA),
     )
 
     def finish(t: pa.Table) -> pa.Table:

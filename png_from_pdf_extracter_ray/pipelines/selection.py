@@ -2,7 +2,17 @@
 LLM-pipeline operators; the reference converts one attachment at a time,
 src/services/pdf_converter.py — it has no corpus-level selection).
 
-Two operators:
+All the weighted/ordered operators here ride ONE primitive —
+``stages/selection.weighted_multi_cut`` (iterative histogram refinement;
+every refinement round is a single streaming aggregate even with many
+simultaneous targets) — composed as: ``token_budget_select`` (one
+composite cut), ``token_weighted_length_percentiles`` (a grid of key
+cuts), ``token_balanced_shards`` (S−1 composite boundary cuts + a
+streaming assignment pass), ``exact_count_sample`` (a weight-1 cut).
+``balanced_sample`` is the odd one out (aggregate → broadcast
+thresholds → filter).
+
+The headline operators:
 
 - ``token_budget_select`` — "spend a token budget on the best
   documents": rank every document by an integer quality key (distance

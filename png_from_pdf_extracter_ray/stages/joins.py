@@ -48,6 +48,7 @@ def bucketed_hash_join(
     on: str,
     num_buckets: int = 32,
     how: str = "inner",
+    schemas: tuple[pa.Schema, pa.Schema] | None = None,
 ) -> rd.Dataset:
     """Explicit partitioned hash join — one bucket shuffle, merge per bucket.
 
@@ -57,10 +58,20 @@ def bucketed_hash_join(
     is total), "anti" (left rows with NO match — the NOT-IN /
     NOT-EXISTS shape), or "semi" (left rows WITH at least one match,
     each at most once regardless of match multiplicity — the EXISTS /
-    IN-subquery shape; output carries only the left columns)."""
+    IN-subquery shape; output carries only the left columns).
+
+    ``schemas``: optional explicit (left, right) Arrow schemas.  Without
+    them the join asks each side for ``Dataset.schema()``, and on a LAZY
+    input whose lineage crosses a shuffle that inference executes the
+    whole upstream just to peek one block (the streaming executor cannot
+    produce a first row through an all-to-all without running it) —
+    callers whose side schemas are statically known should pass them."""
     if how not in ("inner", "left", "outer", "anti", "semi"):
         raise ValueError(f"unsupported how={how!r}")
-    ls, rs = left.schema(), right.schema()
+    if schemas is not None:
+        ls, rs = schemas
+    else:
+        ls, rs = left.schema(), right.schema()
     lcols, rcols = list(ls.names), list(rs.names)
     types = {
         n: _arrow_type(t)

@@ -1047,8 +1047,15 @@ def triangle_counts(
         )
 
     closing = oriented.map_batches(edge_keys, batch_format="pyarrow")
+    # wedges' lineage crosses two shuffles — hand the join its schemas
+    # so it does not execute the wedge pipeline once extra to infer them
     triangles = bucketed_hash_join(
-        wedges, closing, on="pair_key", num_buckets=num_buckets, how="semi"
+        wedges,
+        closing,
+        on="pair_key",
+        num_buckets=num_buckets,
+        how="semi",
+        schemas=(_WEDGE_SCHEMA, pa.schema([("pair_key", pa.string())])),
     )
 
     def count_partial(t: pa.Table) -> pa.Table:
