@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_weighted_length_percentiles": selp.token_weighted_length_percentiles,
         "token_balanced_shards": selp.token_balanced_shards,
         "exact_count_sample": selp.exact_count_sample,
+        "calibrated_quality_filter": selp.calibrated_quality_filter,
         # --- graph-analytics long tail (triangle machinery + degree) ---
         "host_clustering_coeff": lg.host_clustering_coeff,
         # --- interchange-format long tail (distributed JSONL sink →
@@ -523,6 +524,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from png_from_pdf_extracter_ray.pipelines.selection import (
         SAMPLE_K as _SAMPLE_K,
+    )
+    from png_from_pdf_extracter_ray.pipelines.selection import (
+        KEEP_PCT as _KEEP_PCT,
     )
 
     _mix_case = "CASE lang " + " ".join(
@@ -1041,6 +1045,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(COALESCE(text, ''))) AS BIGINT)
                        AS total_chars
             FROM documents
+        """,
+        # Exact-rate threshold calibration: keep the best keep_pct% of
+        # docs by |ridge residual| micros; the engine calibrates the
+        # threshold with one composite cut, DuckDB ranks the flat ridge
+        # oracle with a window.
+        "calibrated_quality_filter": f"""
+            WITH r AS (
+                SELECT doc_id,
+                       CAST(abs(round(resid * 1000000, 0)) AS BIGINT) AS amicros
+                FROM read_parquet('{_ridge_oracle}')
+            ), w AS (
+                SELECT doc_id, amicros,
+                       ROW_NUMBER() OVER (ORDER BY amicros, doc_id) AS rn,
+                       (SELECT COUNT(*) FROM r) AS n
+                FROM r
+            )
+            SELECT doc_id, amicros FROM w
+            WHERE rn <= GREATEST((n * {_KEEP_PCT}) // 100, 1)
         """,
         # Weight-balanced shard planner: the engine finds S-1 boundary
         # cuts (histogram refinement) and assigns by boundary

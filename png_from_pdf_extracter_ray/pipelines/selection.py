@@ -369,3 +369,60 @@ def exact_count_sample(sf_dir: str, k: int = SAMPLE_K) -> rd.Dataset:
         )
 
     return slim.map_batches(keep, batch_format="pyarrow")
+
+
+KEEP_PCT = 60
+
+_CAL_SCHEMA = pa.schema([("doc_id", pa.int64()), ("amicros", pa.int64())])
+
+
+def calibrated_quality_filter(sf_dir: str, keep_pct: int = KEEP_PCT) -> rd.Dataset:
+    """Model-scored filtering with EXACT-rate threshold calibration:
+    score every document with the distributed ridge length model
+    (``mlops.ridge_quality_model``), rank by |residual| (how far the
+    document deviates from the corpus's length↔features relationship —
+    the outlier-ness proxy), and keep exactly the best ``keep_pct``%
+    of documents by finding the score threshold with ONE composite cut
+    — the "calibrate the classifier threshold to a target keep rate"
+    step of a production filter, done without a global sort.
+
+    Residuals are per-row fixed-order float64 dots rounded to 6 dp
+    (batch-invariant, stages/ml.py), so ``amicros =
+    |rint(resid·10^6)|`` is an exact int64 key both architectures
+    derive identically; the DuckDB twin ranks the flat ridge-oracle
+    parquet with ROW_NUMBER."""
+    from .mlops import ridge_quality_model
+
+    def to_key(t: pa.Table) -> pa.Table:
+        resid = t["resid"].to_numpy(zero_copy_only=False)
+        am = np.abs(np.rint(resid * 1_000_000)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"].cast(pa.int64()),
+                pa.array(am, pa.int64()),
+                pa.array(np.ones(len(am), np.int64), pa.int64()),
+            ],
+            names=["doc_id", "amicros", "one"],
+        )
+
+    slim = (
+        ridge_quality_model(sf_dir)
+        .map_batches(to_key, batch_format="pyarrow")
+        .materialize()
+    )
+    n = slim.count()
+    if n == 0:
+        return rd.from_arrow(_CAL_SCHEMA.empty_table())
+    target = max(1, (n * keep_pct) // 100)
+    k_b, d_b = ordered_cut(slim, "amicros", "doc_id", "one", target)
+
+    def keep(t: pa.Table) -> pa.Table:
+        am = t["amicros"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = (am < k_b) | ((am == k_b) & (ids <= d_b))
+        return pa.Table.from_arrays(
+            [pa.array(ids[m], pa.int64()), pa.array(am[m], pa.int64())],
+            schema=_CAL_SCHEMA,
+        )
+
+    return slim.map_batches(keep, batch_format="pyarrow")

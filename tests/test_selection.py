@@ -361,3 +361,31 @@ class TestMultiCut:
         # order preserved, duplicates independent
         out = weighted_multi_cut(ds, "k", "w", [6, 4, 6, 10])
         assert out == [(5, 4), (1, 0), (5, 4), (9, 6)]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCalibratedFilter:
+    def test_exact_keep_rate_and_membership(self, sf_dir):
+        from png_from_pdf_extracter_ray.pipelines.selection import (
+            KEEP_PCT,
+            calibrated_quality_filter,
+        )
+        from png_from_pdf_extracter_ray.stages.ml import ridge_flat
+
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+        ).to_pandas()
+        _, flat = ridge_flat(docs)
+        flat["amicros"] = (
+            np.abs(np.rint(flat["resid"].to_numpy() * 1_000_000)).astype(np.int64)
+        )
+        flat = flat.sort_values(["amicros", "doc_id"], ignore_index=True)
+        n = len(flat)
+        k = max(1, (n * KEEP_PCT) // 100)
+        expected = set(flat["doc_id"].iloc[:k])
+
+        got = calibrated_quality_filter(sf_dir).to_pandas()
+        assert len(got) == k  # EXACT keep count — the calibration claim
+        assert set(got["doc_id"]) == expected
