@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_balanced_shards": selp.token_balanced_shards,
         "exact_count_sample": selp.exact_count_sample,
         "calibrated_quality_filter": selp.calibrated_quality_filter,
+        "curation_funnel": selp.curation_funnel,
         # --- graph-analytics long tail (triangle machinery + degree) ---
         "host_clustering_coeff": lg.host_clustering_coeff,
         # --- interchange-format long tail (distributed JSONL sink →
@@ -1046,6 +1047,83 @@ def oracle_sql() -> dict[str, str]:
                        AS total_chars
             FROM documents
         """,
+        # The whole curation pipeline as one funnel: filter chain →
+        # per-lang rebalance (thresholds over SURVIVOR counts) → token
+        # budget — DuckDB chains the gopher/langid CTEs, the flat zlib
+        # parquet, the integer thresholds, and one global window.
+        "curation_funnel": f"""
+            WITH g AS ({{_GOPHER_FULL}}),
+                 l AS ({{_LANGID_FULL}}),
+                 zz AS (
+                SELECT doc_id, compression_ratio, n_bytes, n_compressed
+                FROM read_parquet('{_zratio_oracle}')
+            ), chain AS (
+                SELECT g.doc_id,
+                       CAST(CASE WHEN g.keep = 1
+                                  AND zz.compression_ratio >= {_ZR_MIN}
+                                  AND zz.compression_ratio <= {_ZR_MAX}
+                                  AND l.lang_pred <> 'und'
+                             THEN 1 ELSE 0 END AS BIGINT) AS keep
+                FROM g
+                JOIN l ON g.doc_id = l.doc_id
+                JOIN zz ON g.doc_id = zz.doc_id
+            ), zd AS (
+                SELECT doc_id,
+                       ABS(CASE WHEN n_bytes = 0 THEN 1000000
+                                ELSE (n_compressed * 1000000) // n_bytes END
+                           - {_ZTARGET}) AS zdist
+                FROM zz
+            ), tok AS (
+                SELECT doc_id, lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ), q AS (
+                SELECT t.doc_id, t.lang, t.n_tokens, zd.zdist
+                FROM tok t
+                JOIN chain c ON t.doc_id = c.doc_id
+                JOIN zd ON t.doc_id = zd.doc_id
+                WHERE c.keep = 1
+            ), cnt AS (
+                SELECT lang, COUNT(*) AS n FROM q GROUP BY lang
+            ), m AS (SELECT MIN(n) AS mn FROM cnt),
+            th AS (
+                SELECT lang, ({_HASH_SPACE} * mn) // n AS thresh FROM cnt, m
+            ), reb AS (
+                SELECT q.* FROM q JOIN th ON q.lang = th.lang
+                WHERE CAST(('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 6))
+                           AS BIGINT) < th.thresh
+            ), w AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (
+                           ORDER BY zdist, doc_id ROWS UNBOUNDED PRECEDING
+                       ) AS cum,
+                       (SELECT (SUM(n_tokens) * {_BUDGET_PCT}) // 100 FROM reb)
+                           AS budget
+                FROM reb
+            ), bud AS (
+                SELECT doc_id, n_tokens FROM w
+                WHERE cum - n_tokens < budget AND budget >= 1
+            )
+            SELECT 'all' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens
+            FROM tok
+            UNION ALL
+            SELECT 'quality', CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+            FROM q
+            UNION ALL
+            SELECT 'rebalanced', CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+            FROM reb
+            UNION ALL
+            SELECT 'budget', CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+            FROM bud
+        """.replace("{_GOPHER_FULL}", _GOPHER_SQL).replace(
+            "{_LANGID_FULL}", _langid_sql()
+        ),
         # Exact-rate threshold calibration: keep the best keep_pct% of
         # docs by |ridge residual| micros; the engine calibrates the
         # threshold with one composite cut, DuckDB ranks the flat ridge

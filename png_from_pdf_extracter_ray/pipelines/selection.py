@@ -426,3 +426,130 @@ def calibrated_quality_filter(sf_dir: str, keep_pct: int = KEEP_PCT) -> rd.Datas
         )
 
     return slim.map_batches(keep, batch_format="pyarrow")
+
+
+_FUNNEL_SCHEMA = pa.schema(
+    [("stage", pa.string()), ("n_docs", pa.int64()), ("n_tokens", pa.int64())]
+)
+
+
+def curation_funnel(sf_dir: str) -> pa.Table:
+    """The whole curation pipeline as ONE query, reported as a funnel —
+    how many documents and tokens survive each production stage:
+
+    1. ``all``        — the raw corpus;
+    2. ``quality``    — the Gopher ∧ zlib-window ∧ langid filter chain
+       (identical predicate to ``quality_filter_chain``);
+    3. ``rebalanced`` — the exact-integer per-lang rebalance
+       (``balanced_sample`` thresholds, computed over the SURVIVORS'
+       lang counts — the order matters and the oracle agrees);
+    4. ``budget``     — the token-budget cut (``TOKEN_BUDGET_PCT``% of
+       the rebalanced stage's tokens, (zdist, doc_id) order).
+
+    Ray shape: ONE streaming pass computes every per-doc signal (the
+    zlib pass serves both the filter window and the budget key), the
+    slim result is materialized once, and each stage is a lazy filter
+    + two scalar aggregates over it; the budget stage adds one
+    composite histogram-refinement cut.  The DuckDB twin chains the
+    existing gopher/langid CTEs, the flat zlib parquet, the integer
+    thresholds, and a global window — four UNION ALL rows."""
+    from ..stages.text_stats import (
+        LangId,
+        compression_ratio_batch,
+        gopher_stats_batch,
+    )
+    from .data_quality import ZRATIO_MAX, ZRATIO_MIN
+
+    langid = LangId()
+
+    def funnel_batch(df: pd.DataFrame) -> pa.Table:
+        g = gopher_stats_batch(df)
+        z = compression_ratio_batch(df)
+        preds = [langid.classify(t) for t in df["text"].fillna("")]
+        keep = (
+            (g["keep"].to_numpy(dtype=np.int64) == 1)
+            & (z["compression_ratio"].to_numpy() >= ZRATIO_MIN)
+            & (z["compression_ratio"].to_numpy() <= ZRATIO_MAX)
+            & (np.asarray(preds, dtype=object) != "und")
+        ).astype(np.int64)
+        nb = z["n_bytes"].to_numpy(dtype=np.int64)
+        nc = z["n_compressed"].to_numpy(dtype=np.int64)
+        micros = np.where(nb > 0, (nc * 1_000_000) // np.maximum(nb, 1), 1_000_000)
+        toks = token_count_batch(df)["n_tokens"].to_numpy(dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+                "lang": pa.array(df["lang"].astype(str), pa.string()),
+                "keep": pa.array(keep, pa.int64()),
+                "zdist": pa.array(
+                    np.abs(micros - ZTARGET_MICROS).astype(np.int64), pa.int64()
+                ),
+                "n_tokens": pa.array(toks, pa.int64()),
+            }
+        )
+
+    slim = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(funnel_batch, batch_format="pandas")
+        .materialize()
+    )
+
+    def stage_counts(ds: rd.Dataset) -> tuple[int, int]:
+        n = ds.count()
+        return n, (int(ds.sum("n_tokens")) if n else 0)
+
+    rows = [("all", *stage_counts(slim))]
+
+    q = slim.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["keep"], 1)),
+        batch_format="pyarrow",
+    ).materialize()
+    rows.append(("quality", *stage_counts(q)))
+
+    if rows[-1][1] == 0:
+        rows += [("rebalanced", 0, 0), ("budget", 0, 0)]
+    else:
+        counts = q.groupby("lang").count().to_pandas()
+        n_by = dict(zip(counts["lang"], counts["count()"].astype(int)))
+        mn = min(n_by.values())
+        thresh = {g_: (HASH_SPACE * mn) // n for g_, n in n_by.items()}
+
+        def rebal(df: pd.DataFrame) -> pd.DataFrame:
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+                    for i in df["doc_id"]
+                ),
+                dtype=np.int64,
+                count=len(df),
+            )
+            t = df["lang"].map(thresh).to_numpy(dtype=np.int64)
+            return df.loc[h < t]
+
+        reb = q.map_batches(rebal, batch_format="pandas").materialize()
+        n3, tok3 = stage_counts(reb)
+        rows.append(("rebalanced", n3, tok3))
+
+        budget = (tok3 * TOKEN_BUDGET_PCT) // 100
+        if budget < 1:
+            rows.append(("budget", 0, 0))
+        else:
+            k_b, d_b = ordered_cut(reb, "zdist", "doc_id", "n_tokens", budget)
+
+            def kept(t: pa.Table) -> pa.Table:
+                z = t["zdist"].to_numpy(zero_copy_only=False)
+                d = t["doc_id"].to_numpy(zero_copy_only=False)
+                return t.filter(pa.array((z < k_b) | ((z == k_b) & (d <= d_b))))
+
+            rows.append(
+                ("budget", *stage_counts(reb.map_batches(kept, batch_format="pyarrow")))
+            )
+
+    return pa.Table.from_pydict(
+        {
+            "stage": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+        },
+        schema=_FUNNEL_SCHEMA,
+    )
