@@ -178,7 +178,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal page operations ---
         "pages_page_meta": textops.pages_page_meta,
         "pages_jpeg_roundtrip": textops.pages_jpeg_roundtrip,
-        "pages_image_features_summary": textops.pages_image_features_summary,
+        # --- end-to-end composition rep (filter chain -> rebalance ->
+        # token budget as one funnel; pages_image_features_summary moved
+        # to the multimodal long tail — two raster reps stay above) ---
+        "curation_funnel": selp.curation_funnel,
         # --- TPC-H query shapes (SQL-checked) ---
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -236,7 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_balanced_shards": selp.token_balanced_shards,
         "exact_count_sample": selp.exact_count_sample,
         "calibrated_quality_filter": selp.calibrated_quality_filter,
-        "curation_funnel": selp.curation_funnel,
+        # --- multimodal long tail (features rep demoted for the funnel) ---
+        "pages_image_features_summary": textops.pages_image_features_summary,
         # --- graph-analytics long tail (triangle machinery + degree) ---
         "host_clustering_coeff": lg.host_clustering_coeff,
         # --- interchange-format long tail (distributed JSONL sink →

@@ -247,6 +247,7 @@ def bench_queries() -> dict[str, float]:
         "pages_snapshot_drift",
         "token_budget_select",
         "host_triangle_counts",
+        "curation_funnel",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
