@@ -389,3 +389,40 @@ class TestCalibratedFilter:
         got = calibrated_quality_filter(sf_dir).to_pandas()
         assert len(got) == k  # EXACT keep count — the calibration claim
         assert set(got["doc_id"]) == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCutProperties:
+    """Hypothesis properties for the cut primitive.  Few examples —
+    each drives a real Ray aggregate — but fully adversarial inputs
+    (arbitrary int64 keys incl. extremes, zero weights, duplicates)."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-(2**62), max_value=2**62),
+                st.integers(min_value=0, max_value=100),
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        st.data(),
+    )
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_cut_matches_flat(self, rows, data):
+        keys = np.array([k for k, _ in rows], dtype=np.int64)
+        weights = np.array([w for _, w in rows], dtype=np.int64)
+        total = int(weights.sum())
+        if total < 1:
+            return
+        target = data.draw(self.st.integers(min_value=1, max_value=total))
+        ds = rd.from_pandas(pd.DataFrame({"k": keys, "w": weights})).repartition(3)
+        got = weighted_key_cut(ds, "k", "w", target)
+        assert got == _flat_cut(keys, weights, target)
