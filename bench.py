@@ -261,8 +261,34 @@ def bench_queries() -> dict[str, float]:
         res = qs[name](SF_DIR)
         if isinstance(res, ray.data.Dataset):
             res.count()  # consume
-        out[name] = round(time.perf_counter() - t0, 3)
+        out[name] = round(time.perf_counter() - t0, 2)
     return out
+
+
+def _emit(result: dict) -> None:
+    """Print the result as ONE compact JSON line (the driver's
+    tail-capture has a byte budget — r4's default-separator line with 49
+    query timings was truncated mid-line and recorded ``parsed: null``),
+    and mirror the full result to BENCH_LOCAL.json so the numbers
+    survive any future truncation regardless."""
+    try:
+        with open(os.path.join(_REPO, "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(result, fh, indent=2)
+    except OSError:
+        pass
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1900 and isinstance(result.get("queries"), dict):
+        # hard guard: never exceed the tail budget — shed the cheapest
+        # query timings first (they are preserved in BENCH_LOCAL.json)
+        q = dict(
+            sorted(result["queries"].items(), key=lambda kv: -kv[1])
+        )
+        while q and len(json.dumps({**result, "queries": q}, separators=(",", ":"))) > 1900:
+            q.popitem()
+        result = {**result, "queries": q, "queries_truncated": True}
+        line = json.dumps(result, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 def _reclaim(settle: float = 2.0) -> None:
@@ -288,7 +314,7 @@ def run_once(shuffle_bench: bool = True, flagship_only: bool = False) -> dict:
         shuffle = skew = None
     queries = {} if flagship_only else bench_queries()
     result = {
-        "metric": "flagship extract pipeline wall time (sf pages table, dedup+render+sink)",
+        "metric": "flagship extract wall sec (dedup+render+sink)",
         "value": extract["sec"],
         "unit": "sec",
         "queries": queries,
@@ -297,10 +323,19 @@ def run_once(shuffle_bench: bool = True, flagship_only: bool = False) -> dict:
         "expand": EXPAND,
         **{k: v for k, v in extract.items() if k != "sec"},
     }
+    # sub-dicts slimmed on the wire (full copies land in BENCH_LOCAL.json
+    # via _emit; the printed line must stay inside the driver's 2000-byte
+    # tail budget)
     if shuffle is not None:
-        result["shuffle_dedup"] = shuffle
+        result["shuffle_dedup"] = {
+            "sec": shuffle["sec"],
+            "docs_per_sec": shuffle["docs_per_sec"],
+        }
     if skew is not None:
-        result["skew_routed"] = skew
+        result["skew_routed"] = {
+            "sec": skew["sec"],
+            "docs_per_sec": skew["docs_per_sec"],
+        }
     import ray
 
     ray.shutdown()
@@ -392,7 +427,7 @@ def run_scaling() -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        _emit(run_scaling())
     elif "--prepare" in sys.argv:
         _init_ray()
         path, n = _ensure_pages()
@@ -401,11 +436,9 @@ if __name__ == "__main__":
         ray.shutdown()
         print(json.dumps({"prepared": path, "rows": n}))
     else:
-        print(
-            json.dumps(
-                run_once(
-                    shuffle_bench="--no-shuffle-bench" not in sys.argv,
-                    flagship_only="--flagship-only" in sys.argv,
-                )
+        _emit(
+            run_once(
+                shuffle_bench="--no-shuffle-bench" not in sys.argv,
+                flagship_only="--flagship-only" in sys.argv,
             )
         )

@@ -69,22 +69,22 @@ def _minmax_block(acc, block, key_col):  # noqa: ANN001, ANN202
     return (min(acc[0], int(k.min())), max(acc[1], int(k.max())))
 
 
-def _bin_bounds(lo: int, hi: int, nb: int, b: int) -> tuple[int, int]:
-    """Inclusive key range covered by bin ``b`` of ``nb`` equal integer
-    sub-ranges over ``[lo, hi]`` (bin of key k = (k-lo)*nb // width)."""
-    width = hi - lo + 1
-    b_lo = lo + (b * width + nb - 1) // nb
-    b_hi = lo + ((b + 1) * width + nb - 1) // nb - 1
-    return b_lo, b_hi
+def _bin_layout(lo: int, hi: int, num_bins: int) -> tuple[int, int]:
+    """``(nb, step)`` for range ``[lo, hi]``: bin of key k = (k-lo)//step,
+    with ``step = ceil(width/num_bins)`` computed in Python ints (width
+    may exceed int64 — the full int64 span is 2^64 keys) and ``nb =
+    ceil(width/step)`` the number of occupied bins.  Division-first:
+    the per-row bin assignment never multiplies a key distance."""
+    width = hi - lo + 1  # Python int — exact even at 2**64
+    step = -(-width // max(1, min(num_bins, width)))
+    nb = -(-width // step)
+    return nb, step
 
 
-def _safe_nb(lo: int, hi: int, num_bins: int) -> int:
-    """Bin count for [lo, hi]: capped at the range width, halved until
-    (k-lo)*nb cannot overflow int64."""
-    nb = min(num_bins, hi - lo + 1)
-    while nb > 2 and (hi - lo + 1) > (2**62) // nb:
-        nb //= 2
-    return nb
+def _bin_bounds(lo: int, hi: int, step: int, b: int) -> tuple[int, int]:
+    """Inclusive key range covered by bin ``b`` (keys with
+    (k-lo)//step == b), in exact Python-int arithmetic."""
+    return lo + b * step, min(hi, lo + (b + 1) * step - 1)
 
 
 def _multi_hist_pass(
@@ -93,16 +93,22 @@ def _multi_hist_pass(
     weight_col: str,
     los: np.ndarray,
     his: np.ndarray,
-    nbs: np.ndarray,
+    steps: np.ndarray,
     offsets: np.ndarray,
 ) -> np.ndarray:
     """One streaming pass computing the per-bin weight sums of SEVERAL
     disjoint key ranges at once (the ranges are nodes of the same
     refinement partition tree, so any two are identical-or-disjoint and
     the deduped set is disjoint and sorted).  Returns the concatenated
-    histogram vector (``offsets`` lays each range's ``nbs`` bins out)."""
+    histogram vector (``offsets`` lays each range's bins out).
+
+    Overflow safety: key distances ``k - lo`` can span the full int64
+    range (up to 2^64 - 1), so they are computed in uint64 — int64→
+    uint64 reinterpretation wraps mod 2^64, and because ``lo <= k`` the
+    wrapped difference IS the true unsigned distance.  ``steps`` is a
+    uint64 vector; the divide-first bin index is < 4096 and fits int64."""
     total = int(offsets[-1])
-    widths = his - los + 1
+    los_u = los.astype(np.uint64)
 
     def acc_block(acc: np.ndarray, block) -> np.ndarray:  # noqa: ANN001
         t = BlockAccessor.for_block(block).to_arrow()
@@ -117,7 +123,8 @@ def _multi_hist_pass(
         if not valid.any():
             return acc
         ri, k, w = riv[valid], k[valid], w[valid]
-        bins = offsets[ri] + (k - los[ri]) * nbs[ri] // widths[ri]
+        delta = k.astype(np.uint64) - los_u[ri]  # exact unsigned distance
+        bins = offsets[ri] + (delta // steps[ri]).astype(np.int64)
         out = acc.copy()
         np.add.at(out, bins, w)
         return out
@@ -154,20 +161,33 @@ def weighted_multi_cut(
     # state per target: (lo, hi, below, target, output index)
     active = [(lo0, hi0, 0, t, i) for i, t in enumerate(targets)]
     results: list[tuple[int, int] | None] = [None] * len(targets)
+    # mass-conservation ledger: refined range -> the parent bin's weight
+    # (None for the root range).  A refined histogram summing to anything
+    # else means a row was silently mis-binned — fail loudly.
+    expect: dict[tuple[int, int], int | None] = {(lo0, hi0): None}
     while active:
         ranges = sorted({(lo, hi) for lo, hi, _, _, _ in active})
-        nbs = np.asarray(
-            [_safe_nb(lo, hi, num_bins) for lo, hi in ranges], dtype=np.int64
-        )
+        layouts = [_bin_layout(lo, hi, num_bins) for lo, hi in ranges]
+        nbs = [nb for nb, _ in layouts]
+        steps = np.asarray([s for _, s in layouts], dtype=np.uint64)
         los = np.asarray([r[0] for r in ranges], dtype=np.int64)
         his = np.asarray([r[1] for r in ranges], dtype=np.int64)
         offsets = np.concatenate([[0], np.cumsum(nbs)]).astype(np.int64)
-        hist = _multi_hist_pass(ds, key_col, weight_col, los, his, nbs, offsets)
+        hist = _multi_hist_pass(ds, key_col, weight_col, los, his, steps, offsets)
         range_idx = {r: j for j, r in enumerate(ranges)}
+        for r, j in range_idx.items():
+            exp = expect.get(r)
+            got = int(hist[int(offsets[j]) : int(offsets[j]) + nbs[j]].sum())
+            if exp is not None and got != exp:
+                raise AssertionError(
+                    f"histogram mass not conserved over {r}: parent bin "
+                    f"weight {exp}, refined total {got}"
+                )
         nxt = []
+        nexpect: dict[tuple[int, int], int | None] = {}
         for lo, hi, below, target, i in active:
             j = range_idx[(lo, hi)]
-            nb = int(nbs[j])
+            nb, step = layouts[j]
             h = hist[int(offsets[j]) : int(offsets[j]) + nb]
             cum = below + np.cumsum(h)
             idx = int(np.searchsorted(cum, target, side="left"))
@@ -175,13 +195,15 @@ def weighted_multi_cut(
                 raise ValueError(
                     f"target {target} exceeds total weight {int(cum[-1])}"
                 )
-            b_lo, b_hi = _bin_bounds(lo, hi, nb, idx)
+            b_lo, b_hi = _bin_bounds(lo, hi, step, idx)
             nbelow = int(cum[idx - 1]) if idx > 0 else below
             if b_lo == b_hi:
                 results[i] = (b_lo, nbelow)
             else:
                 nxt.append((b_lo, b_hi, nbelow, target, i))
+                nexpect[(b_lo, b_hi)] = int(h[idx])
         active = nxt
+        expect = nexpect
     return results  # type: ignore[return-value]
 
 

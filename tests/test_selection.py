@@ -82,6 +82,39 @@ class TestWeightedKeyCut:
         with pytest.raises(ValueError):
             weighted_key_cut(ds, "k", "w", 3)
 
+    def test_overflow_regression_wide_span(self):
+        # r4 falsifying examples: key span > 2^62 overflowed the old
+        # multiply-first bin math ((k-lo)*nb wrapped negative and
+        # np.add.at booked the weight into the wrong bin).
+        keys = [0, 2305844152884420795, 4611686018427387904]
+        weights = [7, 9, 1]
+        ds = self._ds(keys, weights, blocks=3)
+        assert weighted_key_cut(ds, "k", "w", 8) == (2305844152884420795, 7)
+        assert weighted_key_cut(ds, "k", "w", 17) == (4611686018427387904, 16)
+        ds2 = self._ds([0, 2**62], [1, 1], blocks=2)
+        assert weighted_key_cut(ds2, "k", "w", 1) == (0, 0)
+        assert weighted_key_cut(ds2, "k", "w", 2) == (2**62, 1)
+
+    def test_overflow_regression_symmetric_extremes(self):
+        # ADVICE repro: {-2^62 (w=5), +2^62 (w=7)} misbinned weight 7
+        # into bin 0 under the old math.
+        ds = self._ds([-(2**62), 2**62], [5, 7], blocks=2)
+        assert weighted_key_cut(ds, "k", "w", 5) == (-(2**62), 0)
+        assert weighted_key_cut(ds, "k", "w", 6) == (2**62, 5)
+        assert weighted_key_cut(ds, "k", "w", 12) == (2**62, 5)
+
+    def test_overflow_regression_full_int64_span(self):
+        # Keys at both int64 extremes: span is 2^64 keys, which does not
+        # even fit int64 — the layout must be exact Python-int math.
+        imin, imax = -(2**63), 2**63 - 1
+        keys = [imin, -1, 0, imax]
+        weights = [3, 2, 5, 4]
+        ds = self._ds(keys, weights, blocks=2)
+        assert weighted_key_cut(ds, "k", "w", 1) == (imin, 0)
+        assert weighted_key_cut(ds, "k", "w", 4) == (-1, 3)
+        assert weighted_key_cut(ds, "k", "w", 10) == (0, 5)
+        assert weighted_key_cut(ds, "k", "w", 14) == (imax, 10)
+
     def test_key_range(self):
         ds = self._ds([-7, 3, 9999], [1, 1, 1], blocks=2)
         assert key_range(ds, "k") == (-7, 9999)
