@@ -166,11 +166,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (bpe_encode_docs and heavy_hitters_cms are family variants —
         # they live in the long tail below)
         # --- sketches (HLL SQL-checked vs flat recompute; the grid
-        # sketches are batch-boundary-dependent → rows-only + error-bound
-        # pytests; the exact quantile variant is SQL-checked) ---
+        # sketches are batch-boundary-dependent → rows-only, so they
+        # live in the long tail — the driver window only spends slots
+        # on SQL-attestable entries; r5 promoted linkgraph_components
+        # and token_balanced_shards in their place) ---
         "distinct_users_per_event_type_hll": rel.distinct_users_per_event_type_hll,
-        "quantity_quantiles_sketch": rel.quantity_quantiles_sketch,
-        "order_value_percentile_ranks": rel.order_value_percentile_ranks,
+        "linkgraph_components": lg.linkgraph_components,
+        "token_balanced_shards": selp.token_balanced_shards,
         # --- link-graph family (hyperlink extraction digest + integer
         # PageRank; both SQL-checked vs flat single-process oracles) ---
         "page_links_digest": lg.page_links_digest,
@@ -212,14 +214,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "context_pack_bins": textops.pack_documents_greedy,
         "pii_scrub": dq.pii_scrub,
         # ==================== end of the 50-entry driver window =========
-        # --- sketch / multimodal variants displaced by the link-graph reps ---
+        # --- sketch / multimodal variants displaced by the link-graph reps
+        # (the two grid sketches are rows-only by construction — demoted
+        # here in r5 so every window slot is driver-attestable) ---
+        "quantity_quantiles_sketch": rel.quantity_quantiles_sketch,
+        "order_value_percentile_ranks": rel.order_value_percentile_ranks,
         "quantity_quantiles_by_returnflag": rel.quantity_quantiles_by_returnflag,
         "pages_resized_thumbs": textops.pages_resized_thumbs,  # digest-checked
         # --- link-graph long tail ---
         "link_out_degree_hist": lg.link_out_degree_hist,
         "link_in_degree_topk": lg.link_in_degree_topk,
         "anchor_text_top_terms": lg.anchor_text_top_terms,
-        "linkgraph_components": lg.linkgraph_components,
         "linkgraph_hits": lg.linkgraph_hits,
         "crawl_frontier_urls": lg.crawl_frontier_urls,
         "domain_link_matrix": lg.domain_link_matrix,
@@ -236,7 +241,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the weight-balanced shard planner, and the exact-count sample
         # — all on the same histogram-refinement cut primitive) ---
         "token_weighted_length_percentiles": selp.token_weighted_length_percentiles,
-        "token_balanced_shards": selp.token_balanced_shards,
         "exact_count_sample": selp.exact_count_sample,
         "calibrated_quality_filter": selp.calibrated_quality_filter,
         # --- multimodal long tail (features rep demoted for the funnel) ---

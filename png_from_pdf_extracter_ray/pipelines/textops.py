@@ -569,46 +569,18 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame
 # ---------------------------------------------------------------------------
 
 
-_EXTRACT_CACHE_ROOT = "/tmp/graft_extracted_pages"
-
-
 def _extracted_pages(sf_dir: str) -> rd.Dataset:
     """Flagship extraction output, run ONCE per (sf_dir, expand, corpus
-    version) and cached as parquet — the three multimodal queries each
-    read the cache instead of re-running the whole extraction.
-
-    Commit protocol: write to a process-unique temp dir, then one atomic
-    ``os.rename`` to the final path — a cache dir either exists complete
-    or not at all, and two concurrent processes cannot interleave writes
-    (the losing rename just discards its tmp).  The tag hashes the
-    ABSOLUTE sf_dir (two corpora whose directories share a leaf name
-    must not share a cache entry) plus corpus AND engine version: the
-    cache stores extraction OUTPUT, which changes when the kernel
-    changes, not just the corpus.
-    """
-    import errno
-    import hashlib
-    import shutil
-
-    from .. import __version__ as ENGINE_VERSION
-    from ..corpus.synth import CORPUS_VERSION
+    version, engine version) and cached as parquet (state/dscache.py
+    atomic-rename protocol) — the multimodal queries each read the
+    cache instead of re-running the whole extraction."""
+    from ..state.dscache import cache_tag, cached_parquet
     from .extract_pipeline import flagship
 
-    abs_sf = os.path.abspath(sf_dir).rstrip("/")
-    dir_hash = hashlib.sha1(abs_sf.encode()).hexdigest()[:12]
-    tag = f"{os.path.basename(abs_sf)}_{dir_hash}_x2_v{CORPUS_VERSION}_e{ENGINE_VERSION}"
-    path = os.path.join(_EXTRACT_CACHE_ROOT, tag)
-    if not os.path.exists(path):
-        tmp = f"{path}.tmp.{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        flagship(sf_dir, expand=2, summary_only=False).write_parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError as exc:
-            # another process committed first — its cache is complete; use it
-            if exc.errno not in (errno.ENOTEMPTY, errno.EEXIST):
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
+    path = cached_parquet(
+        cache_tag(sf_dir, "extracted_pages", "x2"),
+        lambda: flagship(sf_dir, expand=2, summary_only=False),
+    )
     return rd.read_parquet(path)
 
 
