@@ -39,6 +39,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -876,8 +877,17 @@ def khop_reach_flat(
 _TRI_SEP = "\x1f"  # never appears in a hostname
 _UND_SCHEMA = pa.schema([("u", pa.string()), ("v", pa.string())])
 _ORIENT_SCHEMA = pa.schema(
-    [("a", pa.string()), ("b", pa.string()), ("__bucket", pa.int32())]
+    [
+        ("a", pa.string()),
+        ("b", pa.string()),
+        ("deg_b", pa.int64()),
+        ("__bucket", pa.int32()),
+    ]
 )
+_DEG_SCHEMA = pa.schema([("node", pa.string()), ("n", pa.int64())])
+_DEG_U_SCHEMA = pa.schema([("u", pa.string()), ("deg_u", pa.int64())])
+_DEG_V_SCHEMA = pa.schema([("v", pa.string()), ("deg_v", pa.int64())])
+_NODE_DEG_SCHEMA = pa.schema([("node", pa.string()), ("degree", pa.int64())])
 _WEDGE_SCHEMA = pa.schema(
     [
         ("c", pa.string()),
@@ -898,6 +908,7 @@ def triangle_counts(
     dst_col: str = "dst_host",
     num_buckets: int = 32,
     with_degree: bool = False,
+    degrees: str = "broadcast",
 ) -> rd.Dataset:
     """Per-node triangle participation counts over an undirected graph
     given as (possibly directed, possibly duplicated) string-node pairs
@@ -910,33 +921,44 @@ def triangle_counts(
     hubs; each triangle is then counted EXACTLY once — as a wedge
     (v, w) at its minimum-rank vertex closed by the oriented edge
     v→w.  Ray shape: one bucket shuffle for the global undirected
-    dedup, a tiny degree aggregate broadcast via ``ray.put`` (one row
-    per node — the documented small side, same envelope as
-    host_pagerank's id map), a bucket shuffle of oriented edges by
-    source for wedge generation, and one bucketed SEMI join
+    dedup, degree attachment (see below), a bucket shuffle of oriented
+    edges by source for wedge generation, and one bucketed SEMI join
     (stages/joins.py) of wedges against the oriented edge set on the
     composite (v, w) key.  The count is orientation-invariant, so the
     DuckDB oracle may use plain lexicographic orientation — any
     divergence in dedup, degrees, wedges or the closing join shows up
-    as a count mismatch."""
+    as a count mismatch.
+
+    ``degrees`` picks how per-node degrees reach the orientation pass
+    (the same broadcast/shuffle pair as stages/dedup.py):
+
+    - ``"broadcast"`` (default): the one-row-per-node degree table is
+      collected and shipped once via ``ray.put`` — right whenever the
+      node universe fits a worker heap (hosts: ~10^7 is fine).
+    - ``"join"``: two bucketed hash joins attach ``deg_u``/``deg_v`` to
+      the edge stream and the final degree column arrives by a third —
+      no driver-side node table at ANY cardinality; the beyond-memory
+      route (doc-level graphs, 10^9+ nodes).
+
+    Both modes orient identically and carry ``deg_b`` (the rank-high
+    endpoint's degree) ON the oriented edge, so wedge generation never
+    looks a degree up again — outputs are bit-identical (parity pytest).
+    """
+    if degrees not in ("broadcast", "join"):
+        raise ValueError(f"degrees must be 'broadcast' or 'join', got {degrees!r}")
 
     def canon(t: pa.Table) -> pa.Table:
-        s = np.asarray(t[src_col].to_pandas(), dtype=object)
-        d = np.asarray(t[dst_col].to_pandas(), dtype=object)
-        m = s != d
-        s, d = s[m], d[m]
-        lo = np.minimum(s, d)
-        hi = np.maximum(s, d)
-        out = pa.Table.from_arrays(
-            [pa.array(lo, pa.string()), pa.array(hi, pa.string())],
-            schema=_UND_SCHEMA,
-        )
-        key = pa.array([a + _TRI_SEP + b for a, b in zip(lo, hi)], pa.string())
-        b = (
-            stable_bucket_ids(key, num_buckets)
-            if out.num_rows
-            else np.empty(0, np.int32)
-        )
+        t = t.filter(pc.not_equal(t[src_col], t[dst_col]))
+        s = t[src_col].combine_chunks()
+        d = t[dst_col].combine_chunks()
+        swap = pc.greater(s, d)
+        lo = pc.if_else(swap, d, s)
+        hi = pc.if_else(swap, s, d)
+        out = pa.Table.from_arrays([lo, hi], schema=_UND_SCHEMA)
+        if not out.num_rows:
+            return out.append_column("__bucket", pa.array([], pa.int32()))
+        key = pc.binary_join_element_wise(lo, hi, _TRI_SEP)
+        b = stable_bucket_ids(key, num_buckets)
         return out.append_column("__bucket", pa.array(b, pa.int32()))
 
     def dedup_bucket(g: pd.DataFrame) -> pa.Table:
@@ -955,7 +977,7 @@ def triangle_counts(
         .materialize()  # consumed three times: degrees, orientation, closing join
     )
 
-    # per-node degree: per-batch partial counts -> tiny groupby -> driver
+    # per-node degree: per-batch partial counts -> tiny groupby
     def deg_partial(t: pa.Table) -> pa.Table:
         vc = (
             pd.concat(
@@ -965,35 +987,24 @@ def triangle_counts(
             .rename_axis("node")
             .reset_index(name="n")
         )
-        return pa.Table.from_pandas(
-            vc,
-            schema=pa.schema([("node", pa.string()), ("n", pa.int64())]),
-            preserve_index=False,
-        )
+        return pa.Table.from_pandas(vc, schema=_DEG_SCHEMA, preserve_index=False)
 
-    deg_df = (
-        und.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("node")
-        .sum("n")
-        .to_pandas()
-    )
+    deg_agg = und.map_batches(deg_partial, batch_format="pyarrow").groupby(
+        "node"
+    ).sum("n")
+
     import ray as _ray
 
-    deg_ref = _ray.put(dict(zip(deg_df["node"], deg_df["sum(n)"].astype(int))))
-
-    def orient(t: pa.Table) -> pa.Table:
-        deg = _ray.get(deg_ref)
-        u = np.asarray(t["u"].to_pandas(), dtype=object)
-        v = np.asarray(t["v"].to_pandas(), dtype=object)
-        du = pd.Series(u, dtype=object).map(deg).to_numpy(dtype=np.int64)
-        dv = pd.Series(v, dtype=object).map(deg).to_numpy(dtype=np.int64)
-        # rank = (degree, name): orient low -> high
-        swap = (dv < du) | ((dv == du) & (v < u))
-        a = np.where(swap, v, u)
-        b = np.where(swap, u, v)
+    def _orient_math(u: pa.Array, v: pa.Array, du: np.ndarray, dv: np.ndarray) -> pa.Table:
+        """Shared rank-orientation: a = low-(degree, name) endpoint."""
+        name_lt = pc.less(v, u).to_numpy(zero_copy_only=False)
+        swap = (dv < du) | ((dv == du) & name_lt)
+        swap_pa = pa.array(swap)
+        a = pc.if_else(swap_pa, v, u)
+        b = pc.if_else(swap_pa, u, v)
+        deg_b = np.where(swap, du, dv).astype(np.int64)
         out = pa.Table.from_arrays(
-            [pa.array(a, pa.string()), pa.array(b, pa.string())],
-            names=["a", "b"],
+            [a, b, pa.array(deg_b, pa.int64())], names=["a", "b", "deg_b"]
         )
         bk = (
             stable_bucket_ids(out["a"], num_buckets)
@@ -1002,12 +1013,72 @@ def triangle_counts(
         )
         return out.append_column("__bucket", pa.array(bk, pa.int32()))
 
-    oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+    if degrees == "broadcast":
+        deg_df = deg_agg.to_pandas()
+        deg_map = dict(zip(deg_df["node"], deg_df["sum(n)"].astype(int)))
+        deg_ref = _ray.put(deg_map)
+
+        def orient(t: pa.Table) -> pa.Table:
+            deg = _ray.get(deg_ref)
+            u = t["u"].combine_chunks()
+            v = t["v"].combine_chunks()
+            du = u.to_pandas().map(deg).to_numpy(dtype=np.int64)
+            dv = v.to_pandas().map(deg).to_numpy(dtype=np.int64)
+            return _orient_math(u, v, du, dv)
+
+        oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+    else:
+        deg_mat = deg_agg.materialize()  # one row per node; consumed 2-3x
+
+        def _deg_named(schema: pa.Schema) -> rd.Dataset:
+            def rename(t: pa.Table) -> pa.Table:
+                return pa.Table.from_arrays(
+                    [
+                        t["node"].combine_chunks(),
+                        t["sum(n)"].cast(pa.int64()).combine_chunks(),
+                    ],
+                    schema=schema,
+                )
+
+            return deg_mat.map_batches(rename, batch_format="pyarrow")
+
+        with_du = bucketed_hash_join(
+            und,
+            _deg_named(_DEG_U_SCHEMA),
+            on="u",
+            num_buckets=num_buckets,
+            how="inner",
+            schemas=(_UND_SCHEMA, _DEG_U_SCHEMA),
+        )
+        _UND_DU = pa.schema(
+            [("u", pa.string()), ("v", pa.string()), ("deg_u", pa.int64())]
+        )
+        with_duv = bucketed_hash_join(
+            with_du,
+            _deg_named(_DEG_V_SCHEMA),
+            on="v",
+            num_buckets=num_buckets,
+            how="inner",
+            schemas=(_UND_DU, _DEG_V_SCHEMA),
+        )
+
+        def orient_joined(t: pa.Table) -> pa.Table:
+            u = t["u"].combine_chunks()
+            v = t["v"].combine_chunks()
+            du = t["deg_u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dv = t["deg_v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return _orient_math(u, v, du, dv)
+
+        oriented = with_duv.map_batches(
+            orient_joined, batch_format="pyarrow"
+        ).materialize()
 
     def wedges_bucket(g: pd.DataFrame) -> pa.Table:
         if g.empty:
             return _WEDGE_SCHEMA.empty_table()
-        deg = _ray.get(deg_ref)
+        # rank-sort once for the whole bucket: neighbors of each source
+        # come out (degree, name)-ordered, so triu pairs are oriented
+        g = g.sort_values(["a", "deg_b", "b"], kind="mergesort")
         cs: list[str] = []
         vs: list[str] = []
         ws: list[str] = []
@@ -1015,22 +1086,19 @@ def triangle_counts(
             ns = grp["b"].to_numpy(dtype=object)
             if len(ns) < 2:
                 continue
-            # sort out-neighbors by rank so wedge pairs are oriented
-            order = np.lexsort((ns, np.array([deg[x] for x in ns])))
-            ns = ns[order]
             ii, jj = np.triu_indices(len(ns), k=1)
             cs.extend([c] * len(ii))
             vs.extend(ns[ii])
             ws.extend(ns[jj])
-        keys = [a + _TRI_SEP + b for a, b in zip(vs, ws)]
+        va = pa.array(vs, pa.string())
+        wa = pa.array(ws, pa.string())
+        keys = (
+            pc.binary_join_element_wise(va, wa, _TRI_SEP)
+            if len(vs)
+            else pa.array([], pa.string())
+        )
         return pa.Table.from_arrays(
-            [
-                pa.array(cs, pa.string()),
-                pa.array(vs, pa.string()),
-                pa.array(ws, pa.string()),
-                pa.array(keys, pa.string()),
-            ],
-            schema=_WEDGE_SCHEMA,
+            [pa.array(cs, pa.string()), va, wa, keys], schema=_WEDGE_SCHEMA
         )
 
     wedges = (
@@ -1039,12 +1107,12 @@ def triangle_counts(
     )
 
     def edge_keys(t: pa.Table) -> pa.Table:
-        a = t["a"].to_pylist()
-        b = t["b"].to_pylist()
-        return pa.Table.from_arrays(
-            [pa.array([x + _TRI_SEP + y for x, y in zip(a, b)], pa.string())],
-            names=["pair_key"],
+        if not t.num_rows:
+            return pa.table({"pair_key": pa.array([], pa.string())})
+        keys = pc.binary_join_element_wise(
+            t["a"].combine_chunks(), t["b"].combine_chunks(), _TRI_SEP
         )
+        return pa.table({"pair_key": keys})
 
     closing = oriented.map_batches(edge_keys, batch_format="pyarrow")
     # wedges' lineage crosses two shuffles — hand the join its schemas
@@ -1068,11 +1136,7 @@ def triangle_counts(
             .rename_axis("node")
             .reset_index(name="n")
         )
-        out = pa.Table.from_pandas(
-            vc,
-            schema=pa.schema([("node", pa.string()), ("n", pa.int64())]),
-            preserve_index=False,
-        )
+        out = pa.Table.from_pandas(vc, schema=_DEG_SCHEMA, preserve_index=False)
         b = (
             stable_bucket_ids(out["node"], num_buckets)
             if out.num_rows
@@ -1080,7 +1144,8 @@ def triangle_counts(
         )
         return out.append_column("__bucket", pa.array(b, pa.int32()))
 
-    out_schema = _TRI_DEG_SCHEMA if with_degree else _TRI_COUNT_SCHEMA
+    want_deg_inline = with_degree and degrees == "broadcast"
+    out_schema = _TRI_DEG_SCHEMA if want_deg_inline else _TRI_COUNT_SCHEMA
 
     def sum_bucket(g: pd.DataFrame) -> pa.Table:
         # typed empty on the all-empty path (the _typed_table rule) so a
@@ -1089,15 +1154,40 @@ def triangle_counts(
             return out_schema.empty_table()
         agg = g.groupby("node", as_index=False)["n"].sum()
         agg = agg.rename(columns={"n": "n_triangles"})
-        if with_degree:
+        if want_deg_inline:
             deg = _ray.get(deg_ref)
             agg["degree"] = agg["node"].map(deg).astype(np.int64)
         return pa.Table.from_pandas(
             agg, schema=out_schema, preserve_index=False
         )
 
-    return (
+    counts = (
         triangles.map_batches(count_partial, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(sum_bucket, batch_format="pandas")
+    )
+    if not with_degree or degrees == "broadcast":
+        return counts
+    # join mode + degree: one more bucketed join — no driver node table
+    deg_named = deg_mat.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t["node"].combine_chunks(),
+                t["sum(n)"].cast(pa.int64()).combine_chunks(),
+            ],
+            schema=_NODE_DEG_SCHEMA,
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        counts,
+        deg_named,
+        on="node",
+        num_buckets=num_buckets,
+        how="inner",
+        schemas=(_TRI_COUNT_SCHEMA, _NODE_DEG_SCHEMA),
+    )
+    return joined.map_batches(
+        lambda t: t.select(["node", "n_triangles", "degree"]),
+        batch_format="pyarrow",
     )

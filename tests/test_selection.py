@@ -241,6 +241,44 @@ class TestTriangleCounts:
         assert got == flat
         assert sum(got.values()) == 3 * tri
 
+    def test_broadcast_join_parity(self):
+        # degrees="join" (bucketed degree joins, no driver node table)
+        # must be bit-identical to the broadcast mode — incl. with the
+        # degree column carried through (the host_clustering_coeff shape)
+        from png_from_pdf_extracter_ray.stages.linkgraph import triangle_counts
+        from png_from_pdf_extracter_ray.stages.neardup import _to_pandas_safe
+
+        rng = np.random.RandomState(17)
+        hosts = [f"h{i}" for i in range(25)]
+        pairs = sorted(
+            {
+                (hosts[u], hosts[v])
+                for u, v in (
+                    rng.choice(25, 2, replace=False) for _ in range(150)
+                )
+            }
+        )
+        df = pd.DataFrame(pairs, columns=["src_host", "dst_host"])
+        for with_degree in (False, True):
+            cols = (
+                ["node", "n_triangles", "degree"]
+                if with_degree
+                else ["node", "n_triangles"]
+            )
+            a = _to_pandas_safe(
+                triangle_counts(
+                    rd.from_pandas(df), with_degree=with_degree, degrees="broadcast"
+                ),
+                cols,
+            ).sort_values("node", ignore_index=True)
+            b = _to_pandas_safe(
+                triangle_counts(
+                    rd.from_pandas(df), with_degree=with_degree, degrees="join"
+                ),
+                cols,
+            ).sort_values("node", ignore_index=True)
+            pd.testing.assert_frame_equal(a[cols], b[cols])
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestFollowOns:
