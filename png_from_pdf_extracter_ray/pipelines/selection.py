@@ -57,7 +57,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..stages.selection import weighted_key_cut, weighted_multi_cut
+from ..stages.selection import grouped_multi_cut, weighted_multi_cut
 from ..stages.text_stats import token_count_batch
 
 # Target zlib ratio (micros) for "clean prose": empirically mid-band for
@@ -232,21 +232,19 @@ def ordered_multi_cut(
     ``target`` under (key asc, tie asc) order: per target, the
     (key, tie) of the FIRST row whose inclusive prefix sum >= target.
     Two-level composite cut — ONE ``weighted_multi_cut`` over the key
-    (all targets share each refinement round's pass), then one tie cut
-    per target inside its key's tie group (the machinery shared by
-    token_budget_select and the shard planner)."""
+    (all targets share each refinement round's pass), then ONE
+    ``grouped_multi_cut`` over the tie column for ALL targets at once
+    (each tie cut restricted to its key's tie group; the S−1 shard
+    boundaries pay one streaming aggregate per refinement round total,
+    not per boundary — the machinery shared by token_budget_select and
+    the shard planner)."""
     key_cuts = weighted_multi_cut(slim, key_col, weight_col, targets)
-    out: list[tuple[int, int]] = []
-    for target, (k_star, below) in zip(targets, key_cuts):
-        rem = target - below  # > 0 by the cut's contract
-
-        def only_ties(t: pa.Table, k_star=k_star) -> pa.Table:  # noqa: B008
-            return t.filter(pa.compute.equal(t[key_col], k_star))
-
-        ties = slim.map_batches(only_ties, batch_format="pyarrow")
-        d_star, _ = weighted_key_cut(ties, tie_col, weight_col, rem)
-        out.append((k_star, d_star))
-    return out
+    jobs = [
+        (k_star, target - below)  # rem > 0 by the cut's contract
+        for target, (k_star, below) in zip(targets, key_cuts)
+    ]
+    tie_cuts = grouped_multi_cut(slim, key_col, tie_col, weight_col, jobs)
+    return [(k, d) for (k, _), (d, _) in zip(key_cuts, tie_cuts)]
 
 
 def ordered_cut(

@@ -42,7 +42,12 @@ import ray.data as rd
 from ray.data.aggregate import AggregateFn
 from ray.data.block import BlockAccessor
 
-__all__ = ["weighted_key_cut", "weighted_multi_cut", "key_range"]
+__all__ = [
+    "weighted_key_cut",
+    "weighted_multi_cut",
+    "grouped_multi_cut",
+    "key_range",
+]
 
 
 def key_range(ds: rd.Dataset, key_col: str) -> tuple[int, int]:
@@ -202,6 +207,108 @@ def weighted_multi_cut(
             else:
                 nxt.append((b_lo, b_hi, nbelow, target, i))
                 nexpect[(b_lo, b_hi)] = int(h[idx])
+        active = nxt
+        expect = nexpect
+    return results  # type: ignore[return-value]
+
+
+def grouped_multi_cut(
+    ds: rd.Dataset,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    jobs: list[tuple[int, int]],
+    num_bins: int = 4096,
+) -> list[tuple[int, int]]:
+    """One ``weighted_key_cut`` per ``(group_value, target)`` job, each
+    restricted to rows with ``group_col == group_value`` — with SHARED
+    streaming passes: every refinement round histograms the key column
+    of EVERY active job in ONE ``Dataset.aggregate`` (the shard
+    planner's S−1 tie cuts cost one pass per round, not per boundary).
+    All jobs start from the GLOBAL key range (one extra pass at most
+    versus per-group ranges; at most one extra refinement round).
+    Returns ``[(k_star, below), ...]`` aligned with ``jobs``, where
+    ``below`` is the weight of the job's group strictly below k_star."""
+    for _, t in jobs:
+        if t < 1:
+            raise ValueError(f"targets must be >= 1, got {t}")
+    if not jobs:
+        return []
+    lo0, hi0 = key_range(ds, key_col)
+    active = [(g, lo0, hi0, 0, t, i) for i, (g, t) in enumerate(jobs)]
+    results: list[tuple[int, int] | None] = [None] * len(jobs)
+    expect: dict[tuple[int, int, int], int | None] = {
+        (g, lo0, hi0): None for g, _, _, _, _, _ in active
+    }
+    while active:
+        ranges = sorted({(g, lo, hi) for g, lo, hi, _, _, _ in active})
+        layouts = [_bin_layout(lo, hi, num_bins) for _, lo, hi in ranges]
+        offsets = np.concatenate([[0], np.cumsum([nb for nb, _ in layouts])]).astype(
+            np.int64
+        )
+        total = int(offsets[-1])
+        specs = [
+            (g, lo, hi, np.uint64(step % (1 << 64)), int(offsets[j]))
+            for j, ((g, lo, hi), (_, step)) in enumerate(zip(ranges, layouts))
+        ]
+
+        def acc_block(acc: np.ndarray, block) -> np.ndarray:  # noqa: ANN001
+            t = BlockAccessor.for_block(block).to_arrow()
+            if t.num_rows == 0:
+                return acc
+            gv = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            out = None
+            for g, lo, hi, step, off in specs:
+                m = (gv == g) & (k >= lo) & (k <= hi)
+                if not m.any():
+                    continue
+                if out is None:
+                    out = acc.copy()
+                lo_u = np.uint64(lo % (1 << 64))
+                delta = k[m].astype(np.uint64) - lo_u
+                bins = off + (delta // step).astype(np.int64)
+                np.add.at(out, bins, w[m])
+            return acc if out is None else out
+
+        row = ds.aggregate(
+            AggregateFn(
+                init=lambda _: np.zeros(total, dtype=np.int64),
+                accumulate_block=acc_block,
+                merge=lambda a, b: a + b,
+                name="gwhist",
+            )
+        )
+        hist = np.asarray(row["gwhist"], dtype=np.int64)
+        range_idx = {r: j for j, r in enumerate(ranges)}
+        for r, j in range_idx.items():
+            exp = expect.get(r)
+            got = int(hist[int(offsets[j]) : int(offsets[j]) + layouts[j][0]].sum())
+            if exp is not None and got != exp:
+                raise AssertionError(
+                    f"histogram mass not conserved over {r}: parent bin "
+                    f"weight {exp}, refined total {got}"
+                )
+        nxt = []
+        nexpect: dict[tuple[int, int, int], int | None] = {}
+        for g, lo, hi, below, target, i in active:
+            j = range_idx[(g, lo, hi)]
+            nb, step = layouts[j]
+            h = hist[int(offsets[j]) : int(offsets[j]) + nb]
+            cum = below + np.cumsum(h)
+            idx = int(np.searchsorted(cum, target, side="left"))
+            if idx >= nb:
+                raise ValueError(
+                    f"target {target} exceeds group {g} total weight {int(cum[-1])}"
+                )
+            b_lo, b_hi = _bin_bounds(lo, hi, step, idx)
+            nbelow = int(cum[idx - 1]) if idx > 0 else below
+            if b_lo == b_hi:
+                results[i] = (b_lo, nbelow)
+            else:
+                nxt.append((g, b_lo, b_hi, nbelow, target, i))
+                nexpect[(g, b_lo, b_hi)] = int(h[idx])
         active = nxt
         expect = nexpect
     return results  # type: ignore[return-value]
