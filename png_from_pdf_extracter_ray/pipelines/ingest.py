@@ -146,14 +146,29 @@ def jsonl_roundtrip_digest(sf_dir: str) -> pa.Table:
     result.  The JSONL interchange hop is how corpora leave/enter this
     engine for tools that don't speak parquet."""
     out_dir = jsonl_dir(sf_dir)
-    done = os.path.join(out_dir, "_done")
-    if not os.path.exists(done):
+    if not os.path.exists(out_dir):
+        # crash-safe commit (ADVICE r4): write into a process-unique temp
+        # dir and atomically rename it into place.  The old _done-marker
+        # protocol left stale partial shards behind a crash between
+        # write_json and the marker — Ray writes uniquely-named files,
+        # so a re-run would read old + new shards and duplicate rows
+        # forever.  A renamed dir either exists complete or not at all.
+        import shutil
+
+        tmp = f"{out_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         rd.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text"],
-        ).write_json(out_dir)
-        with open(done, "w") as f:
-            f.write("ok")
+        ).write_json(tmp)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError as exc:
+            import errno
+
+            if exc.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()

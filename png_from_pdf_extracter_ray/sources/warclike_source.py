@@ -57,10 +57,27 @@ RECORD_SCHEMA = pa.schema(
 DEFAULT_BLOCK_ROWS = 256
 
 
+def _check_header_value(name: str, value: str) -> str:
+    """Reject header values that would corrupt the line framing: a url
+    (or lang) containing a newline would silently truncate itself and
+    inject a bogus header line — the reader would then emit WRONG rows
+    without raising, defeating the strict-reader contract.  Fail loudly
+    at write time instead (adversarial crawl urls are real inputs)."""
+    if "\n" in value or "\r" in value:
+        raise ValueError(
+            f"warclike header {name!r} contains a line break: {value!r}"
+        )
+    return value
+
+
+_EXPECTED_HEADERS = {"url", "warc-us", "lang", "content-length"}
+
+
 def write_warclike_shard(rows: dict, path: str) -> str:
     """Write one shard of ``(url, warc_ts, html, lang)`` rows (the
     corpus kernel's column dict) in the record framing above.  Atomic
-    via temp + rename, so a re-run never leaves a torn shard."""
+    via temp + rename, so a re-run never leaves a torn shard.  Header
+    values are validated against line-break injection (ADVICE r4)."""
     tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "wb") as f:
         for url, ts, payload, lang in zip(
@@ -68,9 +85,9 @@ def write_warclike_shard(rows: dict, path: str) -> str:
         ):
             body = payload or b""
             f.write(MAGIC)
-            f.write(f"url: {url}\n".encode("utf-8"))
+            f.write(f"url: {_check_header_value('url', str(url))}\n".encode("utf-8"))
             f.write(f"warc-us: {int(ts)}\n".encode("utf-8"))
-            f.write(f"lang: {lang}\n".encode("utf-8"))
+            f.write(f"lang: {_check_header_value('lang', str(lang))}\n".encode("utf-8"))
             f.write(f"content-length: {len(body)}\n".encode("utf-8"))
             f.write(b"\n")
             f.write(body)
@@ -129,6 +146,13 @@ class WarcLikeDatasource(FileBasedDatasource):
                     break
                 k, _, v = line.decode("utf-8").rstrip("\n").partition(": ")
                 headers[k] = v
+            if set(headers) != _EXPECTED_HEADERS:
+                # exactly the expected key set — a stray header line is
+                # evidence of value injection or framing corruption
+                raise ValueError(
+                    f"{path}: unexpected header set at byte {offset}: "
+                    f"{sorted(headers)!r} (want {sorted(_EXPECTED_HEADERS)!r})"
+                )
             try:
                 n = int(headers["content-length"])
                 url = headers["url"]

@@ -70,7 +70,34 @@ def test_missing_header_raises(tmp_path) -> None:  # noqa: ANN001
     p = str(tmp_path / "s.warcg")
     with open(p, "wb") as f:
         f.write(MAGIC + b"url: x\n\n")  # no content-length
-    with pytest.raises(ValueError, match="malformed"):
+    with pytest.raises(ValueError, match="malformed|unexpected header"):
+        _read_all(p)
+
+
+def test_header_newline_injection_rejected(tmp_path) -> None:  # noqa: ANN001
+    # a url containing '\n' would truncate itself and inject a bogus
+    # header line — the writer must fail loudly, not corrupt the framing
+    p = str(tmp_path / "s.warcg")
+    bad = dict(ROWS)
+    bad["url"] = ["https://a.example/1", "https://evil/\ncontent-length: 0", "u"]
+    with pytest.raises(ValueError, match="line break"):
+        write_warclike_shard(bad, p)
+    bad2 = dict(ROWS)
+    bad2["lang"] = ["en", "de\r", ""]
+    with pytest.raises(ValueError, match="line break"):
+        write_warclike_shard(bad2, p)
+
+
+def test_stray_header_rejected_by_reader(tmp_path) -> None:  # noqa: ANN001
+    # hand-crafted record with an extra header line: the reader must
+    # refuse (exact expected-key-set check), not silently parse it
+    p = str(tmp_path / "s.warcg")
+    with open(p, "wb") as f:
+        f.write(
+            MAGIC
+            + b"url: x\nwarc-us: 1\nlang: en\nx-extra: boom\ncontent-length: 0\n\n\n\n"
+        )
+    with pytest.raises(ValueError, match="unexpected header"):
         _read_all(p)
 
 
