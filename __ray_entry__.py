@@ -245,6 +245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibrated_quality_filter": selp.calibrated_quality_filter,
         # --- multimodal long tail (features rep demoted for the funnel) ---
         "pages_image_features_summary": textops.pages_image_features_summary,
+        # progressive (SOF2) encode→decode roundtrip — the decode path
+        # real crawl image payloads exercise (r5; kernel/jpeg.py)
+        "pages_jpeg_progressive_roundtrip": textops.pages_jpeg_progressive_roundtrip,
         # --- graph-analytics long tail (triangle machinery + degree) ---
         "host_clustering_coeff": lg.host_clustering_coeff,
         # --- interchange-format long tail (distributed JSONL sink →
@@ -638,6 +641,7 @@ def oracle_sql() -> dict[str, str]:
     _xdoc_oracle = _rro._oracle_path(_oracle_sf, "cross_doc_spans")
     _phash_groups_oracle = _rro._oracle_path(_oracle_sf, "pages_phash_groups")
     _jpegrt_oracle = _rro._oracle_path(_oracle_sf, "jpeg_roundtrip")
+    _jpegprog_oracle = _rro._oracle_path(_oracle_sf, "jpeg_prog_roundtrip")
     _kmeans_oracle = _rro._oracle_path(_oracle_sf, "kmeans_clusters")
     _pq_oracle = _rro._oracle_path(_oracle_sf, "pq_topk")
     _ridge_oracle = _rro._oracle_path(_oracle_sf, "ridge_model")
@@ -686,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_pages_phash_oracle(_oracle_sf)
         _rro.write_pages_phash_groups_oracle(_oracle_sf)
         _rro.write_jpeg_roundtrip_oracle(_oracle_sf)
+        _rro.write_jpeg_roundtrip_oracle(_oracle_sf, progressive=True)
         _rro.write_cross_doc_spans_oracle(_oracle_sf)
         _rro.write_kmeans_oracle(_oracle_sf)
         _rro.write_pq_topk_oracle(_oracle_sf)
@@ -1366,6 +1371,10 @@ def oracle_sql() -> dict[str, str]:
         "pages_jpeg_roundtrip": f"""
             SELECT page_id, jpeg_bytes, dec_md5, mae
             FROM read_parquet('{_jpegrt_oracle}')
+        """,
+        "pages_jpeg_progressive_roundtrip": f"""
+            SELECT page_id, jpeg_bytes, dec_md5, mae
+            FROM read_parquet('{_jpegprog_oracle}')
         """,
         "rolling_fingerprints": f"""
             SELECT doc_id, rolling_fp FROM read_parquet('{_rfp_oracle}')

@@ -22,4 +22,4 @@ byte-identical per url by construction (verified by tests, not assumed).
 # extracted-pages cache and the single-process oracle parquets) are
 # keyed by this + CORPUS_VERSION, so a stale version here would serve
 # pre-change extractions.
-__version__ = "0.3.1"
+__version__ = "0.4.0"

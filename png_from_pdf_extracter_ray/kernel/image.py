@@ -14,9 +14,10 @@ GRAYSCALE array for:
 - **PGM/PPM** (P5/P6 binary) — header parse + buffer reshape.
 - **BMP** — BITMAPINFOHEADER, uncompressed 8-bit (palette) and 24-bit,
   bottom-up or top-down, 4-byte row padding.
-- **JPEG** — a real baseline sequential decoder (kernel/jpeg.py): 1- or
-  3-component, sampling factors ≤ 2, restart markers; grayscale output
-  is the Y plane.  Progressive/arithmetic streams raise
+- **JPEG** — a real baseline-sequential AND progressive (SOF2) decoder
+  (kernel/jpeg.py): 1- or 3-component, sampling factors ≤ 2, restart
+  markers, spectral-selection/successive-approximation scans; grayscale
+  output is the Y plane.  Arithmetic-coded streams raise
   ``UnsupportedImageError``.
 - **GIF** — real LZW decode of the first frame (kernel/gif.py):
   87a/89a, global/local palettes, interlacing.
@@ -76,7 +77,7 @@ def decode_image(data: bytes) -> np.ndarray:
     if fmt == "bmp":
         return _decode_bmp(data)
     if fmt == "jpeg":
-        # baseline sequential decode (kernel/jpeg.py); progressive and
+        # baseline or progressive decode (kernel/jpeg.py);
         # arithmetic-coded streams raise UnsupportedImageError there
         return _decode_jpeg(data)
     if fmt == "gif":

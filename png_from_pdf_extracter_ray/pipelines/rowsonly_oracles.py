@@ -765,19 +765,26 @@ def write_pages_phash_groups_oracle(sf_dir: str, expand: int = 2) -> str:
     )
 
 
-def write_jpeg_roundtrip_oracle(sf_dir: str, quality: int = 85, expand: int = 2) -> str:
-    """Oracle for ``pages_jpeg_roundtrip``: single-process extraction →
-    resize → the SAME JpegRoundtrip kernel (the per-page codec IS the
-    contract — kernel/jpeg.py is deterministic), no Ray anywhere."""
+def write_jpeg_roundtrip_oracle(
+    sf_dir: str, quality: int = 85, expand: int = 2, progressive: bool = False
+) -> str:
+    """Oracle for ``pages_jpeg_roundtrip`` (and, with
+    ``progressive=True``, ``pages_jpeg_progressive_roundtrip``):
+    single-process extraction → resize → the SAME JpegRoundtrip kernel
+    (the per-page codec IS the contract — kernel/jpeg.py is
+    deterministic), no Ray anywhere."""
     from ..stages.multimodal import JpegRoundtrip, PngResizer
 
-    path = _oracle_path(sf_dir, "jpeg_roundtrip", expand)
+    name = "jpeg_prog_roundtrip" if progressive else "jpeg_roundtrip"
+    path = _oracle_path(sf_dir, name, expand)
     if os.path.exists(path):
         return path
     resized = PngResizer(target_w=480, target_h=270)(
         _oracle_exploded_pages(sf_dir, expand)
     )
-    return _commit(JpegRoundtrip(quality=quality)(resized), path)
+    return _commit(
+        JpegRoundtrip(quality=quality, progressive=progressive)(resized), path
+    )
 
 
 # ---------------------------------------------------------------------------

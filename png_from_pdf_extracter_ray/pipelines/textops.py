@@ -700,6 +700,39 @@ def pages_jpeg_roundtrip(sf_dir: str, quality: int = 85) -> rd.Dataset:
     )
 
 
+def pages_jpeg_progressive_roundtrip(sf_dir: str, quality: int = 85) -> rd.Dataset:
+    """PROGRESSIVE (SOF2) variant of ``pages_jpeg_roundtrip``: thumbs →
+    progressive encode (spectral selection + successive approximation,
+    kernel/jpeg.py r5) → decode → fidelity row.  Real crawl image
+    payloads are heavily progressive, so this pins the decode path a
+    web-scale ingest actually exercises; ``dec_md5``/``mae`` equal the
+    baseline entry's by the codec's roundtrip contract while
+    ``jpeg_bytes`` measures the progressive stream.  SQL-checked against
+    the flat single-process recompute
+    (pipelines/rowsonly_oracles.write_jpeg_roundtrip_oracle,
+    progressive=True)."""
+    from ..stages.multimodal import JpegRoundtrip, PngResizer, explode_pages
+
+    return (
+        _extracted_pages(sf_dir)
+        .map_batches(explode_pages, batch_format="pyarrow", batch_size=16)
+        .map_batches(
+            PngResizer,
+            fn_constructor_kwargs={"target_w": 480, "target_h": 270},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=(1, 4),
+        )
+        .map_batches(
+            JpegRoundtrip,
+            fn_constructor_kwargs={"quality": quality, "progressive": True},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def pages_phash_dedup_groups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """Image-level duplicate GROUPS: the pHash near-dup pair graph
     collapsed to connected components by the same iterated min-label

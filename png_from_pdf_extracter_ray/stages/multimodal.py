@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..kernel.image import decode_image
-from ..kernel.jpeg import decode_jpeg, encode_jpeg_gray
+from ..kernel.jpeg import decode_jpeg, encode_jpeg_gray, encode_jpeg_progressive
 from ..kernel.png import decode_png_gray, read_png_dpi, read_png_size, write_png_gray
 
 PAGE_ROW_SCHEMA = pa.schema(
@@ -217,10 +217,18 @@ class JpegRoundtrip:
     bytes (pins the decoder bit-for-bit — kernel/jpeg.py is fully
     deterministic), and the mean absolute reconstruction error.  Meant
     for RESIZED thumbs (480×270) — encoding full 1080p pages is the
-    same code, just slower."""
+    same code, just slower.
 
-    def __init__(self, quality: int = 85) -> None:
+    ``progressive=True`` routes each page through the PROGRESSIVE
+    (SOF2) encode→decode path instead — exercising the spectral-
+    selection / successive-approximation scans real crawl images
+    heavily use; the decoded raster (and hence ``dec_md5``/``mae``) is
+    bit-equal to the baseline path by the codec's roundtrip contract,
+    while ``jpeg_bytes`` reflects the progressive stream."""
+
+    def __init__(self, quality: int = 85, progressive: bool = False) -> None:
         self.quality = quality
+        self.progressive = progressive
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
@@ -235,7 +243,10 @@ class JpegRoundtrip:
         mae = np.zeros(n, dtype=np.float64)
         for i, b in enumerate(pngs):
             arr = decode_png_gray(b)
-            j = encode_jpeg_gray(arr, self.quality)
+            if self.progressive:
+                j = encode_jpeg_progressive(arr, self.quality)
+            else:
+                j = encode_jpeg_gray(arr, self.quality)
             dec = decode_jpeg(j)
             jpeg_bytes[i] = len(j)
             digests.append(hashlib.md5(dec.tobytes()).hexdigest())
