@@ -248,6 +248,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # progressive (SOF2) encode→decode roundtrip — the decode path
         # real crawl image payloads exercise (r5; kernel/jpeg.py)
         "pages_jpeg_progressive_roundtrip": textops.pages_jpeg_progressive_roundtrip,
+        # WebP lossless (VP8L) encode→decode roundtrip — the web-native
+        # lossless format real crawls carry (r5; kernel/webp.py,
+        # conformance-pinned against libwebp in tests/test_webp.py)
+        "pages_webp_roundtrip": textops.pages_webp_roundtrip,
         # --- graph-analytics long tail (triangle machinery + degree) ---
         "host_clustering_coeff": lg.host_clustering_coeff,
         # --- interchange-format long tail (distributed JSONL sink →
@@ -642,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
     _phash_groups_oracle = _rro._oracle_path(_oracle_sf, "pages_phash_groups")
     _jpegrt_oracle = _rro._oracle_path(_oracle_sf, "jpeg_roundtrip")
     _jpegprog_oracle = _rro._oracle_path(_oracle_sf, "jpeg_prog_roundtrip")
+    _webprt_oracle = _rro._oracle_path(_oracle_sf, "webp_roundtrip")
     _kmeans_oracle = _rro._oracle_path(_oracle_sf, "kmeans_clusters")
     _pq_oracle = _rro._oracle_path(_oracle_sf, "pq_topk")
     _ridge_oracle = _rro._oracle_path(_oracle_sf, "ridge_model")
@@ -691,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_pages_phash_groups_oracle(_oracle_sf)
         _rro.write_jpeg_roundtrip_oracle(_oracle_sf)
         _rro.write_jpeg_roundtrip_oracle(_oracle_sf, progressive=True)
+        _rro.write_webp_roundtrip_oracle(_oracle_sf)
         _rro.write_cross_doc_spans_oracle(_oracle_sf)
         _rro.write_kmeans_oracle(_oracle_sf)
         _rro.write_pq_topk_oracle(_oracle_sf)
@@ -1375,6 +1381,10 @@ def oracle_sql() -> dict[str, str]:
         "pages_jpeg_progressive_roundtrip": f"""
             SELECT page_id, jpeg_bytes, dec_md5, mae
             FROM read_parquet('{_jpegprog_oracle}')
+        """,
+        "pages_webp_roundtrip": f"""
+            SELECT page_id, webp_bytes, dec_md5, lossless_ok
+            FROM read_parquet('{_webprt_oracle}')
         """,
         "rolling_fingerprints": f"""
             SELECT doc_id, rolling_fp FROM read_parquet('{_rfp_oracle}')

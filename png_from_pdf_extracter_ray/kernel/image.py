@@ -27,8 +27,12 @@ GRAYSCALE array for:
   and horizontal-differencing Predictor 2.  Other compressions
   (JPEG-in-TIFF, CCITT) raise ``UnsupportedImageError``.
 
-WebP raises ``UnsupportedImageError`` — VP8 has no reasonable
-pure-Python baseline here.
+- **WebP lossless (VP8L)** — a real decoder (kernel/webp.py): canonical
+  prefix codes, colour cache, meta-prefix groups, LZ77 backrefs with
+  the 2-D distance map, all four inverse transforms; alpha is dropped
+  before the grayscale conversion.  Lossy VP8 (boolean arithmetic
+  coder + loop-filtered DCT; no pure-stdlib baseline here) raises
+  ``UnsupportedImageError``.
 
 Color → grayscale uses the integer ITU-R 601 weights
 ``(299·R + 587·G + 114·B) // 1000`` so results are deterministic
@@ -86,10 +90,9 @@ def decode_image(data: bytes) -> np.ndarray:
     if fmt == "tiff":
         return _decode_tiff(data)
     if fmt == "webp":
-        raise UnsupportedImageError(
-            "webp decoding requires an imaging library not present in this "
-            "environment (VP8 entropy coding; no pure-Python baseline)"
-        )
+        # VP8L lossless decode (kernel/webp.py); lossy VP8 raises
+        # UnsupportedImageError there
+        return _to_gray(_decode_webp(data)[:, :, :3])
     raise ValueError("unrecognized image format")
 
 
@@ -430,3 +433,4 @@ def _decode_tiff(data: bytes) -> np.ndarray:
 # ROUND_NOTES lesson 4).
 from .gif import decode_gif as _decode_gif  # noqa: E402
 from .jpeg import decode_jpeg as _decode_jpeg  # noqa: E402
+from .webp import decode_webp as _decode_webp  # noqa: E402

@@ -787,6 +787,22 @@ def write_jpeg_roundtrip_oracle(
     )
 
 
+def write_webp_roundtrip_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Oracle for ``pages_webp_roundtrip``: single-process extraction →
+    resize → the SAME WebpRoundtrip kernel (kernel/webp.py is
+    deterministic; VP8L is lossless so dec_md5 pins the decoder
+    bit-for-bit), no Ray anywhere."""
+    from ..stages.multimodal import PngResizer, WebpRoundtrip
+
+    path = _oracle_path(sf_dir, "webp_roundtrip", expand)
+    if os.path.exists(path):
+        return path
+    resized = PngResizer(target_w=480, target_h=270)(
+        _oracle_exploded_pages(sf_dir, expand)
+    )
+    return _commit(WebpRoundtrip()(resized), path)
+
+
 # ---------------------------------------------------------------------------
 # ML-operator family (stages/ml.py, stages/pq.py, pipelines/tokenizer.py)
 # ---------------------------------------------------------------------------

@@ -733,6 +733,38 @@ def pages_jpeg_progressive_roundtrip(sf_dir: str, quality: int = 85) -> rd.Datas
     )
 
 
+def pages_webp_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Lossless-web-format ingestion stage: 480×270 thumbs → WebP
+    lossless (VP8L) encode → decode → per-page attestation row
+    (compressed size, md5 of the decoded raster — bit-equal to the
+    source by VP8L's lossless contract — and a per-row ``lossless_ok``
+    flag).  The codec is the engine's own pure-Python VP8L
+    (kernel/webp.py — closes the r4 WebP gap; conformance-validated in
+    both directions against libwebp in tests/test_webp.py); fully
+    deterministic, so the entry is SQL-checked against the flat
+    single-process recompute
+    (pipelines/rowsonly_oracles.write_webp_roundtrip_oracle)."""
+    from ..stages.multimodal import PngResizer, WebpRoundtrip, explode_pages
+
+    return (
+        _extracted_pages(sf_dir)
+        .map_batches(explode_pages, batch_format="pyarrow", batch_size=16)
+        .map_batches(
+            PngResizer,
+            fn_constructor_kwargs={"target_w": 480, "target_h": 270},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=(1, 4),
+        )
+        .map_batches(
+            WebpRoundtrip,
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def pages_phash_dedup_groups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """Image-level duplicate GROUPS: the pHash near-dup pair graph
     collapsed to connected components by the same iterated min-label

@@ -36,6 +36,7 @@ import ray.data as rd
 
 from ..kernel.image import decode_image
 from ..kernel.jpeg import decode_jpeg, encode_jpeg_gray, encode_jpeg_progressive
+from ..kernel.webp import decode_webp, encode_webp_lossless
 from ..kernel.png import decode_png_gray, read_png_dpi, read_png_size, write_png_gray
 
 PAGE_ROW_SCHEMA = pa.schema(
@@ -259,6 +260,57 @@ class JpegRoundtrip:
                 "jpeg_bytes": pa.array(jpeg_bytes),
                 "dec_md5": pa.array(digests, pa.string()),
                 "mae": pa.array(mae, pa.float64()),
+            }
+        )
+
+
+class WebpRoundtrip:
+    """Actor-pool stage: page raster → WebP LOSSLESS (VP8L) encode →
+    decode → attestation row (the lossless-web-format ingestion stage of
+    a multimodal pipeline — real crawls carry WebP heavily, and this
+    container has no other WebP producer, so the engine's own rasters
+    are the payloads).
+
+    Per page: ``page_id``, compressed ``webp_bytes``, ``dec_md5`` of the
+    DECODED grayscale raster (pins kernel/webp.py's decoder bit-for-bit
+    — VP8L is lossless, so it must equal the md5 of the source raster),
+    and ``lossless_ok`` asserting that bit-equality per row.  Meant for
+    RESIZED thumbs (480×270), like JpegRoundtrip.
+
+    ``cache_bits``/``subtract_green`` select the encoder's colour-cache
+    size and transform use, exercising both the cache-hit and
+    transform-inverse decode paths."""
+
+    def __init__(self, cache_bits: int = 8, subtract_green: bool = True) -> None:
+        self.cache_bits = cache_bits
+        self.subtract_green = subtract_green
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        urls = batch["url"].to_pylist()
+        nums = batch["page_number"].to_pylist()
+        pngs = batch["png"].to_pylist()
+        ids = [f"{u}#{n}" for u, n in zip(urls, nums)]
+        n = len(pngs)
+        webp_bytes = np.zeros(n, dtype=np.int64)
+        digests: list[str] = []
+        lossless = np.zeros(n, dtype=bool)
+        for i, b in enumerate(pngs):
+            arr = decode_png_gray(b)
+            wb = encode_webp_lossless(
+                arr, cache_bits=self.cache_bits, subtract_green=self.subtract_green
+            )
+            dec = decode_webp(wb)[:, :, 0]  # gray encodes r=g=b
+            webp_bytes[i] = len(wb)
+            digests.append(hashlib.md5(dec.tobytes()).hexdigest())
+            lossless[i] = bool(np.array_equal(dec, arr))
+        return pa.Table.from_pydict(
+            {
+                "page_id": pa.array(ids, pa.string()),
+                "webp_bytes": pa.array(webp_bytes),
+                "dec_md5": pa.array(digests, pa.string()),
+                "lossless_ok": pa.array(lossless),
             }
         )
 

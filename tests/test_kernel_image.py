@@ -188,19 +188,30 @@ def test_bmp8_palette() -> None:
 def test_entropy_coded_formats_rejected() -> None:
     # JPEG/GIF/uncompressed-TIFF decode for real since round 4 — a
     # recognized magic with garbage payload now fails as MALFORMED
-    # (ValueError), not unsupported; only WebP (VP8, no pure-Python
-    # baseline) still raises UnsupportedImageError
+    # (ValueError), not unsupported; only LOSSY WebP (VP8 boolean
+    # arithmetic coding, no pure-Python baseline) still raises
+    # UnsupportedImageError — VP8L lossless decodes via kernel/webp.py
     for magic, name in [
         (b"\xff\xd8\xff\xe0" + b"x" * 32, "jpeg"),
         (b"GIF89a" + b"x" * 32, "gif"),
         (b"II*\x00" + b"x" * 32, "tiff"),
+        (b"RIFF1234WEBP" + b"x" * 32, "webp"),
     ]:
         assert sniff_image_format(magic) == name
         with pytest.raises(ValueError):
             decode_image(magic)
-    assert sniff_image_format(b"RIFF1234WEBP" + b"x" * 32) == "webp"
-    with pytest.raises(UnsupportedImageError, match="webp"):
-        decode_image(b"RIFF1234WEBP" + b"x" * 32)
+    import struct as _struct
+
+    lossy = (
+        b"RIFF"
+        + _struct.pack("<I", 4 + 8 + 8)
+        + b"WEBP"
+        + b"VP8 "
+        + _struct.pack("<I", 8)
+        + b"\x00" * 8
+    )
+    with pytest.raises(UnsupportedImageError, match="lossy WebP"):
+        decode_image(lossy)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"garbage bytes here")
 
