@@ -70,6 +70,20 @@ TOKEN_BUDGET_PCT = 40
 HASH_SPACE = 16**6
 
 
+def md5_prefix_ints(ids, ndigits: int) -> np.ndarray:
+    """First ``ndigits`` md5 hex chars of each id's decimal string, as
+    int64 — the deterministic pseudo-random key convention every
+    sampling op here shares with DuckDB's ``md5()``.  md5 has no
+    vectorized kernel (and the DuckDB-shared convention pins the hash),
+    so this per-row loop is the accepted batch cost; keeping it in ONE
+    helper keeps the convention identical across ops."""
+    return np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:ndigits], 16) for i in ids),
+        dtype=np.int64,
+        count=len(ids),
+    )
+
+
 def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
@@ -161,14 +175,7 @@ def balanced_sample(sf_dir: str, by: str = "lang") -> rd.Dataset:
     thresh = {g: (HASH_SPACE * mn) // n for g, n in n_by_grp.items()}
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        h = np.fromiter(
-            (
-                int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
-                for i in df["doc_id"]
-            ),
-            dtype=np.int64,
-            count=len(df),
-        )
+        h = md5_prefix_ints(df["doc_id"], 6)
         t = df[by].map(thresh).to_numpy(dtype=np.int64)
         return df.loc[h < t, ["doc_id", by]]
 
@@ -268,14 +275,7 @@ def _hkey_tokens_batch(df: pd.DataFrame) -> pd.DataFrame:
     doc id as int64 — the deterministic pseudo-random total order
     shared with DuckDB's md5()."""
     ids = df["doc_id"].to_numpy(dtype=np.int64)
-    hk = np.fromiter(
-        (
-            int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
-            for i in df["doc_id"]
-        ),
-        dtype=np.int64,
-        count=len(df),
-    )
+    hk = md5_prefix_ints(df["doc_id"], 15)
     toks = token_count_batch(df)["n_tokens"].to_numpy(dtype=np.int64)
     return pd.DataFrame({"doc_id": ids, "hkey": hk, "n_tokens": toks})
 
@@ -513,14 +513,7 @@ def curation_funnel(sf_dir: str) -> pa.Table:
         thresh = {g_: (HASH_SPACE * mn) // n for g_, n in n_by.items()}
 
         def rebal(df: pd.DataFrame) -> pd.DataFrame:
-            h = np.fromiter(
-                (
-                    int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
-                    for i in df["doc_id"]
-                ),
-                dtype=np.int64,
-                count=len(df),
-            )
+            h = md5_prefix_ints(df["doc_id"], 6)
             t = df["lang"].map(thresh).to_numpy(dtype=np.int64)
             return df.loc[h < t]
 

@@ -200,6 +200,11 @@ class TestDecodeImageDispatch:
         assert d.shape == a.shape
         assert _psnr(a, d) > 40
 
-    def test_webp_still_unsupported(self) -> None:
-        with pytest.raises(UnsupportedImageError):
-            decode_image(b"RIFF1234WEBP" + b"\x00" * 32)
+    def test_webp_lossless_via_decode_image(self) -> None:
+        # VP8L decodes for real since r5 (kernel/webp.py); only lossy
+        # VP8 still raises UnsupportedImageError (tests/test_webp.py)
+        from png_from_pdf_extracter_ray.kernel.webp import encode_webp_lossless
+
+        a = (np.add.outer(np.arange(24), np.arange(32)) % 256).astype(np.uint8)
+        d = decode_image(encode_webp_lossless(a))
+        assert np.array_equal(d, a)
