@@ -90,8 +90,11 @@ def decode_image(data: bytes) -> np.ndarray:
     if fmt == "tiff":
         return _decode_tiff(data)
     if fmt == "webp":
-        # VP8L lossless decode (kernel/webp.py); lossy VP8 raises
-        # UnsupportedImageError there
+        # VP8L lossless decode (kernel/webp.py); lossy VP8 keyframe
+        # decode (kernel/vp8.py) — its Y plane IS the native luma, so
+        # grayscale skips the YUV→RGB→gray roundtrip entirely
+        if _webp_chunk_tag(data) == b"VP8 ":
+            return _decode_vp8_webp(data)[0]
         return _to_gray(_decode_webp(data)[:, :, :3])
     raise ValueError("unrecognized image format")
 
@@ -433,4 +436,18 @@ def _decode_tiff(data: bytes) -> np.ndarray:
 # ROUND_NOTES lesson 4).
 from .gif import decode_gif as _decode_gif  # noqa: E402
 from .jpeg import decode_jpeg as _decode_jpeg  # noqa: E402
+from .vp8 import decode_vp8_webp as _decode_vp8_webp  # noqa: E402
 from .webp import decode_webp as _decode_webp  # noqa: E402
+
+
+def _webp_chunk_tag(data: bytes) -> bytes:
+    """First image-chunk tag of a WebP RIFF (b'VP8 ' lossy, b'VP8L'
+    lossless) or b'' when none found."""
+    i = 12
+    while i + 8 <= len(data):
+        tag = data[i : i + 4]
+        if tag in (b"VP8 ", b"VP8L"):
+            return tag
+        size = int.from_bytes(data[i + 4 : i + 8], "little")
+        i += 8 + size + (size & 1)
+    return b""

@@ -641,10 +641,33 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     return out
 
 
+def _yuv420_to_rgba(Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> np.ndarray:
+    """VP8 YUV 4:2:0 → (H, W, 4) RGBA with libwebp's integer BT.601
+    coefficients (yuv.h, YUV_FIX2=6) and nearest-neighbour chroma
+    upsampling.  The YUV planes themselves are conformance-pinned
+    bit-exactly against libwebp (tests/test_vp8.py); this final colour
+    step is the engine's own pinned deterministic choice (libwebp's
+    default RGB output additionally applies a bilinear 'fancy' chroma
+    filter — a presentation detail, not bitstream semantics)."""
+    h, w = Y.shape
+    up = U.repeat(2, axis=0).repeat(2, axis=1)[:h, :w].astype(np.int32)
+    vp = V.repeat(2, axis=0).repeat(2, axis=1)[:h, :w].astype(np.int32)
+    yv = Y.astype(np.int32)
+    ymul = (yv * 19077) >> 8
+    r = ymul + ((vp * 26149) >> 8) - 14234
+    g = ymul - ((up * 6419) >> 8) - ((vp * 13320) >> 8) + 8708
+    b = ymul + ((up * 33050) >> 8) - 17685
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    out[:, :, 0] = np.clip(r >> 6, 0, 255)
+    out[:, :, 1] = np.clip(g >> 6, 0, 255)
+    out[:, :, 2] = np.clip(b >> 6, 0, 255)
+    out[:, :, 3] = 255
+    return out
+
+
 def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF container walk → VP8L decode → (H, W, 4) uint8 RGBA.
-    Lossy VP8 (boolean arithmetic coder; no pure-stdlib baseline in this
-    container) raises ``UnsupportedImageError``."""
+    """RIFF container walk → VP8L (lossless) or VP8 (lossy keyframe,
+    kernel/vp8.py) decode → (H, W, 4) uint8 RGBA."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP RIFF container")
     i = 12
@@ -655,10 +678,9 @@ def decode_webp(data: bytes) -> np.ndarray:
         if tag == b"VP8L":
             return decode_vp8l(body)
         if tag == b"VP8 ":
-            raise UnsupportedImageError(
-                "lossy WebP (VP8 boolean arithmetic coding) requires an "
-                "imaging library not present in this environment"
-            )
+            from .vp8 import decode_vp8_frame
+
+            return _yuv420_to_rgba(*decode_vp8_frame(body))
         i += 8 + size + (size & 1)
     raise ValueError("WebP container has no image chunk")
 

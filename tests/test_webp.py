@@ -15,8 +15,9 @@ Coverage strategy (mirrors test_kernel_jpeg.py / test_kernel_gif_tiff.py):
    on/off, gray + RGB, 1×1 .. 120×80) pin the encoder side.
 4. A LIVE libwebp cross-check in BOTH directions runs when the shared
    library is present (ctypes, stdlib-only; skipped otherwise).
-5. Container / error handling: lossy VP8 → UnsupportedImageError,
-   malformed → ValueError; decode_image() grayscale integration.
+5. Container / error handling: malformed streams → ValueError (lossy
+   VP8 decodes for real — pinned separately in tests/test_vp8.py);
+   decode_image() grayscale integration.
 """
 
 from __future__ import annotations
@@ -28,7 +29,6 @@ import struct
 import numpy as np
 import pytest
 
-from png_from_pdf_extracter_ray.kernel.errors import UnsupportedImageError
 from png_from_pdf_extracter_ray.kernel.image import decode_image
 from png_from_pdf_extracter_ray.kernel.webp import (
     _BitWriter,
@@ -303,16 +303,19 @@ def test_roundtrip_solid_and_gradient() -> None:
 # ---------------------------------------------------------------------------
 
 
-def test_lossy_vp8_raises_unsupported() -> None:
+def test_garbage_vp8_chunk_raises_valueerror() -> None:
+    # lossy VP8 decodes for real since r5 (kernel/vp8.py, pinned in
+    # tests/test_vp8.py); a VP8 chunk with a bad start code must still
+    # fail loudly rather than emit wrong pixels
     lossy = (
         b"RIFF"
-        + struct.pack("<I", 4 + 8 + 8)
+        + struct.pack("<I", 4 + 8 + 12)
         + b"WEBP"
         + b"VP8 "
-        + struct.pack("<I", 8)
-        + b"\x00" * 8
+        + struct.pack("<I", 12)
+        + b"\x00" * 12
     )
-    with pytest.raises(UnsupportedImageError, match="lossy WebP"):
+    with pytest.raises(ValueError, match="start code"):
         decode_webp(lossy)
 
 
