@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lossless format real crawls carry (r5; kernel/webp.py,
         # conformance-pinned against libwebp in tests/test_webp.py)
         "pages_webp_roundtrip": textops.pages_webp_roundtrip,
+        "pages_vp8_roundtrip": textops.pages_vp8_roundtrip,
         # --- graph-analytics long tail (triangle machinery + degree) ---
         "host_clustering_coeff": lg.host_clustering_coeff,
         # --- interchange-format long tail (distributed JSONL sink →
@@ -647,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
     _jpegrt_oracle = _rro._oracle_path(_oracle_sf, "jpeg_roundtrip")
     _jpegprog_oracle = _rro._oracle_path(_oracle_sf, "jpeg_prog_roundtrip")
     _webprt_oracle = _rro._oracle_path(_oracle_sf, "webp_roundtrip")
+    _vp8rt_oracle = _rro._oracle_path(_oracle_sf, "vp8_roundtrip")
     _kmeans_oracle = _rro._oracle_path(_oracle_sf, "kmeans_clusters")
     _pq_oracle = _rro._oracle_path(_oracle_sf, "pq_topk")
     _ridge_oracle = _rro._oracle_path(_oracle_sf, "ridge_model")
@@ -697,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_jpeg_roundtrip_oracle(_oracle_sf)
         _rro.write_jpeg_roundtrip_oracle(_oracle_sf, progressive=True)
         _rro.write_webp_roundtrip_oracle(_oracle_sf)
+        _rro.write_vp8_roundtrip_oracle(_oracle_sf)
         _rro.write_cross_doc_spans_oracle(_oracle_sf)
         _rro.write_kmeans_oracle(_oracle_sf)
         _rro.write_pq_topk_oracle(_oracle_sf)
@@ -1385,6 +1388,10 @@ def oracle_sql() -> dict[str, str]:
         "pages_webp_roundtrip": f"""
             SELECT page_id, webp_bytes, dec_md5, lossless_ok
             FROM read_parquet('{_webprt_oracle}')
+        """,
+        "pages_vp8_roundtrip": f"""
+            SELECT page_id, vp8_bytes, dec_md5, mae
+            FROM read_parquet('{_vp8rt_oracle}')
         """,
         "rolling_fingerprints": f"""
             SELECT doc_id, rolling_fp FROM read_parquet('{_rfp_oracle}')

@@ -899,3 +899,350 @@ def decode_vp8_webp(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             return decode_vp8_frame(data[i + 8 : i + 8 + size])
         i += 8 + size + (size & 1)
     raise ValueError("WebP container has no VP8 chunk")
+
+
+# ---------------------------------------------------------------------------
+# minimal keyframe ENCODER (§7.3 bool encoder; all-B_PRED/DC frame)
+# ---------------------------------------------------------------------------
+#
+# The encoder exists so the engine can PRODUCE lossy-WebP payloads for
+# the roundtrip ingestion stage (stages/multimodal.Vp8Roundtrip) — the
+# container has no other VP8 producer.  It deliberately uses the
+# simplest valid frame: every MB is B_PRED with all-DC sub-modes (no
+# Y2), DC chroma, no segmentation, loop filter off, one token
+# partition, default coefficient probabilities.  Decode of its output
+# is bit-exact under both this module's decoder and libwebp
+# (tests/test_vp8.py).
+
+
+class _BoolEnc:
+    """RFC 6386 §7.3 boolean encoder."""
+
+    __slots__ = ("out", "range", "bottom", "bit_count")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.range = 255
+        self.bottom = 0
+        self.bit_count = 24
+
+    def _carry(self) -> None:
+        i = len(self.out) - 1
+        while i >= 0 and self.out[i] == 255:
+            self.out[i] = 0
+            i -= 1
+        if i >= 0:
+            self.out[i] += 1
+
+    def put(self, prob: int, bit: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.bottom += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= (1 << 24) - 1
+                self.bit_count = 8
+
+    def literal(self, nbits: int, v: int) -> None:
+        for b in range(nbits - 1, -1, -1):
+            self.put(128, (v >> b) & 1)
+
+    def flush(self) -> bytes:
+        c = self.bit_count
+        v = self.bottom
+        if v & (1 << (32 - c)):
+            self._carry()
+        v = (v << (c & 7)) & 0xFFFFFFFF
+        c >>= 3
+        while c > 0:
+            v = (v << 8) & 0xFFFFFFFF
+            c -= 1
+        for _ in range(4):
+            self.out.append((v >> 24) & 0xFF)
+            v = (v << 8) & 0xFFFFFFFF
+        return bytes(self.out)
+
+
+def _fdct4x4(block: np.ndarray) -> list[int]:
+    """Forward 4×4 DCT (libwebp FTransform integer semantics) over an
+    int32 residual block; returns raster-order coefficients compatible
+    with _idct4x4's inverse."""
+    tmp = [0] * 16
+    for i in range(4):
+        d0, d1, d2, d3 = (int(block[i, j]) for j in range(4))
+        a0 = d0 + d3
+        a1 = d1 + d2
+        a2 = d1 - d2
+        a3 = d0 - d3
+        tmp[0 + i * 4] = (a0 + a1) * 8
+        tmp[1 + i * 4] = (a2 * 2217 + a3 * 5352 + 1812) >> 9
+        tmp[2 + i * 4] = (a0 - a1) * 8
+        tmp[3 + i * 4] = (a3 * 2217 - a2 * 5352 + 937) >> 9
+    out = [0] * 16
+    for i in range(4):
+        a0 = tmp[0 + i] + tmp[12 + i]
+        a1 = tmp[4 + i] + tmp[8 + i]
+        a2 = tmp[4 + i] - tmp[8 + i]
+        a3 = tmp[0 + i] - tmp[12 + i]
+        out[0 + i] = (a0 + a1 + 7) >> 4
+        out[4 + i] = ((a2 * 2217 + a3 * 5352 + 12000) >> 16) + (1 if a3 else 0)
+        out[8 + i] = (a0 - a1 + 7) >> 4
+        out[12 + i] = (a3 * 2217 - a2 * 5352 + 51000) >> 16
+    return out
+
+
+def _tree_write(enc: _BoolEnc, tree: list[int], probs, symbol: int) -> None:
+    # DFS for the path to -symbol (trees here are tiny)
+    def find(i: int, path):
+        for bit in (0, 1):
+            nxt = tree[i + bit]
+            p2 = path + [(i >> 1, bit)]
+            if nxt <= 0:
+                if -nxt == symbol:
+                    return p2
+            else:
+                r = find(nxt, p2)
+                if r is not None:
+                    return r
+        return None
+
+    for pi, bit in find(0, []):
+        enc.put(probs[pi], bit)
+
+
+_CAT_MAX = 67 + (1 << len(T.CAT_PROBS[5])) - 1  # largest codable level
+
+
+def _encode_block_tokens(
+    enc: _BoolEnc, probs, block_type: int, first: int, ctx: int, levels: list[int]
+) -> int:
+    """Token-encode one block's quantized levels (zigzag order, signed).
+    Exact mirror of _decode_block; returns the nz context flag."""
+    tbase = block_type * 264
+    last = -1
+    for i in range(15, first - 1, -1):
+        if levels[i]:
+            last = i
+            break
+    n = first
+    if last < first:
+        p = tbase + _BANDS[n] * 33 + ctx * 11
+        enc.put(probs[p], 0)  # immediate EOB
+        return 0
+    check_eob = True
+    while n <= last:
+        p = tbase + _BANDS[n] * 33 + ctx * 11
+        if check_eob:
+            enc.put(probs[p], 1)  # not EOB
+        v = levels[n]
+        if v == 0:
+            enc.put(probs[p + 1], 0)
+            ctx = 0
+            n += 1
+            check_eob = False
+            continue
+        enc.put(probs[p + 1], 1)
+        a = -v if v < 0 else v
+        if a == 1:
+            enc.put(probs[p + 2], 0)
+            ctx = 1
+        else:
+            enc.put(probs[p + 2], 1)
+            if a <= 4:
+                enc.put(probs[p + 3], 0)
+                if a == 2:
+                    enc.put(probs[p + 4], 0)
+                else:
+                    enc.put(probs[p + 4], 1)
+                    enc.put(probs[p + 5], a - 3)
+            else:
+                enc.put(probs[p + 3], 1)
+                cat = 5
+                for ci in range(6):
+                    base = _CAT_BASES[ci]
+                    hi = base + (1 << len(_CAT_PROBS[ci])) - 1
+                    if a <= hi:
+                        cat = ci
+                        break
+                if cat <= 1:
+                    enc.put(probs[p + 6], 0)
+                    enc.put(probs[p + 7], cat)
+                else:
+                    enc.put(probs[p + 6], 1)
+                    if cat <= 3:
+                        enc.put(probs[p + 8], 0)
+                        enc.put(probs[p + 9], cat - 2)
+                    else:
+                        enc.put(probs[p + 8], 1)
+                        enc.put(probs[p + 10], cat - 4)
+                extra = a - _CAT_BASES[cat]
+                cps = _CAT_PROBS[cat]
+                for bi, cp in enumerate(cps):
+                    enc.put(cp, (extra >> (len(cps) - 1 - bi)) & 1)
+            ctx = 2
+        enc.put(128, 1 if v < 0 else 0)
+        n += 1
+        check_eob = True
+    if n < 16:
+        p = tbase + _BANDS[n] * 33 + ctx * 11
+        enc.put(probs[p], 0)  # EOB
+    return 1
+
+
+def _quantize(coeffs: list[int], qdc: int, qac: int) -> list[int]:
+    """Raster coeffs → signed zigzag levels, clamped to the codable max."""
+    out = [0] * 16
+    for n in range(16):
+        c = coeffs[_ZIG[n]]
+        q = qdc if n == 0 else qac
+        a = abs(c)
+        lv = (a + (q >> 1)) // q
+        if lv > _CAT_MAX:
+            lv = _CAT_MAX
+        out[n] = -lv if c < 0 else lv
+    return out
+
+
+def encode_vp8_gray(arr: np.ndarray, qi: int = 24) -> bytes:
+    """Grayscale (H, W) uint8 → lossy WebP bytes (VP8 keyframe; the
+    array is the luma plane, chroma is flat 128).  ``qi`` is the VP8
+    quantizer index (0 = finest, 127 = coarsest).  Deterministic:
+    identical input always yields identical bytes."""
+    if arr.ndim != 2 or arr.dtype != np.uint8:
+        raise ValueError("encode_vp8_gray expects (H, W) uint8")
+    height, width = arr.shape
+    if height == 0 or width == 0 or height > 0x3FFF or width > 0x3FFF:
+        raise ValueError("bad dimensions for VP8")
+    mb_w, mb_h = (width + 15) >> 4, (height + 15) >> 4
+    W, H = mb_w * 16, mb_h * 16
+    # edge-replicate to whole MBs (decoder crops back)
+    src = np.empty((H, W), np.uint8)
+    src[:height, :width] = arr
+    src[height:, :width] = arr[height - 1 : height, :]
+    src[:, width:] = src[:, width - 1 : width]
+
+    qi = max(0, min(127, int(qi)))
+    y1dc = T.DC_QLOOKUP[qi]
+    y1ac = T.AC_QLOOKUP[qi]
+    uvdc = T.DC_QLOOKUP[min(qi, 117)]
+    uvac = T.AC_QLOOKUP[qi]
+
+    # --- part 0: frame header + modes ---
+    e0 = _BoolEnc()
+    e0.literal(1, 0)  # colorspace
+    e0.literal(1, 0)  # clamping
+    e0.put(128, 0)  # segmentation off
+    e0.put(128, 0)  # filter type normal (level 0 -> inert)
+    e0.literal(6, 0)  # filter level
+    e0.literal(3, 0)  # sharpness
+    e0.put(128, 0)  # no lf adjustments
+    e0.literal(2, 0)  # one token partition
+    e0.literal(7, qi)  # y_ac quantizer index
+    for _ in range(5):
+        e0.put(128, 0)  # no quantizer deltas
+    e0.put(128, 1)  # refresh entropy probs
+    upd = T.COEFF_UPDATE_PROBS
+    for i in range(1056):
+        e0.put(upd[i], 0)  # keep default coefficient probs
+    e0.put(128, 0)  # no per-MB skip flags
+    for _my in range(mb_h):
+        for _mx in range(mb_w):
+            _tree_write(e0, _KF_YMODE_TREE, T.KF_YMODE_PROBS, 4)  # B_PRED
+            kp = T.KF_B_MODE_PROBS
+            for _b in range(16):
+                # all neighbours are B_DC, so the context is always (0,0)
+                _tree_write(e0, _BMODE_TREE, kp[0:9], _B_DC)
+            _tree_write(e0, _UV_MODE_TREE, T.KF_UV_MODE_PROBS, 0)  # DC
+
+    # --- part 1: tokens (with mirrored reconstruction) ---
+    e1 = _BoolEnc()
+    probs = T.COEFF_PROBS
+    Y = np.zeros((H, W), np.uint8)
+    U = np.full((H // 2, W // 2), 128, np.uint8)
+    V = np.full((H // 2, W // 2), 128, np.uint8)
+    above_nz = np.zeros((mb_w, 8), np.int8)
+    for my in range(mb_h):
+        left_nz = np.zeros(8, np.int8)
+        for mx in range(mb_w):
+            y0, x0 = my * 16, mx * 16
+            ynz = np.zeros((4, 4), np.int8)
+            for b in range(16):
+                r, c = b >> 2, b & 3
+                by, bx = y0 + r * 4, x0 + c * 4
+                # B_DC prediction from the reconstruction buffer
+                if by > 0:
+                    A = Y[by - 1, bx : bx + 4].astype(np.int32).tolist()
+                else:
+                    A = [127] * 4
+                if bx > 0:
+                    L = Y[by : by + 4, bx - 1].astype(np.int32).tolist()
+                else:
+                    L = [129] * 4
+                pred = (sum(A) + sum(L) + 4) >> 3
+                res = src[by : by + 4, bx : bx + 4].astype(np.int32) - pred
+                levels = _quantize(_fdct4x4(res), y1dc, y1ac)
+                a_ctx = int(above_nz[mx, c]) if r == 0 else int(ynz[r - 1, c])
+                l_ctx = int(left_nz[r]) if c == 0 else int(ynz[r, c - 1])
+                nz = _encode_block_tokens(e1, probs, 3, 0, a_ctx + l_ctx, levels)
+                ynz[r, c] = nz
+                deq = [0] * 16
+                for n in range(16):
+                    deq[_ZIG[n]] = levels[n] * (y1dc if n == 0 else y1ac)
+                Y[by : by + 4, bx : bx + 4] = _clip255(pred + _idct4x4(deq))
+            above_nz[mx, 0:4] = ynz[3]
+            left_nz[0:4] = ynz[:, 3]
+            # chroma: flat-128 source, DC prediction -> encode residuals
+            cy, cx = my * 8, mx * 8
+            for plane, aoff in ((U, 4), (V, 6)):
+                pnz = np.zeros((2, 2), np.int8)
+                predblk = _pred16_or_8(plane, cy, cx, 8, 0, my, mx)
+                for b in range(4):
+                    r, c = b >> 1, b & 1
+                    by, bx = cy + r * 4, cx + c * 4
+                    res = (
+                        np.full((4, 4), 128, np.int32)
+                        - predblk[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                    )
+                    levels = _quantize(_fdct4x4(res), uvdc, uvac)
+                    a_ctx = (
+                        int(above_nz[mx, aoff + c]) if r == 0 else int(pnz[r - 1, c])
+                    )
+                    l_ctx = int(left_nz[aoff + r]) if c == 0 else int(pnz[r, c - 1])
+                    nz = _encode_block_tokens(
+                        e1, probs, 2, 0, a_ctx + l_ctx, levels
+                    )
+                    pnz[r, c] = nz
+                    deq = [0] * 16
+                    for n in range(16):
+                        deq[_ZIG[n]] = levels[n] * (uvdc if n == 0 else uvac)
+                    plane[by : by + 4, bx : bx + 4] = _clip255(
+                        predblk[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                        + _idct4x4(deq)
+                    )
+                above_nz[mx, aoff : aoff + 2] = pnz[1]
+                left_nz[aoff : aoff + 2] = pnz[:, 1]
+
+    part0 = e0.flush()
+    part1 = e1.flush()
+    first_size = len(part0)
+    tag = (first_size << 5) | (1 << 4)  # keyframe, version 0, shown
+    payload = (
+        bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+        + b"\x9d\x01\x2a"
+        + struct.pack("<HH", width, height)
+        + part0
+        + part1
+    )
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

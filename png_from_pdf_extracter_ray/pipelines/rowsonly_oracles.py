@@ -803,6 +803,22 @@ def write_webp_roundtrip_oracle(sf_dir: str, expand: int = 2) -> str:
     return _commit(WebpRoundtrip()(resized), path)
 
 
+def write_vp8_roundtrip_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Oracle for ``pages_vp8_roundtrip``: single-process extraction →
+    96×54 resize → the SAME Vp8Roundtrip kernel (kernel/vp8.py is
+    deterministic in both directions, so dec_md5 pins encoder+decoder
+    bit-for-bit despite the codec being lossy), no Ray anywhere."""
+    from ..stages.multimodal import PngResizer, Vp8Roundtrip
+
+    path = _oracle_path(sf_dir, "vp8_roundtrip", expand)
+    if os.path.exists(path):
+        return path
+    resized = PngResizer(target_w=96, target_h=54)(
+        _oracle_exploded_pages(sf_dir, expand)
+    )
+    return _commit(Vp8Roundtrip()(resized), path)
+
+
 # ---------------------------------------------------------------------------
 # ML-operator family (stages/ml.py, stages/pq.py, pipelines/tokenizer.py)
 # ---------------------------------------------------------------------------

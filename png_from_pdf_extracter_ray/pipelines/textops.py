@@ -765,6 +765,43 @@ def pages_webp_roundtrip(sf_dir: str) -> rd.Dataset:
     )
 
 
+def pages_vp8_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Lossy-web-format ingestion stage: 96×54 thumbs → lossy WebP
+    (VP8 keyframe) encode → decode → per-page attestation row
+    (compressed size, md5 of the decoded luma, MAE vs source).  The
+    codec is the engine's own pure-Python VP8 (kernel/vp8.py — decoder
+    conformance-pinned bit-exactly against libwebp across 164 encoder
+    configurations; the minimal encoder's streams decode identically
+    under libwebp and this decoder, tests/test_vp8.py).  Encoder and
+    decoder are fully deterministic, so the entry is SQL-checked
+    against the flat single-process recompute
+    (pipelines/rowsonly_oracles.write_vp8_roundtrip_oracle) even though
+    the codec is lossy.  Thumbs are 96×54 (not the 480×270 the
+    lossless stages use): the per-subblock pure-Python encode is
+    ~40 ms/page at that size and linear in pixels — the documented
+    cost envelope of running a real entropy codec with no native
+    imaging library."""
+    from ..stages.multimodal import PngResizer, Vp8Roundtrip, explode_pages
+
+    return (
+        _extracted_pages(sf_dir)
+        .map_batches(explode_pages, batch_format="pyarrow", batch_size=16)
+        .map_batches(
+            PngResizer,
+            fn_constructor_kwargs={"target_w": 96, "target_h": 54},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=(1, 4),
+        )
+        .map_batches(
+            Vp8Roundtrip,
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=(1, 8),
+        )
+    )
+
+
 def pages_phash_dedup_groups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """Image-level duplicate GROUPS: the pHash near-dup pair graph
     collapsed to connected components by the same iterated min-label

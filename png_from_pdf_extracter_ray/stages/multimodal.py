@@ -315,6 +315,59 @@ class WebpRoundtrip:
         )
 
 
+class Vp8Roundtrip:
+    """Actor-pool stage: page raster → lossy WebP (VP8 keyframe) encode
+    → decode → attestation row — the LOSSY-web-format twin of
+    WebpRoundtrip (real crawls carry lossy WebP far more than lossless,
+    and this container has no other VP8 producer, so the engine's own
+    rasters are the payloads).
+
+    Per page: ``page_id``, compressed ``vp8_bytes``, ``dec_md5`` of the
+    DECODED luma raster (pins kernel/vp8.py's decoder AND encoder
+    bit-for-bit — both are fully deterministic, so the digest is stable
+    even though the codec is lossy), and ``mae`` vs the source raster
+    (the quantization-error attestation, like JpegRoundtrip's).
+
+    Meant for SMALL thumbs (96×54 by default upstream): the pure-Python
+    per-subblock encode costs ~40 ms/page at that size and scales
+    linearly in pixels, so thumbnail scale keeps the stage inside the
+    same per-batch envelope as the other codec stages."""
+
+    def __init__(self, qi: int = 24) -> None:
+        self.qi = qi
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        from ..kernel.vp8 import decode_vp8_webp, encode_vp8_gray
+
+        urls = batch["url"].to_pylist()
+        nums = batch["page_number"].to_pylist()
+        pngs = batch["png"].to_pylist()
+        ids = [f"{u}#{n}" for u, n in zip(urls, nums)]
+        n = len(pngs)
+        vp8_bytes = np.zeros(n, dtype=np.int64)
+        digests: list[str] = []
+        mae = np.zeros(n, dtype=np.float64)
+        for i, b in enumerate(pngs):
+            arr = decode_png_gray(b)
+            wb = encode_vp8_gray(arr, qi=self.qi)
+            dec = decode_vp8_webp(wb)[0]  # native luma plane
+            vp8_bytes[i] = len(wb)
+            digests.append(hashlib.md5(dec.tobytes()).hexdigest())
+            mae[i] = round(
+                float(np.mean(np.abs(arr.astype(np.float64) - dec))), 4
+            )
+        return pa.Table.from_pydict(
+            {
+                "page_id": pa.array(ids, pa.string()),
+                "vp8_bytes": pa.array(vp8_bytes),
+                "dec_md5": pa.array(digests, pa.string()),
+                "mae": pa.array(mae, pa.float64()),
+            }
+        )
+
+
 def phash64_ink(arr: np.ndarray, grid: int = 32, levels: int = 32) -> int:
     """64-bit perceptual hash of a grayscale page raster.
 

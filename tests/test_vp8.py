@@ -35,7 +35,11 @@ import pytest
 
 from png_from_pdf_extracter_ray.kernel.errors import UnsupportedImageError
 from png_from_pdf_extracter_ray.kernel.image import decode_image
-from png_from_pdf_extracter_ray.kernel.vp8 import decode_vp8_frame, decode_vp8_webp
+from png_from_pdf_extracter_ray.kernel.vp8 import (
+    decode_vp8_frame,
+    decode_vp8_webp,
+    encode_vp8_gray,
+)
 from png_from_pdf_extracter_ray.kernel.webp import decode_webp
 
 # ---------------------------------------------------------------------------
@@ -241,3 +245,60 @@ def test_fixtures_match_live_libwebp(name: str) -> None:
     assert np.array_equal(Y0, Y1)
     assert np.array_equal(U0, U1)
     assert np.array_equal(V0, V1)
+
+
+# ---------------------------------------------------------------------------
+# encoder (encode_vp8_gray) — roundtrip + differential vs libwebp decode
+# ---------------------------------------------------------------------------
+
+
+def test_encoder_roundtrip_quality_and_determinism() -> None:
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    d1 = encode_vp8_gray(a, qi=4)
+    d2 = encode_vp8_gray(a, qi=4)
+    assert d1 == d2  # deterministic bytes
+    Y, U, V = decode_vp8_webp(d1)
+    assert Y.shape == a.shape
+    assert np.abs(Y.astype(int) - a.astype(int)).mean() < 2.0  # qi=4 is fine
+    assert (U == 128).all() and (V == 128).all()  # flat chroma
+
+
+def test_encoder_odd_size_and_extreme_qi() -> None:
+    g = (np.add.outer(np.arange(17), np.arange(33)) * 5 % 256).astype(np.uint8)
+    for qi in (0, 127):
+        Y, _, _ = decode_vp8_webp(encode_vp8_gray(g, qi=qi))
+        assert Y.shape == g.shape
+    assert np.array_equal(
+        decode_vp8_webp(encode_vp8_gray(g, qi=0))[0].shape, g.shape
+    )
+
+
+def test_encoder_rejects_bad_input() -> None:
+    with pytest.raises(ValueError):
+        encode_vp8_gray(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError):
+        encode_vp8_gray(np.zeros((0, 4), np.uint8))
+
+
+def test_fdct_idct_inverse_pair() -> None:
+    from png_from_pdf_extracter_ray.kernel.vp8 import _fdct4x4, _idct4x4
+
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        res = rng.integers(-255, 256, (4, 4)).astype(np.int32)
+        back = _idct4x4(_fdct4x4(res))
+        assert np.abs(res - back).max() <= 1
+
+
+@pytest.mark.skipif(_LIBWEBP is None, reason="libwebp not available")
+def test_encoder_streams_match_live_libwebp() -> None:
+    rng = np.random.default_rng(9)
+    for shape in ((16, 16), (17, 33), (48, 40)):
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = encode_vp8_gray(a, qi=24)
+        Y0, U0, V0 = _lw_decode_yuv(_LIBWEBP, data)
+        Y1, U1, V1 = decode_vp8_webp(data)
+        assert np.array_equal(Y0, Y1)
+        assert np.array_equal(U0, U1)
+        assert np.array_equal(V0, V1)
