@@ -30,9 +30,12 @@ GRAYSCALE array for:
 - **WebP lossless (VP8L)** — a real decoder (kernel/webp.py): canonical
   prefix codes, colour cache, meta-prefix groups, LZ77 backrefs with
   the 2-D distance map, all four inverse transforms; alpha is dropped
-  before the grayscale conversion.  Lossy VP8 (boolean arithmetic
-  coder + loop-filtered DCT; no pure-stdlib baseline here) raises
-  ``UnsupportedImageError``.
+  before the grayscale conversion.
+- **WebP lossy (VP8 keyframe)** — a real decoder (kernel/vp8.py):
+  boolean entropy decoder, token partitions, WHT/DCT inverses, all
+  intra predictors, both loop filters — bit-exact vs libwebp; the
+  grayscale path uses the native Y plane directly.  VP8 interframes
+  (never valid as still images) raise ``UnsupportedImageError``.
 
 Color → grayscale uses the integer ITU-R 601 weights
 ``(299·R + 587·G + 114·B) // 1000`` so results are deterministic

@@ -2,11 +2,9 @@
 
 Closes the last named multimodal format gap (VERDICT r4 missing #1:
 "progressive-JPEG / WebP / compressed-TIFF"): progressive JPEG and
-compressed TIFF landed earlier in r5; this adds WebP *lossless*.
-Real crawls carry both lossless and lossy WebP — lossy VP8 uses a
-boolean arithmetic coder + loop-filtered DCT reconstruction with no
-pure-stdlib baseline in this container, so it still raises
-``UnsupportedImageError`` (honest dead-letter), while VP8L is fully
+compressed TIFF landed earlier in r5; this adds WebP *lossless*, and
+kernel/vp8.py (also r5) covers the *lossy* VP8-keyframe side, so
+``decode_webp`` below now dispatches both chunk types.  VP8L is fully
 implemented from the public "WebP Lossless Bitstream Specification":
 
 decoder — canonical prefix codes (simple + complex form with the
