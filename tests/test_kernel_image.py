@@ -186,11 +186,9 @@ def test_bmp8_palette() -> None:
 
 
 def test_entropy_coded_formats_rejected() -> None:
-    # JPEG/GIF/uncompressed-TIFF decode for real since round 4 — a
-    # recognized magic with garbage payload now fails as MALFORMED
-    # (ValueError), not unsupported; only LOSSY WebP (VP8 boolean
-    # arithmetic coding, no pure-Python baseline) still raises
-    # UnsupportedImageError — VP8L lossless decodes via kernel/webp.py
+    # Every sniffed format decodes for real now (JPEG/GIF/TIFF since
+    # r4, both WebP flavours since r5) — a recognized magic with a
+    # garbage payload fails as MALFORMED (ValueError), never silently
     for magic, name in [
         (b"\xff\xd8\xff\xe0" + b"x" * 32, "jpeg"),
         (b"GIF89a" + b"x" * 32, "gif"),
@@ -202,15 +200,18 @@ def test_entropy_coded_formats_rejected() -> None:
             decode_image(magic)
     import struct as _struct
 
+    # lossy VP8 decodes for real since r5 (kernel/vp8.py, pinned in
+    # tests/test_vp8.py); a garbage VP8 chunk is malformed, not
+    # unsupported
     lossy = (
         b"RIFF"
-        + _struct.pack("<I", 4 + 8 + 8)
+        + _struct.pack("<I", 4 + 8 + 12)
         + b"WEBP"
         + b"VP8 "
-        + _struct.pack("<I", 8)
-        + b"\x00" * 8
+        + _struct.pack("<I", 12)
+        + b"\x00" * 12
     )
-    with pytest.raises(UnsupportedImageError, match="lossy WebP"):
+    with pytest.raises(ValueError):
         decode_image(lossy)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"garbage bytes here")
