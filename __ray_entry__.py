@@ -354,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem_approx": _prof.profile_table_approx,
         "minhash_dedup_groups": textops.minhash_dedup_groups,
         "ngram_jaccard_near_dups": textops.ngram_jaccard_near_dups,
+        "ngram_containment_near_dups": textops.ngram_containment_near_dups,
+        "doc_chunks_overlap": textops.doc_chunks_overlap,
         "embedding_near_dups": textops.embedding_near_dups,
         "text_embedding_near_dups": textops.text_embedding_near_dups,
         # --- corpus statistics (all SQL-checked) ---
@@ -1932,6 +1934,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+        """,
+        # same capped shingle universe as ngram_jaccard_near_dups; only
+        # the score differs (i / LEAST(|A|, |B|) — doc-in-doc detector)
+        "ngram_containment_near_dups": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+                       unnest(range(len(regexp_split_to_array(trim(lower(text)), '\\s+')))) AS pos
+                FROM documents WHERE trim(text) <> ''
+            ),
+            sh0 AS (
+                SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+            ),
+            keep AS (
+                SELECT shingle FROM sh0 GROUP BY shingle
+                HAVING COUNT(*) <= {_NGRAM_MAX_DF}
+            ),
+            sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / LEAST(sa.n, sb.n), 4) AS containment
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.5
+        """,
+        # boundaries: chunk i covers [i*48, min(i*48+64, n)); i*48 < n
+        # ⟺ i < ceil(n/48); md5 over the 1-based inclusive token slice
+        "doc_chunks_overlap": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents WHERE trim(text) <> ''
+            ),
+            base AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            c AS (
+                SELECT doc_id, toks, n, CAST(i AS BIGINT) AS chunk_idx,
+                       CAST(i AS BIGINT) * 48 AS start_tok,
+                       LEAST(CAST(i AS BIGINT) * 48 + 64, n) AS end_tok
+                FROM base
+                CROSS JOIN unnest(range(CAST(ceil(n / 48.0) AS BIGINT))) AS u(i)
+            )
+            SELECT doc_id, chunk_idx, start_tok, end_tok,
+                   end_tok - start_tok AS n_tokens,
+                   md5(array_to_string(
+                       toks[CAST(start_tok + 1 AS BIGINT):CAST(end_tok AS BIGINT)],
+                       ' ')) AS chunk_md5
+            FROM c
         """,
         # span universe, df count, and zero-fill mirror
         # pipelines/data_quality.duplicate_span_stats (K shared via

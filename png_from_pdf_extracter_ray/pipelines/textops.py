@@ -451,6 +451,87 @@ def ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.2) -> pd.DataFrame
     )
 
 
+def doc_chunks_overlap(
+    sf_dir: str, window: int = 64, stride: int = 48
+) -> rd.Dataset:
+    """RAG/context chunking with overlap: each document's token stream is
+    cut into windows of ``window`` tokens starting every ``stride``
+    tokens (stride < window ⇒ consecutive chunks overlap by
+    window−stride tokens — the standard retrieval-chunking shape; the
+    final chunk is the partial tail).  Chunk i covers tokens
+    [i·stride, min(i·stride+window, n)); starts exist while i·stride < n,
+    so every chunk contributes at least one new token.
+
+    Embarrassingly parallel — one map_batches, no shuffle; at 100 TB
+    this runs at read bandwidth.  Differs from context_pack_bins (which
+    PACKS whole docs into fixed training sequences): this SPLITS one doc
+    into overlapping windows.  Output carries the chunk's md5 (DuckDB-
+    shared hash) rather than the chunk text so the result stays slim;
+    a real pipeline would emit the text column instead.  SQL-checked:
+    the oracle regenerates boundaries with generate-series arithmetic
+    and md5s the same 1-based token slices.
+    """
+    import hashlib
+
+    if not (0 < stride <= window):
+        raise ValueError("need 0 < stride <= window")
+
+    def chunk_batch(batch: pa.Table) -> pa.Table:
+        ids, idxs, starts, ends, md5s = [], [], [], [], []
+        for did, txt in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = _TOKEN_WS.split((txt or "").strip().lower())
+            if toks == [""]:
+                continue
+            n = len(toks)
+            i = 0
+            while i * stride < n:
+                s = i * stride
+                e = min(s + window, n)
+                ids.append(did)
+                idxs.append(i)
+                starts.append(s)
+                ends.append(e)
+                md5s.append(hashlib.md5(" ".join(toks[s:e]).encode()).hexdigest())
+                i += 1
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, batch["doc_id"].type),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "start_tok": pa.array(starts, pa.int64()),
+                "end_tok": pa.array(ends, pa.int64()),
+                "n_tokens": pa.array(
+                    [e - s for s, e in zip(starts, ends)], pa.int64()
+                ),
+                "chunk_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk_batch, batch_format="pyarrow"
+    )
+
+
+def ngram_containment_near_dups(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Exact 3-gram CONTAINMENT near-dup pairs (i / min(|A|, |B|)) over
+    documents — the doc-in-doc detector Jaccard misses: a short doc
+    quoted whole inside a long one has containment ~1.0 but Jaccard
+    near 0 (union is dominated by the long side).  Same df-capped
+    inverted-shingle-index machinery as ngram_jaccard_near_dups (one
+    shingle shuffle, bucketed pair partials, one value-attach join);
+    only the final score kernel differs.  SQL-checked with the
+    identical capped shingle universe."""
+    from ..stages.neardup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        threshold=threshold,
+        max_df=NGRAM_MAX_DF,
+        metric="containment",
+    )
+
+
 def text_embeddings(sf_dir: str, dim: int = 64) -> rd.Dataset:
     """documents.text → hashing-trick embeddings (actor pool; the model-
     inference stage shape — rows-only oracle, non-SQL)."""

@@ -632,6 +632,7 @@ def ngram_jaccard_pairs(
     k_shingle: int = 3,
     num_buckets: int = 64,
     max_df: int | None = None,
+    metric: str = "jaccard",
 ) -> pd.DataFrame:
     """EXACT all-pairs n-gram Jaccard ≥ threshold via an inverted
     shingle index — no sketching, so the result is SQL-checkable:
@@ -648,6 +649,16 @@ def ngram_jaccard_pairs(
        measured 200+ s where the bucketed sum takes ~2 s;
     4. two bucketed joins attach |A|, |B|; J = i / (|A| + |B| - i).
 
+    ``metric`` selects the pair score computed from the same
+    (intersection, |A|, |B|) triple: ``"jaccard"`` (default,
+    ``i / (|A| + |B| - i)``) or ``"containment"``
+    (``i / min(|A|, |B|)`` — the doc-in-doc detector: a short document
+    quoted whole inside a long one scores ~1.0 where Jaccard, diluted
+    by the long side's union, stays near 0; the standard complement to
+    Jaccard in dedup suites, cf. Broder's resemblance/containment
+    pair).  The score column is named after the metric so the oracle
+    SQL's aliases line up.
+
     ``max_df`` caps shingle document frequency — the web-scale guard:
     pair generation is quadratic per shingle, so ONE boilerplate shingle
     ("all rights reserved") in 10^6 docs would emit 10^12 partial pairs.
@@ -658,6 +669,8 @@ def ngram_jaccard_pairs(
     the entry stays SQL-checkable.  Shingles stay raw strings so the
     oracle matches byte-for-byte.
     """
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     id_type = _schema_type(ds, id_col)
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
@@ -732,7 +745,7 @@ def ngram_jaccard_pairs(
         if both.count() == 0:
             # every shingle was capped away (or no doc had >= k tokens):
             # downstream datasets would have no schema for the joins
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+            return pd.DataFrame({"id_a": [], "id_b": [], metric: []})
         partial = both.map_batches(
             lambda t: t.filter(pc.equal(t["__kind"], 0)).select(["id_a", "id_b", "i"]),
             batch_format="pyarrow",
@@ -776,7 +789,7 @@ def ngram_jaccard_pairs(
         .materialize()
     )
     if inter.count() == 0:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        return pd.DataFrame({"id_a": [], "id_b": [], metric: []})
 
     with_ab = attach_pair_values(
         inter,
@@ -795,13 +808,18 @@ def ngram_jaccard_pairs(
         import pyarrow.compute as pc
 
         i = pc.cast(t["i"], pa.float64())
-        union = pc.subtract(pc.add(pc.cast(t["n_a"], pa.float64()), pc.cast(t["n_b"], pa.float64())), i)
-        jac = pc.divide(i, union)
-        t = t.append_column("jaccard", pc.round(jac, 4))
-        return t.filter(pc.greater_equal(jac, threshold)).select(["id_a", "id_b", "jaccard"])
+        na = pc.cast(t["n_a"], pa.float64())
+        nb = pc.cast(t["n_b"], pa.float64())
+        if metric == "containment":
+            denom = pc.min_element_wise(na, nb)
+        else:
+            denom = pc.subtract(pc.add(na, nb), i)
+        val = pc.divide(i, denom)
+        t = t.append_column(metric, pc.round(val, 4))
+        return t.filter(pc.greater_equal(val, threshold)).select(["id_a", "id_b", metric])
 
     out = _to_pandas_safe(
-        with_ab.map_batches(score, batch_format="pyarrow"), ["id_a", "id_b", "jaccard"]
+        with_ab.map_batches(score, batch_format="pyarrow"), ["id_a", "id_b", metric]
     )
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 

@@ -238,3 +238,53 @@ class TestIncrementalNewDocs:
         ds = slim["url"].str.extract(INC_SITE_RE, expand=False).astype("int64")
         n_delta = int((ds % INC_DELTA_MOD == 0).sum())
         assert len(out) < n_delta
+
+
+class TestDocChunksOverlap:
+    def test_boundaries_and_tail(self, ray_session, tmp_path):  # noqa: ANN001
+        """Chunk i covers [i*stride, min(i*stride+window, n)); starts
+        exist while i*stride < n; the tail chunk is partial; consecutive
+        chunks overlap by window - stride tokens."""
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from png_from_pdf_extracter_ray.pipelines.textops import doc_chunks_overlap
+
+        toks = [f"w{i}" for i in range(10)]
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [" ".join(toks), "one two", "   "],
+            }
+        )
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+
+        out = (
+            doc_chunks_overlap(str(tmp_path), window=4, stride=3)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+        )
+        # doc 1 (n=10): starts 0,3,6,9 -> ends 4,7,10,10
+        d1 = out[out.doc_id == 1]
+        assert list(d1.start_tok) == [0, 3, 6, 9]
+        assert list(d1.end_tok) == [4, 7, 10, 10]
+        assert list(d1.n_tokens) == [4, 4, 4, 1]
+        assert (
+            d1.iloc[0].chunk_md5
+            == hashlib.md5("w0 w1 w2 w3".encode()).hexdigest()
+        )
+        # doc 2 (n=2 < window): one partial chunk
+        d2 = out[out.doc_id == 2]
+        assert list(d2.start_tok) == [0] and list(d2.end_tok) == [2]
+        # doc 3 (blank): no chunks
+        assert (out.doc_id == 3).sum() == 0
+
+    def test_rejects_bad_stride(self, ray_session, tmp_path):  # noqa: ANN001
+        import pytest
+
+        from png_from_pdf_extracter_ray.pipelines.textops import doc_chunks_overlap
+
+        with pytest.raises(ValueError, match="stride"):
+            doc_chunks_overlap(str(tmp_path), window=4, stride=5)

@@ -249,6 +249,35 @@ def test_ngram_jaccard_df_cap_drops_boilerplate(ray_session) -> None:  # noqa: A
     assert len(capped) == 0  # boilerplate (df=4) dropped; nothing else shared
 
 
+def test_ngram_containment_detects_doc_in_doc(ray_session) -> None:  # noqa: ANN001
+    """A short doc quoted whole inside a long one: containment ≈ 1.0
+    while Jaccard (diluted by the long side's union) stays below any
+    useful threshold — the metric split the operator exists for."""
+    from png_from_pdf_extracter_ray.stages.neardup import ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"tok{i}" for i in range(60))
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [short, f"{filler} {short}", "zeta eta theta iota kappa"],
+    }
+    ds = rd.from_arrow(pa.Table.from_pydict(rows))
+
+    cont = ngram_jaccard_pairs(ds, threshold=0.9, metric="containment")
+    assert list(cont.columns) == ["id_a", "id_b", "containment"]
+    assert len(cont) == 1
+    assert (cont.iloc[0]["id_a"], cont.iloc[0]["id_b"]) == (1, 2)
+    assert cont.iloc[0]["containment"] == 1.0  # every shingle of 1 is in 2
+
+    jac = ngram_jaccard_pairs(ds, threshold=0.2, metric="jaccard")
+    assert len(jac) == 0  # Jaccard for (1,2) is 3/63 ≈ 0.05 — invisible
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown metric"):
+        ngram_jaccard_pairs(ds, metric="dice")
+
+
 def test_embedding_lsh_bucket_verify_equals_join_verify(ray_session, sf_dir) -> None:  # noqa: ANN001
     """The two verification strategies are pure execution-plan choices —
     identical pair sets and cosines on the same input/params."""
