@@ -36,6 +36,7 @@ import ray.data as rd
 
 from ..kernel.image import decode_image
 from ..kernel.jpeg import decode_jpeg, encode_jpeg_gray, encode_jpeg_progressive
+from ..kernel.vp8 import decode_vp8_webp, encode_vp8_gray
 from ..kernel.webp import decode_webp, encode_webp_lossless
 from ..kernel.png import decode_png_gray, read_png_dpi, read_png_size, write_png_gray
 
@@ -337,9 +338,10 @@ class Vp8Roundtrip:
         self.qi = qi
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # kernel imports live at module top level (ROUND_NOTES lesson
+        # 24): a function-local relative import executes ON the worker,
+        # where the package is not importable from a foreign cwd.
         import hashlib
-
-        from ..kernel.vp8 import decode_vp8_webp, encode_vp8_gray
 
         urls = batch["url"].to_pylist()
         nums = batch["page_number"].to_pylist()
