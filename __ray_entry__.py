@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_novelty_by_day": snaps.crawl_novelty_by_day,
         "url_canonicalize": urlops.url_canonicalize,
         "crawl_politeness_schedule": urlops.crawl_politeness_schedule,
+        "host_grouped_split": urlops.host_grouped_split,
         # --- TPC-H long tail ---
         "q6_forecast_revenue": rel.q6_forecast_revenue,
         "q7_volume_shipping": rel.q7_volume_shipping,
@@ -1352,6 +1353,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST((row_number() OVER (
                        PARTITION BY host ORDER BY last_us, url
                    ) - 1) * {_POLITENESS_US} AS BIGINT) AS sched_offset_us
+            FROM h
+        """,
+        # host-grouped split: test iff md5(host) first hex char in (0,1)
+        # — the unit of assignment is the host, so no host straddles the
+        # split (pipelines/urlops.host_grouped_split)
+        "host_grouped_split": f"""
+            WITH u AS (
+                SELECT DISTINCT url FROM read_parquet('{_pages_slim_oracle}')
+            ), h AS (
+                SELECT url, regexp_extract(url, '{_DOMAIN_RE}', 1) AS host
+                FROM u
+            )
+            SELECT url, host,
+                   CASE WHEN substr(md5(host), 1, 1) IN ('0', '1')
+                        THEN 'test' ELSE 'train' END AS split
             FROM h
         """,
         "pages_snapshot_drift": f"""

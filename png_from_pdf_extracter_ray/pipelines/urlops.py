@@ -55,6 +55,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -348,4 +349,78 @@ def crawl_politeness_schedule(
         .map_batches(rehost, batch_format="pyarrow")
         .groupby("__hb")
         .map_groups(rank, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-grouped (leakage-safe) train/test split
+# ---------------------------------------------------------------------------
+
+_HOST_SPLIT_SCHEMA = pa.schema(
+    [("url", pa.string()), ("host", pa.string()), ("split", pa.string())]
+)
+
+
+def host_grouped_split(
+    sf_dir: str,
+    test_hex_prefixes: tuple = ("0", "1"),
+    expand: int = 2,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Group-aware train/test split: the unit of assignment is the HOST,
+    not the document — every url of a host lands on the same side, so
+    near-duplicate pages of one site (templates, boilerplate, mirrored
+    articles) can never straddle the split and leak test content into
+    training.  The complement of textops.train_test_split (which splits
+    per doc_id and is leakage-prone for web corpora).
+
+    split = 'test' iff the first hex char of md5(host) is in
+    ``test_hex_prefixes`` (2/16 = 12.5% of HOSTS by default — the test
+    fraction of docs then follows the host-size distribution, which is
+    the price of group integrity).  Pure function of the host → stable
+    under any partitioning, resumable, SQL-checkable.
+
+    Ray shape: one B-bucket shuffle of slim (url) rows to make urls
+    distinct (per-batch drop_duplicates combiner first, so the shuffle
+    carries survivors only); host extraction + md5 assignment are then
+    row-local.  Payloads never travel; at 100 TB this is a
+    bytes-per-url-sized exchange.
+    """
+    import hashlib
+
+    from .data_quality import DOMAIN_RE
+    from .snapshots import _slim_pages
+
+    def pre(batch: pa.Table) -> pa.Table:
+        urls = pc.unique(batch["url"])
+        t = pa.Table.from_arrays([urls], names=["url"])
+        b = stable_bucket_ids(t["url"], num_buckets) if t.num_rows else np.empty(0, np.int32)
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def assign(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _HOST_SPLIT_SCHEMA.empty_table()
+        urls = g["url"].drop_duplicates()
+        host = urls.str.extract(DOMAIN_RE, expand=False).fillna("")
+        split = [
+            "test"
+            if hashlib.md5(h.encode()).hexdigest()[0] in test_hex_prefixes
+            else "train"
+            for h in host
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls.tolist(), pa.string()),
+                pa.array(host.tolist(), pa.string()),
+                pa.array(split, pa.string()),
+            ],
+            schema=_HOST_SPLIT_SCHEMA,
+        )
+
+    return (
+        _slim_pages(sf_dir, expand)
+        .select_columns(["url"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(assign, batch_format="pandas")
     )

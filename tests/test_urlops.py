@@ -86,3 +86,22 @@ def test_messy_url_deterministic() -> None:
     assert messy_url("https://x.example/a", 7) == messy_url(
         "https://x.example/a", 7
     )
+
+
+class TestHostGroupedSplit:
+    def test_hosts_never_straddle_and_split_nonempty(self, ray_session, sf_dir):  # noqa: ANN001
+        from png_from_pdf_extracter_ray.pipelines.urlops import host_grouped_split
+
+        out = host_grouped_split(sf_dir).to_pandas()
+        # one row per distinct url
+        assert out["url"].is_unique
+        # group integrity: every host maps to exactly one split
+        assert (out.groupby("host")["split"].nunique() == 1).all()
+        # both sides exist on the synth corpus (50 hosts, 12.5% test rate)
+        assert set(out["split"]) == {"train", "test"}
+        # split is a pure function of the host (md5 first hex char)
+        import hashlib
+
+        for h, s in out.drop_duplicates("host")[["host", "split"]].itertuples(index=False):
+            expect = "test" if hashlib.md5(h.encode()).hexdigest()[0] in ("0", "1") else "train"
+            assert s == expect
