@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": urlops.url_canonicalize,
         "crawl_politeness_schedule": urlops.crawl_politeness_schedule,
         "host_grouped_split": urlops.host_grouped_split,
+        "url_path_templates": urlops.url_path_templates,
         # --- TPC-H long tail ---
         "q6_forecast_revenue": rel.q6_forecast_revenue,
         "q7_volume_shipping": rel.q7_volume_shipping,
@@ -559,6 +560,9 @@ def oracle_sql() -> dict[str, str]:
 
     from png_from_pdf_extracter_ray.pipelines.urlops import (
         POLITENESS_DELAY_US as _POLITENESS_US,
+    )
+    from png_from_pdf_extracter_ray.pipelines.urlops import (
+        URL_TEMPLATE_NUM_RE as _URL_TPL_NUM,
     )
     from png_from_pdf_extracter_ray.pipelines.data_quality import (
         ZRATIO_MAX as _ZR_MAX,
@@ -1369,6 +1373,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN substr(md5(host), 1, 1) IN ('0', '1')
                         THEN 'test' ELSE 'train' END AS split
             FROM h
+        """,
+        # digit runs in the PATH collapse to 'N'; counts over distinct urls
+        "url_path_templates": f"""
+            WITH u AS (
+                SELECT DISTINCT url FROM read_parquet('{_pages_slim_oracle}')
+            ), t AS (
+                SELECT regexp_replace(
+                           regexp_replace(url, '^https?://[^/]*', ''),
+                           '{_URL_TPL_NUM}', 'N', 'g') AS template,
+                       regexp_extract(url, '{_DOMAIN_RE}', 1) AS host
+                FROM u
+            )
+            SELECT template, COUNT(*) AS n_urls,
+                   COUNT(DISTINCT host) AS n_hosts
+            FROM t GROUP BY template
         """,
         "pages_snapshot_drift": f"""
             WITH s AS (

@@ -424,3 +424,85 @@ def host_grouped_split(
         .groupby("__bucket")
         .map_groups(assign, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL path-template mining
+# ---------------------------------------------------------------------------
+
+# Digit runs collapse to 'N' — /doc/123 and /doc/456 share a template.
+# Single-sourced into the oracle SQL (DuckDB regexp_replace ... 'g').
+URL_TEMPLATE_NUM_RE = r"[0-9]+"
+
+_TPL_SCHEMA = pa.schema(
+    [("template", pa.string()), ("n_urls", pa.int64()), ("n_hosts", pa.int64())]
+)
+
+
+def url_path_templates(
+    sf_dir: str, expand: int = 2, num_buckets: int = 32
+) -> rd.Dataset:
+    """Mine URL path templates: collapse digit runs in the path to ``N``
+    (`/doc/123` → `/doc/N`) and count distinct urls and distinct hosts
+    per template — the crawl-cartography op that surfaces site
+    structure (article pages vs listing pages vs calendar traps) before
+    deciding what to crawl or keep at scale.
+
+    Ray shape: two slim B-bucket shuffles — distinct urls (per-batch
+    unique combiner first), then a template-bucketed fold where
+    ``n_urls`` is the row count and ``n_hosts`` a vectorized nunique
+    (a template lives in exactly one bucket, so both are exact).
+    Payloads never travel.
+    """
+    from .data_quality import DOMAIN_RE
+    from .snapshots import _slim_pages
+
+    num_re = re.compile(URL_TEMPLATE_NUM_RE)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        urls = pc.unique(batch["url"])
+        t = pa.Table.from_arrays([urls], names=["url"])
+        b = stable_bucket_ids(t["url"], num_buckets) if t.num_rows else np.empty(0, np.int32)
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    _DIST_SCHEMA = pa.schema(
+        [("template", pa.string()), ("host", pa.string()), ("__tb", pa.int32())]
+    )
+
+    def to_templates(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _DIST_SCHEMA.empty_table()
+        urls = g["url"].drop_duplicates()
+        host = urls.str.extract(DOMAIN_RE, expand=False).fillna("")
+        # path = url minus scheme+host prefix; digit runs -> N
+        path = urls.str.replace(r"^https?://[^/]*", "", regex=True)
+        tpl = path.str.replace(num_re, "N", regex=True)
+        t = pa.Table.from_arrays(
+            [
+                pa.array(tpl.tolist(), pa.string()),
+                pa.array(host.tolist(), pa.string()),
+            ],
+            names=["template", "host"],
+        )
+        tb = stable_bucket_ids(t["template"], num_buckets)
+        return t.append_column("__tb", pa.array(tb, pa.int32()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _TPL_SCHEMA.empty_table()
+        out = (
+            g.groupby("template", sort=False)
+            .agg(n_urls=("host", "size"), n_hosts=("host", "nunique"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, schema=_TPL_SCHEMA, preserve_index=False)
+
+    return (
+        _slim_pages(sf_dir, expand)
+        .select_columns(["url"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(to_templates, batch_format="pandas")
+        .groupby("__tb")
+        .map_groups(fold, batch_format="pandas")
+    )

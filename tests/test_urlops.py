@@ -105,3 +105,20 @@ class TestHostGroupedSplit:
         for h, s in out.drop_duplicates("host")[["host", "split"]].itertuples(index=False):
             expect = "test" if hashlib.md5(h.encode()).hexdigest()[0] in ("0", "1") else "train"
             assert s == expect
+
+
+class TestUrlPathTemplates:
+    def test_digit_runs_collapse_and_counts_are_distinct(self, ray_session, sf_dir):  # noqa: ANN001
+        from png_from_pdf_extracter_ray.pipelines.urlops import url_path_templates
+
+        out = url_path_templates(sf_dir).to_pandas()
+        assert len(out) > 0
+        assert out["template"].is_unique
+        # no digits survive in any template
+        assert not out["template"].str.contains(r"[0-9]").any()
+        # the synth corpus serves /doc/<id> pages from many hosts: the
+        # /doc/N template must aggregate across hosts
+        doc_tpl = out[out["template"].str.startswith("/doc/")]
+        assert len(doc_tpl) >= 1
+        assert (doc_tpl["n_hosts"] > 1).any()
+        assert (out["n_urls"] >= out["n_hosts"]).all()
