@@ -356,6 +356,29 @@ def crawl_politeness_schedule(
 # Host-grouped (leakage-safe) train/test split
 # ---------------------------------------------------------------------------
 
+
+def _distinct_urls_grouped(sf_dir: str, expand: int, num_buckets: int):
+    """Slim (url) rows → per-batch unique combiner → B-bucket groupby.
+    Shared first stage of the distinct-url operators (host_grouped_split,
+    url_path_templates): the shuffle carries per-batch survivors only;
+    callers attach their own map_groups fold (which must still
+    drop_duplicates within the bucket — batches dedup independently)."""
+    from .snapshots import _slim_pages
+
+    def pre(batch: pa.Table) -> pa.Table:
+        urls = pc.unique(batch["url"])
+        t = pa.Table.from_arrays([urls], names=["url"])
+        b = stable_bucket_ids(t["url"], num_buckets) if t.num_rows else np.empty(0, np.int32)
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    return (
+        _slim_pages(sf_dir, expand)
+        .select_columns(["url"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("__bucket")
+    )
+
+
 _HOST_SPLIT_SCHEMA = pa.schema(
     [("url", pa.string()), ("host", pa.string()), ("split", pa.string())]
 )
@@ -389,13 +412,6 @@ def host_grouped_split(
     import hashlib
 
     from .data_quality import DOMAIN_RE
-    from .snapshots import _slim_pages
-
-    def pre(batch: pa.Table) -> pa.Table:
-        urls = pc.unique(batch["url"])
-        t = pa.Table.from_arrays([urls], names=["url"])
-        b = stable_bucket_ids(t["url"], num_buckets) if t.num_rows else np.empty(0, np.int32)
-        return t.append_column("__bucket", pa.array(b, pa.int32()))
 
     def assign(g: pd.DataFrame) -> pa.Table:
         if g.empty:
@@ -417,12 +433,8 @@ def host_grouped_split(
             schema=_HOST_SPLIT_SCHEMA,
         )
 
-    return (
-        _slim_pages(sf_dir, expand)
-        .select_columns(["url"])
-        .map_batches(pre, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(assign, batch_format="pandas")
+    return _distinct_urls_grouped(sf_dir, expand, num_buckets).map_groups(
+        assign, batch_format="pandas"
     )
 
 
@@ -455,15 +467,8 @@ def url_path_templates(
     Payloads never travel.
     """
     from .data_quality import DOMAIN_RE
-    from .snapshots import _slim_pages
 
     num_re = re.compile(URL_TEMPLATE_NUM_RE)
-
-    def pre(batch: pa.Table) -> pa.Table:
-        urls = pc.unique(batch["url"])
-        t = pa.Table.from_arrays([urls], names=["url"])
-        b = stable_bucket_ids(t["url"], num_buckets) if t.num_rows else np.empty(0, np.int32)
-        return t.append_column("__bucket", pa.array(b, pa.int32()))
 
     _DIST_SCHEMA = pa.schema(
         [("template", pa.string()), ("host", pa.string()), ("__tb", pa.int32())]
@@ -498,10 +503,7 @@ def url_path_templates(
         return pa.Table.from_pandas(out, schema=_TPL_SCHEMA, preserve_index=False)
 
     return (
-        _slim_pages(sf_dir, expand)
-        .select_columns(["url"])
-        .map_batches(pre, batch_format="pyarrow")
-        .groupby("__bucket")
+        _distinct_urls_grouped(sf_dir, expand, num_buckets)
         .map_groups(to_templates, batch_format="pandas")
         .groupby("__tb")
         .map_groups(fold, batch_format="pandas")

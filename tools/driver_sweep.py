@@ -1,6 +1,11 @@
 """Driver-emulation sweep: every queries() entry vs its oracle_sql() at
-sf0.01, run from a FOREIGN cwd (catches by-reference pickle leaks), 32 cpus.
-Mirrors tests/test_queries_vs_duckdb.py's compare."""
+sf0.01 (or $GRAFT_ORACLE_SF_DIR), run from a FOREIGN cwd (catches
+by-reference pickle leaks pytest cannot), 32 cpus.  Reuses the compare
+helpers from tests/test_queries_vs_duckdb.py so the sweep and pytest can
+never disagree on what "equal" means.
+
+Usage: cd /tmp && python /root/repo/tools/driver_sweep.py [names...]
+"""
 
 from __future__ import annotations
 
@@ -12,8 +17,13 @@ import time
 import traceback
 
 if os.getcwd() == "/root/repo":
-    raise SystemExit("run from a foreign cwd, e.g. cd /tmp && python /root/repo/tools/driver_sweep.py")
+    raise SystemExit(
+        "run from a foreign cwd, e.g. cd /tmp && python /root/repo/tools/driver_sweep.py"
+    )
 os.environ.setdefault("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+# queries run on the SAME sf dir the oracle parquets were built for —
+# a pre-set GRAFT_ORACLE_SF_DIR must move both sides together
+SF = os.environ["GRAFT_ORACLE_SF_DIR"]
 sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
@@ -21,38 +31,13 @@ import pandas as pd  # noqa: E402
 import ray  # noqa: E402
 
 import __ray_entry__ as entrymod  # noqa: E402
-
-SF = "/root/testdata/sf0.01"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
-def _to_pandas(result):
-    import pyarrow as pa
-    import ray.data
-
-    if isinstance(result, ray.data.Dataset):
-        return result.to_pandas()
-    if isinstance(result, pa.Table):
-        return result.to_pandas()
-    return result
-
-
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns), ignore_index=True)
+from tests.test_queries_vs_duckdb import TABLES, _canon, _to_pandas  # noqa: E402
 
 
 def main() -> None:
-    ray.init(address="local", num_cpus=32, include_dashboard=False,
-             logging_level="ERROR")
+    ray.init(
+        address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR"
+    )
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -68,6 +53,9 @@ def main() -> None:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(sys.argv[1:])
+    unknown = only - set(qs)
+    if unknown:  # a typo'd name must not read as "checked: 0, bad: []"
+        raise SystemExit(f"unknown query names: {sorted(unknown)}")
     bad, checked, skipped = [], 0, 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -86,8 +74,11 @@ def main() -> None:
                     if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
                         eq = all(
                             (pd.isna(a) and pd.isna(b))
-                            or (not pd.isna(a) and not pd.isna(b)
-                                and math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-6))
+                            or (
+                                not pd.isna(a)
+                                and not pd.isna(b)
+                                and math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-6)
+                            )
                             for a, b in zip(g, e)
                         )
                     else:
@@ -103,8 +94,10 @@ def main() -> None:
         if not ok:
             bad.append(name)
         print(f"{name}: {status} ({time.time() - t0:.1f}s)", flush=True)
-    print(json.dumps({"checked": checked, "skipped_rows_only": skipped,
-                      "bad": bad}), flush=True)
+    print(
+        json.dumps({"checked": checked, "skipped_rows_only": skipped, "bad": bad}),
+        flush=True,
+    )
     ray.shutdown()
 
 
