@@ -248,6 +248,10 @@ def bench_queries() -> dict[str, float]:
         "token_budget_select",
         "host_triangle_counts",
         "curation_funnel",
+        "ngram_containment_near_dups",
+        "doc_chunks_overlap",
+        "host_grouped_split",
+        "url_path_templates",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
