@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- interchange-format long tail (distributed JSONL sink →
         # source hop digest-checked against the original parquet) ---
         "documents_jsonl_roundtrip": _ingest.jsonl_roundtrip_digest,
+        "documents_csv_roundtrip": _ingest.csv_roundtrip_digest,
         # --- corpus-diagnostics long tail (Heaps-law growth; the Zipf
         # fit's companion) ---
         "heaps_vocab_curve": corpus_stats.heaps_vocab_curve,
@@ -327,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": textops.train_test_split,
         "stratified_sample": textops.stratified_sample,
         "mixed_corpus_sample": textops.mixed_corpus_sample,
+        "source_mixture_plan": textops.source_mixture_plan,
         "training_shards_digest": textops.training_shards_digest,
         "md5_fingerprints": textops.md5_fingerprints,
         "normalized_text_fps": textops.normalized_text_fps,
@@ -348,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_domain_capped": dq.pages_domain_capped,
         "domain_reputation": dq.domain_reputation,
         "blocklist_filter": dq.blocklist_filter,
+        "c4_line_filters": dq.c4_line_filters,
         "incremental_new_docs": dq.incremental_new_docs,
         "incremental_new_docs_neardup": dq.incremental_new_docs_neardup,
         "quality_filter_chain": dq.quality_filter_chain,
@@ -556,6 +559,12 @@ def oracle_sql() -> dict[str, str]:
 
     from png_from_pdf_extracter_ray.pipelines.textops import (
         SHARD_COUNT as _shard_count,
+    )
+    from png_from_pdf_extracter_ray.pipelines.textops import (
+        MIX_EPOCH_FP as _MIX_EPOCH_FP,
+    )
+    from png_from_pdf_extracter_ray.pipelines.textops import (
+        MIX_MAX_EPOCHS as _MIX_MAX_EPOCHS,
     )
 
     from png_from_pdf_extracter_ray.pipelines.urlops import (
@@ -1067,6 +1076,18 @@ def oracle_sql() -> dict[str, str]:
         # write_json → read_json hop must equal the digest DuckDB
         # computes from the original parquet.
         "documents_jsonl_roundtrip": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(bit_xor(
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                           || ':' || COALESCE(text, '')), 1, 15)) AS BIGINT)
+                   ) AS BIGINT) AS xor_digest,
+                   CAST(SUM(length(COALESCE(text, ''))) AS BIGINT)
+                       AS total_chars
+            FROM documents
+        """,
+        # CSV roundtrip: identical digest contract — what came back
+        # through the write_csv → read_csv hop vs the original parquet.
+        "documents_csv_roundtrip": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(bit_xor(
                        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
@@ -1781,6 +1802,34 @@ def oracle_sql() -> dict[str, str]:
         "mixed_corpus_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {_mix_case}
+        """,
+        # equal-share epoch plan: token-count convention shared with
+        # token_counts; fixed point (2^20) + 4-epoch cap from the module
+        # constants (textops.MIX_EPOCH_FP / MIX_MAX_EPOCHS)
+        "source_mixture_plan": f"""
+            WITH s AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text),
+                                                               '\\s+'))
+                                END) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ), t AS (
+                SELECT CAST(SUM(n_tokens) AS BIGINT) // COUNT(*) AS share
+                FROM s
+            ), e AS (
+                SELECT source, n_docs, n_tokens,
+                       CAST(CASE WHEN n_tokens = 0 THEN 0
+                            ELSE LEAST((t.share * {_MIX_EPOCH_FP})
+                                           // n_tokens,
+                                       {_MIX_MAX_EPOCHS} * {_MIX_EPOCH_FP})
+                            END AS BIGINT) AS epochs_fp
+                FROM s CROSS JOIN t
+            )
+            SELECT source, n_docs, n_tokens, epochs_fp,
+                   CAST((n_tokens * epochs_fp) // {_MIX_EPOCH_FP} AS BIGINT)
+                       AS planned_tokens
+            FROM e
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM (
@@ -2778,6 +2827,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN len(list_filter(ts, x -> x IN ({_bl_inlist}))) = 0
                          THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM t
+    """
+    # C4 line-level cleaning: the page derivation (8-token lines,
+    # (doc_id*37+j*11)%10 decoration, lorem/brace dirt) is the shared
+    # contract — implemented independently here in SQL (explode +
+    # list ops) vs the engine's pandas map (data_quality._c4_page_lines);
+    # the line/page keep rules are likewise independent implementations.
+    sql["c4_line_filters"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE trim(text) <> ''
+        ), ln AS (
+            SELECT doc_id, CAST(j AS BIGINT) AS j,
+                   array_to_string(
+                       toks[CAST(j AS BIGINT) * 8 + 1 : CAST(j AS BIGINT) * 8 + 8],
+                       ' ') AS body,
+                   (doc_id * 37 + CAST(j AS BIGINT) * 11) % 10 AS v
+            FROM t CROSS JOIN unnest(range((len(toks) + 7) // 8)) AS u(j)
+        ), dec AS (
+            SELECT doc_id, j,
+                   CASE WHEN doc_id % 13 = 0 AND j = 0
+                        THEN 'lorem ipsum ' ELSE '' END ||
+                   CASE WHEN v <= 5 THEN body || '.'
+                        WHEN v = 6 THEN body || ':'
+                        WHEN v = 7 THEN body
+                        WHEN v = 8 THEN 'javascript ' || body || '.'
+                        ELSE body || '!' END ||
+                   CASE WHEN doc_id % 17 = 0 AND j = 1
+                        THEN ' {' ELSE '' END AS line
+            FROM ln
+        ), fl AS (
+            SELECT doc_id, j, line,
+                   (right(line, 1) IN ('.', '!', '?', '"')
+                    AND len(regexp_split_to_array(line, '\\s+')) >= 5
+                    AND NOT contains(line, 'javascript')) AS kept,
+                   (contains(line, 'lorem ipsum') OR contains(line, '{'))
+                       AS dirt
+            FROM dec
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   md5(COALESCE(string_agg(CASE WHEN kept THEN line END,
+                                           chr(10) ORDER BY j), ''))
+                       AS clean_md5,
+                   MAX(CASE WHEN dirt THEN 1 ELSE 0 END) AS dirty
+            FROM fl GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(a.clean_md5, md5('')) AS clean_md5,
+               CAST(CASE WHEN COALESCE(a.n_kept, 0) >= 3
+                          AND COALESCE(a.dirty, 0) = 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """
     from png_from_pdf_extracter_ray.stages.linkgraph import (
         KHOP_MAX_HOPS as _KHOP_K,

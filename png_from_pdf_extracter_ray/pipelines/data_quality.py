@@ -1877,3 +1877,105 @@ def quality_filter_chain(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         chain, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020, §2.2 heuristics)
+# ---------------------------------------------------------------------------
+
+# The corpora are single-line word soup, so the operator contract
+# includes a deterministic "web page" derivation — a pure function of
+# (doc_id, text) implemented INDEPENDENTLY on both sides (pandas here,
+# SQL in __ray_entry__), the same convention as the PII injection:
+#   tokens (trim → lower → \s+ split) group into fixed 8-token lines;
+#   v = (doc_id*37 + j*11) % 10 decorates line j:
+#     v<=5 → body+'.' ; v==6 → body+':' ; v==7 → bare body ;
+#     v==8 → 'javascript '+body+'.' ; v==9 → body+'!'
+#   then doc-level dirt: doc_id%13==0 prefixes line 0 with
+#   'lorem ipsum '; doc_id%17==0 appends ' {' to line 1.
+C4_LINE_TOKENS = 8
+C4_TERMINAL = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+
+def _c4_page_lines(doc_id: int, toks: list[str]) -> list[str]:
+    """Engine side of the shared page derivation (see module comment)."""
+    lines: list[str] = []
+    for j in range((len(toks) + C4_LINE_TOKENS - 1) // C4_LINE_TOKENS):
+        body = " ".join(toks[C4_LINE_TOKENS * j : C4_LINE_TOKENS * (j + 1)])
+        v = (doc_id * 37 + j * 11) % 10
+        if v <= 5:
+            line = body + "."
+        elif v == 6:
+            line = body + ":"
+        elif v == 7:
+            line = body
+        elif v == 8:
+            line = "javascript " + body + "."
+        else:
+            line = body + "!"
+        if doc_id % 13 == 0 and j == 0:
+            line = "lorem ipsum " + line
+        if doc_id % 17 == 0 and j == 1:
+            line = line + " {"
+        lines.append(line)
+    return lines
+
+
+_C4_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_lines", pa.int64()),
+        ("n_kept", pa.int64()),
+        ("clean_md5", pa.string()),
+        ("keep", pa.int64()),
+    ]
+)
+
+
+def c4_line_filters(sf_dir: str) -> rd.Dataset:
+    """C4-style line-level cleaning: keep a line iff it ends in terminal
+    punctuation AND has >= 5 words AND doesn't mention 'javascript';
+    keep the page iff >= 3 lines survived AND it contains neither
+    'lorem ipsum' nor '{' anywhere.  Output per doc: line/kept counts,
+    md5 of the cleaned text (kept lines joined with newline — the
+    actual C4 transform output, pinned byte-for-byte), and the page
+    keep flag.  Stateless streaming map; the per-doc string assembly +
+    md5 is the same accepted per-row codec cost class as pii_scrub
+    (the rule evaluation itself is trivial next to it)."""
+
+    def scan(df: pd.DataFrame) -> pa.Table:
+        ids = df["doc_id"].to_numpy(np.int64)
+        texts = df["text"].fillna("").to_numpy(dtype=object)
+        n_lines = np.zeros(len(ids), np.int64)
+        n_kept = np.zeros(len(ids), np.int64)
+        keep = np.zeros(len(ids), np.int64)
+        md5s: list[str] = []
+        for i, (doc_id, text) in enumerate(zip(ids, texts)):
+            lines = _c4_page_lines(int(doc_id), text.strip().lower().split())
+            kept = [
+                ln
+                for ln in lines
+                if ln.endswith(C4_TERMINAL)
+                and len(ln.split()) >= C4_MIN_LINE_WORDS
+                and "javascript" not in ln
+            ]
+            dirty = any(("lorem ipsum" in ln) or ("{" in ln) for ln in lines)
+            clean = "\n".join(kept)
+            n_lines[i] = len(lines)
+            n_kept[i] = len(kept)
+            keep[i] = int(len(kept) >= C4_MIN_KEPT_LINES and not dirty)
+            md5s.append(hashlib.md5(clean.encode("utf-8")).hexdigest())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "clean_md5": pa.array(md5s, pa.string()),
+                "keep": pa.array(keep, pa.int64()),
+            },
+            schema=_C4_SCHEMA,
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(scan, batch_format="pandas")

@@ -134,33 +134,24 @@ def jsonl_dir(sf_dir: str) -> str:
     return os.path.join(_JSONL_ROOT, f"{h}_v{CORPUS_VERSION}_e{ENGINE_VERSION}")
 
 
-def jsonl_roundtrip_digest(sf_dir: str) -> pa.Table:
-    """Documents → Ray's distributed NDJSON sink (``write_json``, one
-    shard per block) → Ray's distributed JSON source (``read_json``,
-    one read task per shard) → one digest row folded from per-batch
-    partials: row count, ``bit_xor`` of an md5-derived int64 per
-    ``(doc_id, text)`` pair, total text chars.  The DuckDB twin computes
-    the identical digest from the ORIGINAL parquet view — so a row
-    lost, duplicated, or mutated anywhere in the JSON encode/decode hop
-    (escaping, unicode, newline handling, shard split) flips the
-    result.  The JSONL interchange hop is how corpora leave/enter this
-    engine for tools that don't speak parquet."""
-    out_dir = jsonl_dir(sf_dir)
+def _roundtrip_written(sf_dir: str, out_dir: str, write: str) -> str:
+    """Materialize documents (doc_id, text) through a distributed sink
+    once per corpus — crash-safe commit (ADVICE r4): write into a
+    process-unique temp dir and atomically rename it into place.  The
+    old _done-marker protocol left stale partial shards behind a crash
+    between the write and the marker — Ray writes uniquely-named files,
+    so a re-run would read old + new shards and duplicate rows forever.
+    A renamed dir either exists complete or not at all."""
     if not os.path.exists(out_dir):
-        # crash-safe commit (ADVICE r4): write into a process-unique temp
-        # dir and atomically rename it into place.  The old _done-marker
-        # protocol left stale partial shards behind a crash between
-        # write_json and the marker — Ray writes uniquely-named files,
-        # so a re-run would read old + new shards and duplicate rows
-        # forever.  A renamed dir either exists complete or not at all.
         import shutil
 
         tmp = f"{out_dir}.tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
-        rd.read_parquet(
+        ds = rd.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text"],
-        ).write_json(tmp)
+        )
+        getattr(ds, write)(tmp)
         try:
             os.rename(tmp, out_dir)
         except OSError as exc:
@@ -169,6 +160,15 @@ def jsonl_roundtrip_digest(sf_dir: str) -> pa.Table:
             if exc.errno not in (errno.ENOTEMPTY, errno.EEXIST):
                 raise
             shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+def _digest_fold(ds: rd.Dataset) -> pa.Table:
+    """One digest row folded from per-batch partials: row count,
+    ``bit_xor`` of an md5-derived int64 per (doc_id, text) pair, total
+    text chars.  The DuckDB twin computes the identical digest from the
+    ORIGINAL parquet view — so a row lost, duplicated, or mutated
+    anywhere in an interchange hop flips the result."""
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
@@ -189,11 +189,7 @@ def jsonl_roundtrip_digest(sf_dir: str) -> pa.Table:
             schema=_JSONL_DIGEST_SCHEMA,
         )
 
-    parts = (
-        rd.read_json(out_dir, file_extensions=["json"])
-        .map_batches(partial, batch_format="pyarrow")
-        .to_pandas()  # one tiny row per batch
-    )
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if parts.empty:
         vals = [0, 0, 0]
     else:
@@ -209,3 +205,42 @@ def jsonl_roundtrip_digest(sf_dir: str) -> pa.Table:
         },
         schema=_JSONL_DIGEST_SCHEMA,
     )
+
+
+def jsonl_roundtrip_digest(sf_dir: str) -> pa.Table:
+    """Documents → Ray's distributed NDJSON sink (``write_json``, one
+    shard per block) → Ray's distributed JSON source (``read_json``,
+    one read task per shard) → the fold-to-one-digest-row check
+    (``_digest_fold``): any row lost, duplicated, or mutated in the
+    JSON encode/decode hop (escaping, unicode, newline handling, shard
+    split) diverges from the oracle digest of the ORIGINAL parquet.
+    The JSONL interchange hop is how corpora leave/enter this engine
+    for tools that don't speak parquet."""
+    out_dir = _roundtrip_written(sf_dir, jsonl_dir(sf_dir), "write_json")
+    return _digest_fold(rd.read_json(out_dir, file_extensions=["json"]))
+
+
+_CSV_ROOT = "/tmp/graft_csv"
+
+
+def csv_dir(sf_dir: str) -> str:
+    from .. import __version__ as ENGINE_VERSION
+    from ..corpus.synth import CORPUS_VERSION
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(_CSV_ROOT, f"{h}_v{CORPUS_VERSION}_e{ENGINE_VERSION}")
+
+
+def csv_roundtrip_digest(sf_dir: str) -> pa.Table:
+    """Documents → Ray's distributed CSV sink (``write_csv``, one shard
+    per block) → distributed CSV source (``read_csv``, one read task per
+    shard) → the same fold-to-one-digest-row check as the JSONL twin.
+    Any row lost/duplicated/mutated in the CSV encode/decode hop —
+    delimiter quoting, header handling, type re-inference on the way
+    back in — flips the digest vs the oracle's digest of the ORIGINAL
+    parquet.  CSV is the lowest-common-denominator interchange hop
+    (spreadsheets, legacy ETL); together with the JSONL twin it covers
+    both text sidecar formats the engine speaks.  Same crash-safe
+    temp-dir + atomic-rename commit."""
+    out_dir = _roundtrip_written(sf_dir, csv_dir(sf_dir), "write_csv")
+    return _digest_fold(rd.read_csv(out_dir))

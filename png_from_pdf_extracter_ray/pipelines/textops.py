@@ -1406,3 +1406,66 @@ def embedding_benchmark_contamination(
         ).cast(_EMB_CONTAM_SCHEMA)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture epoch plan (data-constrained scaling)
+# ---------------------------------------------------------------------------
+
+# Fixed-point denominator for epoch factors (2^20) and the repeat cap —
+# data-constrained scaling (Muennighoff et al. 2023) finds repeated data
+# retains most of its value up to ~4 epochs.  Shared with the oracle.
+MIX_EPOCH_FP = 1 << 20
+MIX_MAX_EPOCHS = 4
+
+
+def source_mixture_plan(sf_dir: str) -> pd.DataFrame:
+    """Epoch plan for an equal-share source mixture: given per-source
+    token masses, how many (fractional) epochs of each source a training
+    run should take so every source contributes ~the corpus-total/S
+    token share, with repeats capped at ``MIX_MAX_EPOCHS`` — the
+    repeat-factor computation behind every data-mixing config.  All
+    arithmetic is exact int64 fixed point (epochs in 2^-20ths), so the
+    oracle compare is bit-exact.  Envelope: share × 2^20 must fit int64
+    → safe below ~2^43 planned tokens per source; a larger run scales
+    the fixed point down.
+
+    Scale shape: ONE streaming pass folds (source, n_docs, n_tokens)
+    partials per batch (vectorized token counts, tiny key set — sources
+    number in the dozens); the driver does the closed-form plan over S
+    rows.  Nothing shuffles, the text never leaves the batch."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("").str.strip()
+        ntok = np.where(s == "", 0, s.str.split().str.len().fillna(0)).astype(
+            np.int64
+        )
+        g = (
+            pd.DataFrame({"source": df["source"], "n_tokens": ntok})
+            .groupby("source", as_index=False, sort=False)
+            .agg(n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        )
+        return g.astype({"n_docs": "int64", "n_tokens": "int64"})
+
+    parts = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # ≤ S rows per batch
+    )
+    agg = (
+        parts.groupby("source", as_index=False, sort=False)
+        .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+        .astype({"n_docs": "int64", "n_tokens": "int64"})
+    )
+    total = int(agg["n_tokens"].sum())
+    share = total // len(agg) if len(agg) else 0
+    cap = MIX_MAX_EPOCHS * MIX_EPOCH_FP
+    epochs = []
+    planned = []
+    for t in agg["n_tokens"].to_numpy(np.int64):
+        e = 0 if t == 0 else min((share * MIX_EPOCH_FP) // int(t), cap)
+        epochs.append(e)
+        planned.append((int(t) * e) // MIX_EPOCH_FP)
+    agg["epochs_fp"] = pd.Series(epochs, dtype="int64")
+    agg["planned_tokens"] = pd.Series(planned, dtype="int64")
+    return agg.sort_values("source", ignore_index=True)
