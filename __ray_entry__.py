@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- incremental-crawl / url-ops long tail ---
         "pages_latest_snapshot": snaps.pages_latest_snapshot,
         "pages_snapshot_drift": snaps.pages_snapshot_drift,
+        "pages_recrawl_intervals": snaps.pages_recrawl_intervals,
         "crawl_novelty_by_day": snaps.crawl_novelty_by_day,
         "url_canonicalize": urlops.url_canonicalize,
         "crawl_politeness_schedule": urlops.crawl_politeness_schedule,
@@ -347,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_ids": dq.clean_corpus_ids,
         "remove_duplicate_spans": dq.remove_duplicate_spans,
         "pages_domain_counts": dq.pages_domain_counts,
+        "host_token_concentration": dq.host_token_concentration,
         "pages_domain_capped": dq.pages_domain_capped,
         "domain_reputation": dq.domain_reputation,
         "blocklist_filter": dq.blocklist_filter,
@@ -373,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": corpus_stats.token_postings,
         "unigram_logprob_scores": corpus_stats.unigram_logprob_scores,
         "bigram_logprob_scores": corpus_stats.bigram_logprob_scores,
+        "pmi_collocations": corpus_stats.pmi_collocations,
         "bm25_topk": corpus_stats.bm25_topk,
         "contamination_overlap_scores": corpus_stats.contamination_overlap_scores,
         "source_kl_divergence": corpus_stats.source_kl_divergence,
@@ -500,6 +503,12 @@ def _langid_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
         BENCHMARK_MOD as _BENCH_MOD,
+    )
+    from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
+        PMI_MIN_COUNT as _PMI_MIN,
+    )
+    from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
+        PMI_TOPK as _PMI_TOPK,
     )
     from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
         HIST_BIN_CHARS as _HIST_BIN,
@@ -877,6 +886,24 @@ def oracle_sql() -> dict[str, str]:
                        AS n_changes,
                    MIN(warc_us) AS first_us, MAX(warc_us) AS last_us
             FROM s GROUP BY url
+        """,
+        # re-crawl cadence: REAL lag() window over the same slim parquet,
+        # urls with >= 2 snapshots only; same (warc_us, text_md5) total
+        # order as churn (pipelines/snapshots.py recrawl_intervals)
+        "pages_recrawl_intervals": f"""
+            WITH s AS (
+                SELECT url, warc_us,
+                       lag(warc_us) OVER (
+                           PARTITION BY url ORDER BY warc_us, text_md5
+                       ) AS prev
+                FROM read_parquet('{_pages_slim_oracle}')
+            ), g AS (
+                SELECT url, warc_us - prev AS gap FROM s WHERE prev IS NOT NULL
+            )
+            SELECT url, COUNT(*) + 1 AS n_snapshots,
+                   MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
+                   ROUND(AVG(CAST(gap AS DOUBLE)), 6) AS mean_gap_us
+            FROM g GROUP BY url
         """,
         # --- url-ops: the messy-urls parquet is the INPUT; the checked
         # logic is an INDEPENDENT DuckDB regexp/string-function
@@ -2193,6 +2220,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{_docs_oracle}')
             ) WHERE rn <= {_DOMAIN_CAP}
         """,
+        # token-volume concentration by host over ALL snapshots: REAL
+        # declarative window rank + running share over the flat pages
+        # parquet (pipelines/data_quality.py host_token_concentration)
+        "host_token_concentration": f"""
+            WITH p AS (
+                SELECT regexp_extract(url, '{_DOMAIN_RE}', 1) AS host,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS nt
+                FROM read_parquet('{_pages_text_oracle}')
+            ), h AS (
+                SELECT host, COUNT(*) AS n_pages,
+                       CAST(SUM(nt) AS BIGINT) AS n_tokens
+                FROM p GROUP BY host
+            ), t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot FROM h)
+            SELECT host, n_pages, n_tokens,
+                   row_number() OVER (ORDER BY n_tokens DESC, host)
+                       AS host_rank,
+                   ROUND(CAST(SUM(n_tokens) OVER (
+                       ORDER BY n_tokens DESC, host
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.tot, 6)
+                       AS cum_share
+            FROM h CROSS JOIN t
+        """,
         "nation_balance_full_outer": """
             WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
                        FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
@@ -2674,6 +2725,36 @@ def oracle_sql() -> dict[str, str]:
                ROUND(AVG(ln(CAST(tot.n AS DOUBLE) / t.t)), 6) AS logprob
         FROM big JOIN tot USING (bigram) CROSS JOIN t
         GROUP BY big.doc_id ORDER BY big.doc_id
+    """
+    # PMI collocations: pmi = ln(n_xy * N_tok^2 / (N_big * n_x * n_y)),
+    # min-count cut + round-to-6 + (pmi DESC, bigram ASC) top-k — the
+    # constants and tie order are the operator contract
+    # (pipelines/corpus_stats.py PMI_MIN_COUNT / PMI_TOPK).
+    sql["pmi_collocations"] = f"""
+        WITH toks AS (
+            SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+            FROM documents WHERE trim(text) <> ''
+        ),
+        big AS (
+            SELECT unnest(list_transform(
+                       range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]
+                   )) AS bigram
+            FROM toks WHERE len(ts) >= 2
+        ),
+        uni AS (SELECT unnest(ts) AS token FROM toks),
+        bt AS (SELECT bigram, COUNT(*) AS n FROM big GROUP BY bigram),
+        ut AS (SELECT token, COUNT(*) AS cn FROM uni GROUP BY token),
+        nb AS (SELECT CAST(SUM(n) AS DOUBLE) AS nb FROM bt),
+        nt AS (SELECT CAST(SUM(cn) AS DOUBLE) AS nt FROM ut)
+        SELECT bt.bigram, bt.n,
+               ROUND(ln(CAST(bt.n AS DOUBLE) * nt.nt * nt.nt
+                        / (nb.nb * u1.cn * u2.cn)), 6) AS pmi
+        FROM bt
+        JOIN ut u1 ON u1.token = split_part(bt.bigram, ' ', 1)
+        JOIN ut u2 ON u2.token = split_part(bt.bigram, ' ', 2)
+        CROSS JOIN nb CROSS JOIN nt
+        WHERE bt.n >= {_PMI_MIN}
+        ORDER BY pmi DESC, bt.bigram LIMIT {_PMI_TOPK}
     """
     from png_from_pdf_extracter_ray.pipelines.corpus_stats import (
         BM25_B as _BM25_B,

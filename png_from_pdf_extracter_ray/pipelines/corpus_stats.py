@@ -1295,3 +1295,78 @@ def heaps_vocab_curve(sf_dir: str, grid: tuple = HEAPS_GRID) -> pa.Table:
         },
         schema=_HEAPS_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (pointwise mutual information over adjacent-word pairs)
+# ---------------------------------------------------------------------------
+
+# Operator contract shared with the DuckDB oracle: minimum bigram count
+# (PMI is unstable on rare pairs) and the result size.
+PMI_MIN_COUNT = 5
+PMI_TOPK = 100
+
+
+def pmi_collocations(
+    sf_dir: str, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOPK
+) -> pd.DataFrame:
+    """Top-k collocations by pointwise mutual information — the classic
+    phrase-mining op (Church & Hanks 1990): adjacent word pairs that
+    co-occur far more often than their unigram frequencies predict.
+
+    ``pmi = ln( p(x,y) / (p(x) p(y)) )`` with ``p(x,y) = n_xy/N_bigrams``
+    and ``p(x) = n_x/N_tokens``, computed as
+    ``ln(n_xy * N_tok^2 / (N_big * n_x * n_y))`` and rounded to 6;
+    pairs with ``n_xy < min_count`` are dropped (rare-pair PMI is
+    noise), ties order by bigram asc.
+
+    Ray shape: both count tables come from the established bucketed
+    partial-sum machinery (:func:`_bucketed_bigram_sum` /
+    :func:`_bucketed_token_sum` — per-batch pandas ``value_counts``
+    partials, B-bucket shuffle of the tiny (key, n) rows, vectorized
+    per-bucket sum).  The unigram table broadcasts once via ``ray.put``
+    (vocabulary is Heaps'-sublinear — strictly smaller than the bigram
+    table :func:`bigram_logprob_scores` already broadcasts); scoring +
+    the min-count cut run per bigram-bucket batch, and only each
+    bucket's local top-k reaches the driver (a bigram's total lives in
+    exactly one bucket, so the global top-k is a subset of the
+    per-bucket top-k's — the :func:`vocab_top_tokens` prune).
+    """
+    from .relational import _cached_broadcast
+
+    uni = _bucketed_token_sum(_docs(sf_dir, ["text"]), distinct_per_doc=False).to_pandas()
+    n_tok = float(uni["n"].sum())
+    ref = ray.put(pd.Series(uni["n"].to_numpy(np.float64), index=uni["token"]))
+
+    # materialize the AGGREGATED (slim, Heaps'-sublinear) bigram table —
+    # it feeds two consumers (the N_bigrams scalar and the scoring pass)
+    # and would otherwise re-run the corpus aggregation per consumer
+    big = _bucketed_bigram_sum(_docs(sf_dir, ["text"])).materialize()
+    n_big = float(big.sum("n") or 0.0)
+    schema = pa.schema([("bigram", pa.string()), ("n", pa.int64()), ("pmi", pa.float64())])
+    if n_big == 0.0 or n_tok == 0.0:
+        return schema.empty_table().to_pandas()
+
+    def score(df_b: pd.DataFrame) -> pa.Table:
+        counts = _cached_broadcast(ref)
+        sub = df_b[df_b["n"] >= min_count]
+        if sub.empty:
+            return schema.empty_table()
+        parts = sub["bigram"].str.partition(" ")
+        cx = parts[0].map(counts).to_numpy(np.float64)
+        cy = parts[2].map(counts).to_numpy(np.float64)
+        nxy = sub["n"].to_numpy(np.float64)
+        pmi = np.round(np.log(nxy * n_tok * n_tok / (n_big * cx * cy)), 6)
+        out = pd.DataFrame({"bigram": sub["bigram"].to_numpy(dtype=object), "n": sub["n"].to_numpy(np.int64), "pmi": pmi})
+        # batch-local prune: each batch holds complete bigram totals
+        out = out.sort_values(["pmi", "bigram"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+    out = big.map_batches(score, batch_format="pandas").to_pandas()
+    if out.empty:
+        return schema.empty_table().to_pandas()
+    return (
+        out.sort_values(["pmi", "bigram"], ascending=[False, True], ignore_index=True)
+        .head(k)[["bigram", "n", "pmi"]]
+        .reset_index(drop=True)
+    )

@@ -741,6 +741,85 @@ def pages_domain_capped(
     return out.sort_values(["domain", "url"], ignore_index=True)
 
 
+_HOST_CONC_SCHEMA = pa.schema(
+    [
+        ("host", pa.string()),
+        ("n_pages", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("host_rank", pa.int64()),
+        ("cum_share", pa.float64()),
+    ]
+)
+
+
+def host_token_concentration(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """Token-volume concentration by host over ALL crawl snapshots: each
+    host's page count, token count, rank by token volume, and the
+    cumulative token share at that rank — the "what fraction of the
+    corpus do the top-k hosts contribute" curve every mixture designer
+    reads before setting per-domain caps (the diagnostic behind
+    :func:`pages_domain_capped`'s cap constant).
+
+    Ray shape: per-batch partial (host, n_pages, n_tokens) aggregates
+    (vectorized host regex + whitespace token count, one pandas groupby
+    per batch) → the standard B-bucket hash sum, so only slim per-host
+    partials ever shuffle.  The FINAL rank/cumsum runs driver-side on
+    the fully-aggregated host table — sublinear in corpus size but
+    linear in host count, a documented envelope: beyond ~10^7 hosts,
+    swap the driver sort for ``Dataset.sort(n_tokens)`` + a streaming
+    cumulative fold (the prefix-sum machinery of stages/selection.py).
+
+    Tie order is the operator contract: rank by (n_tokens DESC, host
+    ASC); ``cum_share`` is round-to-6 of cumulative/total tokens.
+    """
+    from ..sources.pages_source import synthesize_pages
+    from ..stages.text_stats import token_count_batch
+
+    part_schema = pa.schema(
+        [("host", pa.string()), ("n_pages", pa.int64()), ("n_tokens", pa.int64())]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        host = df["url"].str.extract(DOMAIN_RE, expand=False).fillna("")
+        nt = token_count_batch(df)["n_tokens"]
+        out = (
+            pd.DataFrame({"host": host, "nt": nt})
+            .groupby("host", as_index=False, sort=False)
+            .agg(n_pages=("nt", "size"), n_tokens=("nt", "sum"))
+        )
+        t = pa.Table.from_pandas(out, schema=part_schema, preserve_index=False)
+        b = (
+            stable_bucket_ids(t["host"], num_buckets)
+            if t.num_rows
+            else np.empty(0, np.int32)
+        )
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def sum_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("host", as_index=False, sort=False)[["n_pages", "n_tokens"]].sum()
+        return pa.Table.from_pandas(out, schema=part_schema, preserve_index=False)
+
+    hosts = (
+        synthesize_pages(sf_dir, expand=2, include_html=False)
+        .select_columns(["url", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(sum_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if hosts.empty:
+        return _HOST_CONC_SCHEMA.empty_table().to_pandas()
+    hosts = hosts.sort_values(
+        ["n_tokens", "host"], ascending=[False, True], ignore_index=True
+    )
+    total = float(hosts["n_tokens"].sum())
+    hosts["host_rank"] = np.arange(1, len(hosts) + 1, dtype=np.int64)
+    hosts["cum_share"] = np.round(
+        np.cumsum(hosts["n_tokens"].to_numpy(np.float64)) / total, 6
+    )
+    return hosts[["host", "n_pages", "n_tokens", "host_rank", "cum_share"]]
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-span REMOVAL (the Lee et al. 2022 transform, not just marking)
 # ---------------------------------------------------------------------------

@@ -410,3 +410,84 @@ def crawl_novelty_by_day(
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Re-crawl interval statistics (the crawl-scheduler's cadence signal)
+# ---------------------------------------------------------------------------
+
+_INTERVAL_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("n_snapshots", pa.int64()),
+        ("min_gap_us", pa.int64()),
+        ("max_gap_us", pa.int64()),
+        ("mean_gap_us", pa.float64()),
+    ]
+)
+
+
+def recrawl_intervals(slim: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+    """Per-url re-crawl cadence: min/max/mean micros between consecutive
+    snapshots (ordered by ``warc_us, text_md5`` — the same total order
+    churn uses), for urls crawled at least twice.  Together with
+    :func:`snapshot_churn` (DID the content change) this is the input a
+    re-crawl scheduler needs: a url whose content churns faster than its
+    crawl cadence is under-crawled, and vice versa.
+
+    Same Ray shape as churn: the slim rows shuffle whole (gap formation
+    needs every snapshot of a url co-located), each of the B buckets
+    computes all its urls' gaps in ONE vectorized pandas pass (sort +
+    shifted diff + groupby agg); single-snapshot urls emit nothing on
+    both sides.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            stable_bucket_ids(batch["url"], num_buckets)
+            if batch.num_rows
+            else np.empty(0, np.int32)
+        )
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def intervals(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _INTERVAL_SCHEMA.empty_table()
+        g = g.sort_values(["url", "warc_us", "text_md5"], ignore_index=True)
+        urls = g["url"].to_numpy(dtype=object)
+        us = g["warc_us"].to_numpy(dtype=np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = urls[1:] == urls[:-1]
+        gaps = np.zeros(len(g), dtype=np.int64)
+        gaps[1:] = us[1:] - us[:-1]
+        sub = pd.DataFrame({"url": urls[same], "gap": gaps[same]})
+        if sub.empty:
+            return _INTERVAL_SCHEMA.empty_table()
+        out = (
+            sub.groupby("url", sort=False)
+            .agg(
+                n_gaps=("gap", "size"),
+                min_gap_us=("gap", "min"),
+                max_gap_us=("gap", "max"),
+                mean_gap_us=("gap", "mean"),
+            )
+            .reset_index()
+        )
+        out["n_snapshots"] = out.pop("n_gaps").to_numpy(np.int64) + 1
+        out["mean_gap_us"] = np.round(out["mean_gap_us"].to_numpy(np.float64), 6)
+        return pa.Table.from_pandas(
+            out[["url", "n_snapshots", "min_gap_us", "max_gap_us", "mean_gap_us"]],
+            schema=_INTERVAL_SCHEMA,
+            preserve_index=False,
+        )
+
+    return (
+        slim.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(intervals, batch_format="pandas")
+    )
+
+
+def pages_recrawl_intervals(sf_dir: str, expand: int = 2) -> rd.Dataset:
+    """Re-crawl interval stats over the synthetic pages table."""
+    return recrawl_intervals(_slim_pages(sf_dir, expand))

@@ -279,3 +279,41 @@ class TestContextPacking:
                 replay.append(bin_id)
                 fill += int(t)
             assert replay == g["bin_id"].tolist()
+
+
+class TestHostTokenConcentration:
+    def test_invariants_on_sf(self, ray_session, sf_dir) -> None:  # noqa: ANN001
+        import numpy as np
+
+        from png_from_pdf_extracter_ray.pipelines.data_quality import (
+            host_token_concentration,
+        )
+
+        out = host_token_concentration(sf_dir)
+        assert len(out) > 0
+        # rank is a 1..N permutation in (n_tokens DESC, host ASC) order
+        assert out["host_rank"].tolist() == list(range(1, len(out) + 1))
+        nt = out["n_tokens"].to_numpy()
+        assert (nt[:-1] >= nt[1:]).all()
+        ties = nt[:-1] == nt[1:]
+        hosts = out["host"].to_numpy(dtype=object)
+        assert all(hosts[i] < hosts[i + 1] for i in np.flatnonzero(ties))
+        # cumulative share is nondecreasing and ends at 1
+        cs = out["cum_share"].to_numpy()
+        assert (np.diff(cs) >= -1e-9).all()
+        assert abs(cs[-1] - 1.0) < 1e-6
+        # page counts are positive and token totals consistent
+        assert (out["n_pages"] > 0).all()
+
+    def test_batch_invariance(self, ray_session, sf_dir) -> None:  # noqa: ANN001
+        import pandas as pd
+
+        from png_from_pdf_extracter_ray.pipelines.data_quality import (
+            host_token_concentration,
+        )
+
+        a = host_token_concentration(sf_dir, num_buckets=2)
+        b = host_token_concentration(sf_dir, num_buckets=16)
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )

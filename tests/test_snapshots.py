@@ -98,3 +98,40 @@ def test_slim_pages_batch_md5() -> None:
     out = slim_pages_batch(t)
     assert out["warc_us"].to_pylist() == [123]
     assert out["text_md5"].to_pylist() == ["5d41402abc4b2a76b9719d911017c592"]
+
+
+def test_recrawl_intervals_crafted(ray_session) -> None:  # noqa: ANN001
+    from png_from_pdf_extracter_ray.pipelines.snapshots import recrawl_intervals
+
+    out = (
+        recrawl_intervals(_slim_ds(CRAFTED), num_buckets=4)
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    got = {
+        r.url: (r.n_snapshots, r.min_gap_us, r.max_gap_us, r.mean_gap_us)
+        for r in out.itertuples()
+    }
+    # url c (single snapshot) emits nothing; url d's tie gap is 0
+    assert got == {
+        "a": (3, 100, 100, 100.0),
+        "b": (2, 40, 40, 40.0),
+        "d": (2, 0, 0, 0.0),
+    }
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_recrawl_intervals_batch_invariant(ray_session, blocks: int) -> None:  # noqa: ANN001
+    from png_from_pdf_extracter_ray.pipelines.snapshots import recrawl_intervals
+
+    a = (
+        recrawl_intervals(_slim_ds(CRAFTED, parallelism=blocks), num_buckets=2)
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    b = (
+        recrawl_intervals(_slim_ds(CRAFTED, parallelism=3), num_buckets=4)
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
