@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkgraph_pagerank": lg.linkgraph_pagerank,
         # --- multimodal page operations ---
         "pages_page_meta": textops.pages_page_meta,
+        "pages_title_index": textops.pages_title_index,
         "pages_jpeg_roundtrip": textops.pages_jpeg_roundtrip,
         # --- end-to-end composition rep (filter chain -> rebalance ->
         # token budget as one funnel; pages_image_features_summary moved
@@ -698,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
     _link_edges_oracle = _rro._oracle_path(_oracle_sf, "link_edges")
     _messy_urls_oracle = _rro._oracle_path(_oracle_sf, "messy_urls")
     _extracted_text_oracle = _rro._oracle_path(_oracle_sf, "extracted_text")
+    _title_index_oracle = _rro._oracle_path(_oracle_sf, "title_index")
     _pages_text_oracle = _rro._oracle_path(_oracle_sf, "pages_text")
     _span_rows_oracle = _rro._oracle_path(_oracle_sf, "span_rows")
     _host_pr_oracle = _rro._oracle_path(_oracle_sf, "host_pagerank")
@@ -745,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_domain_matrix_oracle(_oracle_sf)
         _rro.write_messy_urls_oracle(_oracle_sf)
         _rro.write_extracted_text_oracle(_oracle_sf)
+        _rro.write_title_index_oracle(_oracle_sf)
         _rro.write_pages_text_oracle(_oracle_sf)
         _rro.write_span_rows_oracle(_oracle_sf)
         _rro.write_host_pagerank_oracle(_oracle_sf)
@@ -791,6 +794,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, page_number, width, height, dpi, filename,
                    png_width, png_height, png_dpi, png_bytes
             FROM read_parquet('{_meta_oracle}')
+        """,
+        # per-url title/metadata index (the WAT-record analog): the
+        # filter/length projection is declarative; the title itself is
+        # the single-process extraction's, which the distributed run
+        # must reproduce per url (multipart first-non-empty selection)
+        "pages_title_index": f"""
+            SELECT url, title, CAST(length(title) AS BIGINT) AS title_chars,
+                   content_type
+            FROM read_parquet('{_title_index_oracle}')
+            WHERE status = 'completed' AND title <> ''
         """,
         "pages_frame_sample": f"""
             SELECT url, n_pages,

@@ -622,6 +622,22 @@ def write_extracted_text_oracle(sf_dir: str, expand: int = 2) -> str:
     return _commit(t, path)
 
 
+def write_title_index_oracle(sf_dir: str, expand: int = 2) -> str:
+    """Flat (url, title, status, content_type) parquet from the
+    single-process extraction — the no-Ray twin the title-index entry's
+    declarative filter/projection SQL runs over (same protocol as
+    write_extracted_text_oracle; the title-selection logic across
+    multipart payloads, kernel/extract.py, is what the distributed run
+    must reproduce per url)."""
+    path = _oracle_path(sf_dir, "title_index", expand)
+    if os.path.exists(path):
+        return path
+    t = _oracle_extracted(sf_dir, expand)["extracted"].select(
+        ["url", "title", "status", "content_type"]
+    )
+    return _commit(t, path)
+
+
 # ---------------------------------------------------------------------------
 # Perceptual-hash page near-dups (brute-force hamming over every pair)
 # ---------------------------------------------------------------------------

@@ -13,6 +13,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -663,6 +664,40 @@ def _extracted_pages(sf_dir: str) -> rd.Dataset:
         lambda: flagship(sf_dir, expand=2, summary_only=False),
     )
     return rd.read_parquet(path)
+
+
+def pages_title_index(sf_dir: str) -> rd.Dataset:
+    """Per-url page-metadata index over the extraction output — the
+    WAT-record analog of a Common-Crawl pipeline: url → extracted
+    ``<title>`` (+ its length and the sniffed content type) for every
+    successfully extracted page with a non-empty title.  The title is
+    chosen by the multipart gather logic (kernel/extract.py: first
+    non-empty part title wins), which the distributed run must reproduce
+    per url against the single-process twin.
+
+    Ray shape: one column-pruned read of the cached extraction parquet +
+    a streaming vectorized filter/projection — no shuffle, no
+    materialization."""
+
+    def proj(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(t["status"], "completed"), pc.not_equal(t["title"], "")
+        )
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "url": t["url"],
+                "title": t["title"],
+                "title_chars": pc.cast(pc.utf8_length(t["title"]), pa.int64()),
+                "content_type": t["content_type"],
+            }
+        )
+
+    return (
+        _extracted_pages(sf_dir)
+        .select_columns(["url", "title", "status", "content_type"])
+        .map_batches(proj, batch_format="pyarrow")
+    )
 
 
 def pages_page_meta(sf_dir: str) -> rd.Dataset:

@@ -158,3 +158,17 @@ def test_cli_run_and_resume(ray_session, sf_dir, tmp_path) -> None:  # noqa: ANN
     assert r2.returncode == 0, r2.stderr[-2000:]
     res2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert res2["rows"] == res["rows"] and res2["rows_by_status"] == res["rows_by_status"]
+
+
+def test_pages_title_index_surface(ray_session, sf_dir) -> None:  # noqa: ANN001
+    """The WAT-style title index: every row is a completed page with a
+    non-empty title, title_chars is exact, and titles follow the
+    deterministic corpus convention."""
+    from png_from_pdf_extracter_ray.pipelines.textops import pages_title_index
+
+    df = pages_title_index(sf_dir).to_pandas()
+    assert len(df) > 0
+    assert (df["title"] != "").all()
+    assert (df["title_chars"] == df["title"].str.len()).all()
+    assert df["title"].str.match(r"^Document \d+ variant \d+$").all()
+    assert df["url"].is_unique
