@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": textops.token_counts,
         "bpe_token_counts": textops.bpe_token_counts,
         "quality_scores": textops.quality_scores,
+        "sentence_stats": textops.sentence_stats,
         "stopword_stats": textops.stopword_stats,
         "train_test_split": textops.train_test_split,
         "stratified_sample": textops.stratified_sample,
@@ -1721,6 +1722,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE ROUND(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
                                    / length(text), 4) END AS punct_ratio
             FROM documents
+        """,
+        # sentence segmentation: segments of trim(text) split on [.!?]+
+        # (RE2∩Python, no lookbehind), post-trim non-empty; blank or
+        # punctuation-only docs emit nothing on both sides
+        "sentence_stats": """
+            WITH segs AS (
+                SELECT doc_id,
+                       trim(unnest(regexp_split_to_array(
+                           trim(text), '[.!?]+'))) AS seg
+                FROM documents WHERE trim(text) <> ''
+            ), keep AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(seg, '\\s+')) AS nt
+                FROM segs WHERE seg <> ''
+            )
+            SELECT doc_id, COUNT(*) AS n_sentences,
+                   ROUND(AVG(CAST(nt AS DOUBLE)), 6) AS mean_sentence_tokens
+            FROM keep GROUP BY doc_id
         """,
         "md5_fingerprints": """
             SELECT doc_id, md5(text) AS fp FROM documents

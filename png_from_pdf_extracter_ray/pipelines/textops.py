@@ -56,6 +56,54 @@ def quality_scores(sf_dir: str) -> rd.Dataset:
     ).select_columns(["doc_id", "text_len", "n_punct", "punct_ratio"])
 
 
+_SENT_SPLIT = re.compile(r"[.!?]+")
+
+_SENT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_sentences", pa.int64()),
+        ("mean_sentence_tokens", pa.float64()),
+    ]
+)
+
+
+def sentence_stats(sf_dir: str) -> rd.Dataset:
+    """Per-document sentence segmentation stats — the Gopher-family
+    readability signal a line/paragraph split can't give: how many
+    sentences a document has and how long they run.  Sentences are the
+    non-empty (post-trim) segments of ``trim(text)`` split on runs of
+    terminal punctuation ``[.!?]+`` (an RE2∩Python pattern — no
+    lookbehind, so DuckDB and pandas segment identically);
+    ``mean_sentence_tokens`` is the round-to-6 mean whitespace-token
+    count over those segments.  Blank docs and docs whose text is ONLY
+    punctuation emit nothing on both sides.
+
+    Ray shape: one streaming ``map_batches`` (vectorized pandas split →
+    explode → per-doc groupby agg inside the batch — doc rows never
+    straddle batches), no shuffle."""
+
+    def stats(df: pd.DataFrame) -> pa.Table:
+        s = df["text"].fillna("").str.strip()
+        sub = pd.DataFrame({"doc_id": df["doc_id"], "seg": s.str.split(_SENT_SPLIT)})
+        ex = sub.explode("seg")
+        seg = ex["seg"].fillna("").str.strip()
+        keep = seg != ""
+        if not keep.any():
+            return _SENT_SCHEMA.empty_table()
+        toks = seg[keep].str.split(_TOKEN_WS).str.len().astype("int64")
+        out = (
+            pd.DataFrame({"doc_id": ex["doc_id"][keep], "nt": toks})
+            .groupby("doc_id", as_index=False, sort=False)
+            .agg(n_sentences=("nt", "size"), mean_sentence_tokens=("nt", "mean"))
+        )
+        out["mean_sentence_tokens"] = np.round(
+            out["mean_sentence_tokens"].to_numpy(np.float64), 6
+        )
+        return pa.Table.from_pandas(out, schema=_SENT_SCHEMA, preserve_index=False)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pandas")
+
+
 def train_test_split(sf_dir: str, test_hex_prefixes: tuple = ("0", "1")) -> rd.Dataset:
     """Deterministic hash-based train/test split (the held-out-set op of
     a training-data pipeline): split = 'test' iff the first hex char of

@@ -82,3 +82,47 @@ def test_profile_approx_error_bound(ray_session, sf_dir) -> None:  # noqa: ANN00
         / exact["n_distinct"].clip(lower=1)
     )
     assert rel.max() < 0.06, rel
+
+
+class TestSentenceStats:
+    def _run(self, ray_session, tmp_path, texts):  # noqa: ANN001
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from png_from_pdf_extracter_ray.pipelines.textops import sentence_stats
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(x or "") for x in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        df = sentence_stats(str(tmp_path)).to_pandas()
+        return {r.doc_id: (r.n_sentences, r.mean_sentence_tokens) for r in df.itertuples()}
+
+    def test_hand_computed(self, ray_session, tmp_path) -> None:  # noqa: ANN001
+        got = self._run(
+            ray_session,
+            tmp_path,
+            [
+                "One two. Three four five! Six?",  # 3 sentences: 2,3,1 tokens
+                "no punctuation here",  # 1 sentence, 3 tokens
+                "",  # nothing
+                "...!?",  # punctuation only -> nothing
+                "Ends mid sentence. trailing frag",  # 2 segs: 3,2 tokens
+            ],
+        )
+        assert got == {
+            1: (3, 2.0),
+            2: (1, 3.0),
+            5: (2, 2.5),
+        }
+
+    def test_multi_punct_runs_collapse(self, ray_session, tmp_path) -> None:  # noqa: ANN001
+        # "!?" and "..." are ONE terminator each, not empty sentences
+        got = self._run(ray_session, tmp_path, ["Wait... what?! Really."])
+        assert got == {1: (3, 1.0)}
