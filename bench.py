@@ -252,6 +252,11 @@ def bench_queries() -> dict[str, float]:
         "doc_chunks_overlap",
         "host_grouped_split",
         "url_path_templates",
+        "pmi_collocations",
+        "pages_recrawl_intervals",
+        "host_token_concentration",
+        "pages_title_index",
+        "sentence_stats",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
