@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_latest_snapshot": snaps.pages_latest_snapshot,
         "pages_snapshot_drift": snaps.pages_snapshot_drift,
         "pages_recrawl_intervals": snaps.pages_recrawl_intervals,
+        "host_crawl_trend": snaps.host_crawl_trend,
         "crawl_novelty_by_day": snaps.crawl_novelty_by_day,
         "url_canonicalize": urlops.url_canonicalize,
         "crawl_politeness_schedule": urlops.crawl_politeness_schedule,
@@ -918,6 +919,28 @@ def oracle_sql() -> dict[str, str]:
                    MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
                    ROUND(AVG(CAST(gap AS DOUBLE)), 6) AS mean_gap_us
             FROM g GROUP BY url
+        """,
+        # per-host crawl-volume OLS slope from EXACT integer sufficient
+        # statistics — the same closed form, in the same order, as the
+        # engine (pipelines/snapshots.py host_crawl_trend): every sum is
+        # exact, only the final division is float
+        "host_crawl_trend": f"""
+            WITH p AS (
+                SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+                       warc_us // 86400000000 AS day
+                FROM read_parquet('{_pages_slim_oracle}')
+            ), d AS (
+                SELECT host, day, COUNT(*) AS n FROM p GROUP BY host, day
+            ), s AS (
+                SELECT host, COUNT(*) AS n_days,
+                       SUM(day) AS sx, SUM(n) AS sy,
+                       SUM(day * n) AS sxy, SUM(day * day) AS sxx
+                FROM d GROUP BY host
+            )
+            SELECT host, n_days,
+                   ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                         / CAST(n_days * sxx - sx * sx AS DOUBLE), 6) AS slope
+            FROM s WHERE n_days >= 2
         """,
         # --- url-ops: the messy-urls parquet is the INPUT; the checked
         # logic is an INDEPENDENT DuckDB regexp/string-function

@@ -491,3 +491,98 @@ def recrawl_intervals(slim: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
 def pages_recrawl_intervals(sf_dir: str, expand: int = 2) -> rd.Dataset:
     """Re-crawl interval stats over the synthetic pages table."""
     return recrawl_intervals(_slim_pages(sf_dir, expand))
+
+
+# ---------------------------------------------------------------------------
+# Per-host crawl-volume trend (distributed per-group OLS slope)
+# ---------------------------------------------------------------------------
+
+_TREND_SCHEMA = pa.schema(
+    [
+        ("host", pa.string()),
+        ("n_days", pa.int64()),
+        ("slope", pa.float64()),
+    ]
+)
+
+_HOST_RE = re.compile(r"^https?://([^/]+)/")
+
+
+def host_crawl_trend(sf_dir: str, expand: int = 2, num_buckets: int = 16) -> rd.Dataset:
+    """Per-host crawl-volume trend: the OLS slope of snapshots-per-day
+    over the day index — is a host being crawled more or less over time?
+    The distributed per-GROUP regression pattern: every sum the slope
+    needs (Σx, Σy, Σxy, Σx², with x = epoch day, y = snapshots that
+    day) is an EXACT int64 mergeable partial, so the whole regression
+    is one count fold + one vectorized closed form — no float
+    accumulation anywhere, which is what lets the DuckDB oracle spell
+    the identical integer formula and hash-match (the same
+    exact-sufficient-stats trick as stages/ml.py ridge).
+
+    Ray shape: per-batch (host, day, n) partial counts (tiny — hosts ×
+    days), one hash-bucket shuffle BY HOST so a host's days co-locate,
+    per-bucket vectorized fold + slope.  Hosts seen on < 2 distinct
+    days have no slope and emit nothing on both sides.
+    """
+
+    _PART_SCHEMA = pa.schema(
+        [("host", pa.string()), ("day", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = pd.Series(t["url"].to_pylist(), dtype=object)
+        host = urls.str.extract(_HOST_RE, expand=False).fillna("")
+        day = t["warc_us"].to_numpy(zero_copy_only=False) // _US_PER_DAY
+        out = (
+            pd.DataFrame({"host": host, "day": day})
+            .groupby(["host", "day"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        pt = pa.Table.from_pandas(out, schema=_PART_SCHEMA, preserve_index=False)
+        b = (
+            stable_bucket_ids(pt["host"], num_buckets)
+            if pt.num_rows
+            else np.empty(0, np.int32)
+        )
+        return pt.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def slope(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _TREND_SCHEMA.empty_table()
+        d = g.groupby(["host", "day"], as_index=False, sort=False)["n"].sum()
+        x = d["day"].to_numpy(np.int64)
+        y = d["n"].to_numpy(np.int64)
+        s = (
+            d.assign(xy=x * y, xx=x * x)
+            .groupby("host", sort=False)
+            .agg(
+                n_days=("day", "size"),
+                sx=("day", "sum"),
+                sy=("n", "sum"),
+                sxy=("xy", "sum"),
+                sxx=("xx", "sum"),
+            )
+            .reset_index()
+        )
+        s = s[s["n_days"] >= 2]
+        if s.empty:
+            return _TREND_SCHEMA.empty_table()
+        k = s["n_days"].to_numpy(np.int64)
+        num = k * s["sxy"].to_numpy(np.int64) - s["sx"].to_numpy(np.int64) * s["sy"].to_numpy(np.int64)
+        den = k * s["sxx"].to_numpy(np.int64) - s["sx"].to_numpy(np.int64) ** 2
+        out = pd.DataFrame(
+            {
+                "host": s["host"].to_numpy(dtype=object),
+                "n_days": k,
+                "slope": np.round(num.astype(np.float64) / den.astype(np.float64), 6),
+            }
+        )
+        return pa.Table.from_pandas(out, schema=_TREND_SCHEMA, preserve_index=False)
+
+    return (
+        _slim_pages(sf_dir, expand)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(slope, batch_format="pandas")
+    )

@@ -135,3 +135,22 @@ def test_recrawl_intervals_batch_invariant(ray_session, blocks: int) -> None:  #
         .sort_values("url", ignore_index=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_host_crawl_trend_invariants(ray_session, sf_dir) -> None:  # noqa: ANN001
+    """Per-host OLS slope over the sf corpus: only multi-day hosts, a
+    finite exact-rational slope, and bucket-count invariance (the
+    sufficient statistics are exact integers, so any partitioning must
+    reproduce the identical rounded slope)."""
+    import numpy as np
+
+    from png_from_pdf_extracter_ray.pipelines.snapshots import host_crawl_trend
+
+    out = host_crawl_trend(sf_dir).to_pandas()
+    assert len(out) > 0
+    assert (out["n_days"] >= 2).all()
+    assert np.isfinite(out["slope"]).all()
+    out2 = host_crawl_trend(sf_dir, num_buckets=3).to_pandas()
+    a = out.sort_values("host", ignore_index=True)
+    b = out2.sort_values("host", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
