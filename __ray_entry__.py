@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- distributed ML (iterative k-means, one-pass ridge fit,
         # BPE tokenizer training; all SQL-checked vs flat twins) ---
         "kmeans_doc_clusters": mlops.kmeans_doc_clusters,
+        "embedding_outlier_scores": mlops.embedding_outlier_scores,
         "ridge_quality_model": mlops.ridge_quality_model,
         "bpe_train_merges": mlops.bpe_train_merges,
         "pca_doc_projections": mlops.pca_doc_projections,
@@ -678,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
     _webprt_oracle = _rro._oracle_path(_oracle_sf, "webp_roundtrip")
     _vp8rt_oracle = _rro._oracle_path(_oracle_sf, "vp8_roundtrip")
     _kmeans_oracle = _rro._oracle_path(_oracle_sf, "kmeans_clusters")
+    _kmeans_outlier_oracle = _rro._oracle_path(_oracle_sf, "kmeans_outliers")
     _pq_oracle = _rro._oracle_path(_oracle_sf, "pq_topk")
     _ridge_oracle = _rro._oracle_path(_oracle_sf, "ridge_model")
     _bpe_oracle = _rro._oracle_path(_oracle_sf, "bpe_merges")
@@ -731,6 +733,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_vp8_roundtrip_oracle(_oracle_sf)
         _rro.write_cross_doc_spans_oracle(_oracle_sf)
         _rro.write_kmeans_oracle(_oracle_sf)
+        _rro.write_kmeans_outlier_oracle(_oracle_sf)
         _rro.write_pq_topk_oracle(_oracle_sf)
         _rro.write_ridge_oracle(_oracle_sf)
         _rro.write_bpe_oracle(_oracle_sf)
@@ -1539,6 +1542,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_topk_pq": f"""
             SELECT vec_id, score FROM read_parquet('{_pq_oracle}')
+        """,
+        "embedding_outlier_scores": f"""
+            SELECT vec_id, cluster, sim_q
+            FROM read_parquet('{_kmeans_outlier_oracle}')
         """,
         "kmeans_doc_clusters": f"""
             SELECT vec_id, cluster FROM read_parquet('{_kmeans_oracle}')

@@ -42,6 +42,21 @@ def kmeans_doc_clusters(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITER
     return kmeans_labels(ds, cent)
 
 
+def embedding_outlier_scores(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS, k_out: int = 50
+) -> pd.DataFrame:
+    """Bottom-k_out embeddings by best-centroid similarity under the
+    SAME k-means fit as :func:`kmeans_doc_clusters` — the "no cluster
+    explains this point" curation signal (mislabeled/noise docs).  The
+    score is the exact int64 assignment dot product, so distributed ≡
+    flat is by construction."""
+    from ..stages.ml import kmeans_fit, kmeans_outlier_scores
+
+    ds = _embeddings(sf_dir).materialize()
+    cent = kmeans_fit(ds, k=k, iters=iters, target_sample=KMEANS_SAMPLE)
+    return kmeans_outlier_scores(ds, cent, k_out=k_out)
+
+
 def similarity_topk_pq(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """PQ-compressed ANN top-k (stages/pq.py): codebooks trained on the
     deterministic hash-threshold sample, ADC scoring per batch."""

@@ -861,6 +861,31 @@ def write_kmeans_oracle(sf_dir: str, k: int = 8, iters: int = 4) -> str:
     )
 
 
+def write_kmeans_outlier_oracle(sf_dir: str, k: int = 8, iters: int = 4, k_out: int = 50) -> str:
+    """Oracle for ``embedding_outlier_scores``: same flat k-means fit as
+    the cluster oracle, then the flat exact-int outlier scan."""
+    from ..pipelines.mlops import KMEANS_SAMPLE
+    from ..stages.ml import kmeans_fit_flat, kmeans_outlier_scores_flat
+
+    path = _oracle_path(sf_dir, "kmeans_outliers")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = _ids_np(t["vec_id"])
+    mat = _stack(t["embedding"])
+    cent = kmeans_fit_flat(ids, mat, k=k, iters=iters, target_sample=KMEANS_SAMPLE)
+    out = kmeans_outlier_scores_flat(ids, mat, cent, k_out=k_out)
+    return _commit(
+        _from_pandas(
+            out,
+            pa.schema(
+                [("vec_id", pa.int64()), ("cluster", pa.int64()), ("sim_q", pa.int64())]
+            ),
+        ),
+        path,
+    )
+
+
 def write_pq_topk_oracle(sf_dir: str, k: int = 10) -> str:
     """Oracle for ``similarity_topk_pq``: same sample, same driver-side
     codebooks, flat integer encode + ADC recompute."""

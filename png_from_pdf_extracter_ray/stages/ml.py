@@ -244,6 +244,88 @@ def kmeans_labels_flat(
     )
 
 
+def _outlier_scores_int(
+    unit: np.ndarray, cent_q: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster, sim_q) per row — the EXACT int64 best-centroid score
+    assignment already maximizes; a LOW max score means the vector is
+    far from every centroid (the embedding-space outlier signal)."""
+    uq = _quantize(unit, ASSIGN_SCALE)
+    scores = uq @ cent_q.T  # int64 matmul — exact
+    a = np.argmax(scores, axis=1)
+    return a.astype(np.int64), scores[np.arange(len(scores)), a]
+
+
+def kmeans_outlier_scores(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    k_out: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Bottom-``k_out`` embeddings by best-centroid similarity — the
+    "prune the points no cluster explains" curation op (the outlier
+    mirror of SemDeDup's prune-the-too-similar).  The score is the same
+    exact int64 quantized dot product the assignment uses, so the
+    result is bit-identical to the flat twin under ANY batching.
+
+    Ray shape: one stateless streaming scan (centroids broadcast via
+    ``ray.put``); each batch keeps its LOCAL bottom-k and only k rows
+    per batch reach the driver (a vector's score lives in exactly one
+    batch, so the global bottom-k is a subset of the batch-local ones).
+    """
+    from ..pipelines.relational import _cached_broadcast
+    from .similarity import _stack
+
+    cent_q = _quantize(centroids, ASSIGN_SCALE)
+    cref = ray.put(cent_q)
+    schema = pa.schema(
+        [(id_col, pa.int64()), ("cluster", pa.int64()), ("sim_q", pa.int64())]
+    )
+
+    def scan(batch: pa.Table) -> pa.Table:
+        cq = _cached_broadcast(cref)
+        mat = _stack(batch[vec_col])
+        if mat.size == 0:
+            return schema.empty_table()
+        a, s = _outlier_scores_int(_unit_rows(mat), cq)
+        out = pd.DataFrame(
+            {
+                id_col: np.asarray(batch[id_col].to_pylist(), dtype=np.int64),
+                "cluster": a,
+                "sim_q": s,
+            }
+        ).sort_values(["sim_q", id_col], ignore_index=True).head(k_out)
+        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+    out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return schema.empty_table().to_pandas()
+    return (
+        out.sort_values(["sim_q", id_col], ignore_index=True)
+        .head(k_out)
+        .reset_index(drop=True)
+    )
+
+
+def kmeans_outlier_scores_flat(
+    ids: np.ndarray,
+    mat: np.ndarray,
+    centroids: np.ndarray,
+    k_out: int = 50,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Single-process twin of :func:`kmeans_outlier_scores` (same
+    quantization, same exact integer scores)."""
+    a, s = _outlier_scores_int(_unit_rows(mat), _quantize(centroids, ASSIGN_SCALE))
+    return (
+        pd.DataFrame({id_col: ids.astype(np.int64), "cluster": a, "sim_q": s})
+        .sort_values(["sim_q", id_col], ignore_index=True)
+        .head(k_out)
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ridge regression via integer normal equations
 # ---------------------------------------------------------------------------

@@ -359,3 +359,57 @@ class TestDSIR:
         out = dsir_flat(pd.DataFrame({"doc_id": [0, 1], "text": ["", "a b"]}))
         assert out.loc[out["doc_id"] == 0, "dsir_logratio"].iloc[0] == 0.0
         assert out.loc[out["doc_id"] == 0, "n_tokens"].iloc[0] == 0
+
+
+class TestKMeansOutliers:
+    def test_flat_scores_exact_and_sorted(self) -> None:
+        import numpy as np
+
+        from png_from_pdf_extracter_ray.stages.ml import (
+            ASSIGN_SCALE,
+            _quantize,
+            _unit_rows,
+            kmeans_outlier_scores_flat,
+        )
+
+        rng = np.random.default_rng(7)
+        mat = rng.normal(size=(40, 8)).astype(np.float32)
+        cent = rng.normal(size=(3, 8)).astype(np.float32)
+        ids = np.arange(40, dtype=np.int64)
+        out = kmeans_outlier_scores_flat(ids, mat, cent, k_out=10)
+        assert len(out) == 10
+        # ascending sim_q with vec_id tiebreak
+        s = out["sim_q"].to_numpy()
+        assert (s[:-1] <= s[1:]).all()
+        # score equals the exact integer dot product for the first row
+        uq = _quantize(_unit_rows(mat), ASSIGN_SCALE)
+        cq = _quantize(cent, ASSIGN_SCALE)
+        scores = uq @ cq.T
+        vid = int(out["vec_id"].iloc[0])
+        assert int(out["sim_q"].iloc[0]) == int(scores[vid].max())
+        assert int(out["cluster"].iloc[0]) == int(scores[vid].argmax())
+
+    def test_distributed_equals_flat(self, ray_session, sf_dir) -> None:  # noqa: ANN001
+        import os
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from png_from_pdf_extracter_ray.pipelines.mlops import (
+            KMEANS_SAMPLE,
+            embedding_outlier_scores,
+        )
+        from png_from_pdf_extracter_ray.stages.ml import (
+            kmeans_fit_flat,
+            kmeans_outlier_scores_flat,
+        )
+        from png_from_pdf_extracter_ray.stages.similarity import _stack
+
+        got = embedding_outlier_scores(sf_dir)
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        mat = _stack(t["embedding"])
+        cent = kmeans_fit_flat(ids, mat, k=8, iters=4, target_sample=KMEANS_SAMPLE)
+        want = kmeans_outlier_scores_flat(ids, mat, cent)
+        pd.testing.assert_frame_equal(got, want)
