@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PageRank; both SQL-checked vs flat single-process oracles) ---
         "page_links_digest": lg.page_links_digest,
         "linkgraph_pagerank": lg.linkgraph_pagerank,
+        "search_index_topk": lg.search_index_topk,
         # --- multimodal page operations ---
         "pages_page_meta": textops.pages_page_meta,
         "pages_title_index": textops.pages_title_index,
@@ -1601,6 +1602,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "linkgraph_pagerank": f"""
             SELECT node, rank_micros FROM read_parquet('{_lg_pr_oracle}')
+        """,
+        # search-index head: REAL declarative join of the two flat
+        # oracle parquets — title filter + url→node regex (the kernel's
+        # ^/doc/(d+)-(d+)$ contract) + rank join + windowless top-k
+        "search_index_topk": f"""
+            WITH t AS (
+                SELECT url, title,
+                       CAST(NULLIF(regexp_extract(url,
+                           '^https?://[^/]+/doc/([0-9]+)-[0-9]+$', 1), '')
+                           AS BIGINT) AS node
+                FROM read_parquet('{_title_index_oracle}')
+                WHERE status = 'completed' AND title <> ''
+            )
+            SELECT t.url, t.title, r.rank_micros
+            FROM t JOIN read_parquet('{_lg_pr_oracle}') r ON t.node = r.node
+            ORDER BY r.rank_micros DESC, t.url LIMIT 100
         """,
         "link_out_degree_hist": f"""
             SELECT out_degree, n_pages FROM read_parquet('{_lg_hist_oracle}')

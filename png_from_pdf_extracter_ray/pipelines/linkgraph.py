@@ -696,3 +696,65 @@ def host_clustering_coeff(sf_dir: str) -> rd.Dataset:
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def search_index_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Serve-ready head of a web search index — the composition entry
+    for the SEARCH side of the engine (the curation side's analog is
+    ``curation_funnel``): every completed titled page joined to its
+    document node's integer PageRank, top-k by (rank DESC, url ASC).
+    This is the join a crawl-to-index pipeline ships to the serving
+    tier: url, display title, static rank.
+
+    Ray shape: the title index is a streaming filter/projection over
+    the cached extraction parquet (pages_title_index); the rank vector
+    is the N-sized ``pagerank`` Dataset; they meet in ONE bucketed hash
+    join keyed by the document node id (parsed from the url by the same
+    kernel regex the link extractor uses), with both side schemas
+    passed statically (lesson 27 — the rank side's lineage crosses a
+    shuffle).  Per-batch local top-k prunes the join output (a url
+    appears in exactly one batch), so only k rows per batch reach the
+    driver.  Untitled pages (PDFs, dead letters) and nodes outside the
+    link graph drop out of the inner join on both sides.
+    """
+    from ..kernel.links import src_doc_of_url
+    from ..stages.joins import bucketed_hash_join
+    from .textops import pages_title_index
+
+    titled_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("title", pa.string()),
+            ("title_chars", pa.int64()),
+            ("content_type", pa.string()),
+            ("node", pa.int64()),
+        ]
+    )
+    ranks_schema = pa.schema([("node", pa.int64()), ("rank_micros", pa.int64())])
+
+    def add_node(t: pa.Table) -> pa.Table:
+        nodes = [src_doc_of_url(u) for u in t["url"].to_pylist()]
+        return t.append_column("node", pa.array(nodes, pa.int64()))
+
+    titled = pages_title_index(sf_dir).map_batches(add_node, batch_format="pyarrow")
+    ranks = pagerank(doc_edges(_deduped_pages_payloads(sf_dir)))
+    joined = bucketed_hash_join(
+        titled, ranks, on="node", how="inner", schemas=(titled_schema, ranks_schema)
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        return t.sort_by(
+            [("rank_micros", "descending"), ("url", "ascending")]
+        ).slice(0, k)
+
+    out = joined.map_batches(prune, batch_format="pyarrow").to_pandas()
+    cols = ["url", "title", "rank_micros"]
+    if out.empty:
+        return pa.schema(
+            [("url", pa.string()), ("title", pa.string()), ("rank_micros", pa.int64())]
+        ).empty_table().to_pandas()
+    return (
+        out.sort_values(["rank_micros", "url"], ascending=[False, True], ignore_index=True)
+        .head(k)[cols]
+        .reset_index(drop=True)
+    )

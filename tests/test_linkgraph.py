@@ -354,3 +354,21 @@ class TestKhopReach:
         seeds = out[out["node"] % KHOP_SEED_MOD == 0]
         assert (seeds["hops"] == 0).all()
         assert len(seeds) and len(out) > len(seeds)
+
+
+def test_search_index_topk_invariants(ray_session, sf_dir) -> None:  # noqa: ANN001
+    from png_from_pdf_extracter_ray.pipelines.linkgraph import search_index_topk
+
+    out = search_index_topk(sf_dir, k=25)
+    assert 0 < len(out) <= 25
+    assert list(out.columns) == ["url", "title", "rank_micros"]
+    r = out["rank_micros"].to_numpy()
+    assert (r[:-1] >= r[1:]).all()
+    # rank ties break by url ascending
+    import numpy as np
+
+    ties = np.flatnonzero(r[:-1] == r[1:])
+    urls = out["url"].to_numpy(dtype=object)
+    assert all(urls[i] < urls[i + 1] for i in ties)
+    assert out["url"].is_unique
+    assert (out["title"] != "").all()
