@@ -159,7 +159,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- distributed ML (iterative k-means, one-pass ridge fit,
         # BPE tokenizer training; all SQL-checked vs flat twins) ---
         "kmeans_doc_clusters": mlops.kmeans_doc_clusters,
-        "embedding_outlier_scores": mlops.embedding_outlier_scores,
         "ridge_quality_model": mlops.ridge_quality_model,
         "bpe_train_merges": mlops.bpe_train_merges,
         "pca_doc_projections": mlops.pca_doc_projections,
@@ -181,7 +180,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_index_topk": lg.search_index_topk,
         # --- multimodal page operations ---
         "pages_page_meta": textops.pages_page_meta,
-        "pages_title_index": textops.pages_title_index,
         "pages_jpeg_roundtrip": textops.pages_jpeg_roundtrip,
         # --- end-to-end composition rep (filter chain -> rebalance ->
         # token budget as one funnel; pages_image_features_summary moved
@@ -190,7 +188,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- TPC-H query shapes (SQL-checked) ---
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_shipping_priority": rel.q3_shipping_priority,
-        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
         # --- LM-score / perplexity-bucketing family rep (r4 closing
         # session; q8 moved to the TPC-H long tail — four TPC-H reps
         # remain in the window) ---
@@ -279,7 +276,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_politeness_schedule": urlops.crawl_politeness_schedule,
         "host_grouped_split": urlops.host_grouped_split,
         "url_path_templates": urlops.url_path_templates,
+        "embedding_outlier_scores": mlops.embedding_outlier_scores,
+        "pages_title_index": textops.pages_title_index,
         # --- TPC-H long tail ---
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
         "q6_forecast_revenue": rel.q6_forecast_revenue,
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q8_market_share": rel.q8_market_share,
