@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_snapshot_drift": snaps.pages_snapshot_drift,
         "pages_recrawl_intervals": snaps.pages_recrawl_intervals,
         "host_crawl_trend": snaps.host_crawl_trend,
+        "adaptive_recrawl_schedule": snaps.adaptive_recrawl_schedule,
         "crawl_novelty_by_day": snaps.crawl_novelty_by_day,
         "url_canonicalize": urlops.url_canonicalize,
         "crawl_politeness_schedule": urlops.crawl_politeness_schedule,
@@ -923,6 +924,38 @@ def oracle_sql() -> dict[str, str]:
                    MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
                    ROUND(AVG(CAST(gap AS DOUBLE)), 6) AS mean_gap_us
             FROM g GROUP BY url
+        """,
+        # adaptive revisit policy (Cho & Garcia-Molina multiplicative):
+        # all-integer arithmetic over the SAME lag window as churn —
+        # avg_gap = (last-first)//gaps; fast-churn urls (changed on
+        # >= half their re-crawls) get avg_gap//2, stable ones 2*avg_gap
+        "adaptive_recrawl_schedule": f"""
+            WITH s AS (
+                SELECT url, warc_us, text_md5,
+                       lag(text_md5) OVER (
+                           PARTITION BY url ORDER BY warc_us, text_md5
+                       ) AS prev
+                FROM read_parquet('{_pages_slim_oracle}')
+            ), c AS (
+                SELECT url, COUNT(*) AS n_snapshots,
+                       CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL
+                                              AND prev <> text_md5
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT)
+                           AS n_changes,
+                       MIN(warc_us) AS first_us, MAX(warc_us) AS last_us
+                FROM s GROUP BY url
+            )
+            SELECT url,
+                   (last_us - first_us) // (n_snapshots - 1) AS avg_gap_us,
+                   CASE WHEN 2 * n_changes >= n_snapshots - 1
+                        THEN 1 ELSE 0 END AS fast_churn,
+                   CASE WHEN 2 * n_changes >= n_snapshots - 1
+                        THEN last_us
+                             + ((last_us - first_us) // (n_snapshots - 1)) // 2
+                        ELSE last_us
+                             + ((last_us - first_us) // (n_snapshots - 1)) * 2
+                   END AS next_due_us
+            FROM c WHERE n_snapshots >= 2
         """,
         # per-host crawl-volume OLS slope from EXACT integer sufficient
         # statistics — the same closed form, in the same order, as the

@@ -586,3 +586,68 @@ def host_crawl_trend(sf_dir: str, expand: int = 2, num_buckets: int = 16) -> rd.
         .groupby("__bucket")
         .map_groups(slope, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive re-crawl schedule (churn × cadence → next-due time)
+# ---------------------------------------------------------------------------
+
+_SCHED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("avg_gap_us", pa.int64()),
+        ("fast_churn", pa.int64()),
+        ("next_due_us", pa.int64()),
+    ]
+)
+
+
+def adaptive_recrawl_schedule(sf_dir: str, expand: int = 2) -> rd.Dataset:
+    """The crawl-scheduler OUTPUT: when to fetch each url next, from
+    the two temporal signals this module already computes — cadence
+    (how often have we crawled it) and churn (did it change when we
+    did).  A url whose content changed on at least half its re-crawls
+    (``2·n_changes ≥ n_snapshots−1``) is fast-churning and gets HALF
+    its historical average gap; a stable url gets DOUBLE — the classic
+    multiplicative adaptive-revisit policy (Cho & Garcia-Molina).
+
+    Every quantity is exact int64 (``avg_gap = (last−first) // gaps``,
+    halving/doubling by integer division/multiply), so the schedule is
+    reproducible bit-for-bit under any partitioning and the oracle SQL
+    spells the identical integer arithmetic over the same lag window.
+    Single-snapshot urls have no cadence and emit nothing.
+
+    Ray shape: one extra vectorized map over :func:`snapshot_churn`'s
+    B-bucketed fold output — no additional shuffle.
+    """
+    churn = snapshot_churn(_slim_pages(sf_dir, expand))
+    return churn.map_batches(schedule_batch, batch_format="pyarrow")
+
+
+def schedule_batch(t: pa.Table) -> pa.Table:
+    """Churn rows → schedule rows (the integer policy kernel; module
+    level so tests drive the exact kernel the op ships)."""
+    if t.num_rows == 0:
+        return _SCHED_SCHEMA.empty_table()
+    n_snap = t["n_snapshots"].to_numpy(zero_copy_only=False)
+    keep = n_snap >= 2
+    if not keep.any():
+        return _SCHED_SCHEMA.empty_table()
+    n_snap = n_snap[keep]
+    n_chg = t["n_changes"].to_numpy(zero_copy_only=False)[keep]
+    first = t["first_us"].to_numpy(zero_copy_only=False)[keep]
+    last = t["last_us"].to_numpy(zero_copy_only=False)[keep]
+    urls = np.asarray(t["url"].to_pylist(), dtype=object)[keep]
+    k = n_snap - 1
+    avg_gap = (last - first) // k
+    fast = (2 * n_chg >= k).astype(np.int64)
+    next_due = np.where(fast == 1, last + avg_gap // 2, last + avg_gap * 2)
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(avg_gap, pa.int64()),
+            pa.array(fast, pa.int64()),
+            pa.array(next_due, pa.int64()),
+        ],
+        schema=_SCHED_SCHEMA,
+    )

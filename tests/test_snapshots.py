@@ -154,3 +154,32 @@ def test_host_crawl_trend_invariants(ray_session, sf_dir) -> None:  # noqa: ANN0
     a = out.sort_values("host", ignore_index=True)
     b = out2.sort_values("host", ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_adaptive_recrawl_schedule_crafted(ray_session) -> None:  # noqa: ANN001
+    """The integer revisit policy on the crafted corpus, through the
+    SAME kernel the public op ships (schedule_batch over churn output):
+    a: 3 snaps / 2 changes -> fast; avg=(300-100)//2=100; due=300+50
+    b: 2 snaps / 0 changes -> stable; avg=40; due=90+80
+    d: 2 snaps / 1 change (ts tie) -> fast; avg=0; due=500
+    c: single snapshot -> emits nothing."""
+    import pyarrow as pa
+
+    from png_from_pdf_extracter_ray.pipelines.snapshots import (
+        schedule_batch,
+        snapshot_churn,
+    )
+
+    churn_tbl = pa.Table.from_pandas(
+        snapshot_churn(_slim_ds(CRAFTED), num_buckets=4).to_pandas()
+    )
+    out = schedule_batch(churn_tbl).to_pandas()
+    got = {
+        r.url: (r.avg_gap_us, r.fast_churn, r.next_due_us)
+        for r in out.itertuples()
+    }
+    assert got == {
+        "a": (100, 1, 350),
+        "b": (40, 0, 170),
+        "d": (0, 1, 500),
+    }
