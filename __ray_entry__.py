@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": textops.bpe_token_counts,
         "quality_scores": textops.quality_scores,
         "sentence_stats": textops.sentence_stats,
+        "readability_scores": textops.readability_scores,
         "stopword_stats": textops.stopword_stats,
         "train_test_split": textops.train_test_split,
         "stratified_sample": textops.stratified_sample,
@@ -1820,6 +1821,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_sentences,
                    ROUND(AVG(CAST(nt AS DOUBLE)), 6) AS mean_sentence_tokens
             FROM keep GROUP BY doc_id
+        """,
+        # Flesch-style readability: same sentence/token conventions as
+        # sentence_stats plus the [aeiou]+ vowel-group syllable proxy;
+        # identical float composition (divide, then the two multiplies)
+        "readability_scores": """
+            WITH base AS (
+                SELECT doc_id, trim(text) AS tx
+                FROM documents WHERE trim(text) <> ''
+            ), w AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(tx, '\s+')) AS n_words,
+                       len(regexp_extract_all(lower(tx), '[aeiou]+'))
+                           AS n_vowel_groups
+                FROM base
+            ), segs AS (
+                SELECT doc_id,
+                       trim(unnest(regexp_split_to_array(tx, '[.!?]+'))) AS seg
+                FROM base
+            ), sc AS (
+                SELECT doc_id, COUNT(*) AS n_sentences
+                FROM segs WHERE seg <> '' GROUP BY doc_id
+            )
+            SELECT w.doc_id, w.n_words, sc.n_sentences, w.n_vowel_groups,
+                   ROUND(206.835
+                         - 1.015 * (CAST(w.n_words AS DOUBLE) / sc.n_sentences)
+                         - 84.6 * (CAST(w.n_vowel_groups AS DOUBLE) / w.n_words),
+                         6) AS flesch
+            FROM w JOIN sc USING (doc_id)
+            WHERE w.n_words > 0
         """,
         "md5_fingerprints": """
             SELECT doc_id, md5(text) AS fp FROM documents

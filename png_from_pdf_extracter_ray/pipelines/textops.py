@@ -104,6 +104,68 @@ def sentence_stats(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pandas")
 
 
+_READ_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_words", pa.int64()),
+        ("n_sentences", pa.int64()),
+        ("n_vowel_groups", pa.int64()),
+        ("flesch", pa.float64()),
+    ]
+)
+
+
+def readability_scores(sf_dir: str) -> rd.Dataset:
+    """Flesch-reading-ease-style readability per document — the
+    readability member of the quality-signal family (used alongside
+    Gopher rules to down-weight word-salad and legalese):
+    ``flesch = 206.835 − 1.015·(words/sentences) −
+    84.6·(vowel_groups/words)``, rounded to 6, where words is the
+    shared whitespace-token count, sentences the shared ``[.!?]+``
+    segment count (:func:`sentence_stats` convention), and vowel groups
+    (runs of ``[aeiou]`` in the lowercased text) the classic cheap
+    syllable proxy.  Docs with zero words or zero sentences emit
+    nothing on both sides; all three counts are exact ints and the
+    float composition is the same two multiplies on each side.
+
+    Ray shape: ONE streaming ``map_batches`` — three vectorized pandas
+    counts per batch, no shuffle."""
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        s = df["text"].fillna("").str.strip()
+        words = s.str.split(_TOKEN_WS).str.len().astype("int64").where(s != "", 0)
+        segs = s.str.split(_SENT_SPLIT)
+        sub = pd.DataFrame({"i": np.arange(len(df)), "seg": segs}).explode("seg")
+        seg = sub["seg"].fillna("").str.strip()
+        sent = (
+            pd.DataFrame({"i": sub["i"][seg != ""]})
+            .groupby("i")
+            .size()
+            .reindex(np.arange(len(df)), fill_value=0)
+            .to_numpy(np.int64)
+        )
+        vowels = s.str.lower().str.count(r"[aeiou]+").astype("int64")
+        keep = (words.to_numpy() > 0) & (sent > 0)
+        if not keep.any():
+            return _READ_SCHEMA.empty_table()
+        w = words.to_numpy(np.int64)[keep]
+        st = sent[keep]
+        v = vowels.to_numpy(np.int64)[keep]
+        flesch = np.round(206.835 - 1.015 * (w / st) - 84.6 * (v / w), 6)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)[keep], pa.int64()),
+                "n_words": pa.array(w, pa.int64()),
+                "n_sentences": pa.array(st, pa.int64()),
+                "n_vowel_groups": pa.array(v, pa.int64()),
+                "flesch": pa.array(flesch, pa.float64()),
+            },
+            schema=_READ_SCHEMA,
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pandas")
+
+
 def train_test_split(sf_dir: str, test_hex_prefixes: tuple = ("0", "1")) -> rd.Dataset:
     """Deterministic hash-based train/test split (the held-out-set op of
     a training-data pipeline): split = 'test' iff the first hex char of

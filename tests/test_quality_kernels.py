@@ -126,3 +126,34 @@ class TestSentenceStats:
         # "!?" and "..." are ONE terminator each, not empty sentences
         got = self._run(ray_session, tmp_path, ["Wait... what?! Really."])
         assert got == {1: (3, 1.0)}
+
+
+class TestReadabilityScores:
+    def test_hand_computed(self, ray_session, tmp_path) -> None:  # noqa: ANN001
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from png_from_pdf_extracter_ray.pipelines.textops import readability_scores
+
+        texts = [
+            "the cat sat. the dog ran.",  # 6 words, 2 sentences, vg: e,a,a,e,o,a = 6
+            "...",  # 1 word, 0 sentences -> excluded
+            "",  # blank -> excluded
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["t"] * 3, pa.string()),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        df = readability_scores(str(tmp_path)).to_pandas()
+        assert df["doc_id"].tolist() == [1]
+        r = df.iloc[0]
+        assert (r["n_words"], r["n_sentences"], r["n_vowel_groups"]) == (6, 2, 6)
+        want = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
+        assert abs(r["flesch"] - want) < 1e-9
