@@ -717,7 +717,6 @@ def search_index_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
     driver.  Untitled pages (PDFs, dead letters) and nodes outside the
     link graph drop out of the inner join on both sides.
     """
-    from ..kernel.links import src_doc_of_url
     from ..stages.joins import bucketed_hash_join
     from .textops import pages_title_index
 
@@ -732,8 +731,20 @@ def search_index_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
     )
     ranks_schema = pa.schema([("node", pa.int64()), ("rank_micros", pa.int64())])
 
+    # the full-url anchored form of the kernel's ^/doc/(\d+)-\d+$ path
+    # contract (kernel/links.py _SRC_DOC_RE) — vectorized, and spelled
+    # identically in the oracle SQL so engine and oracle parse (or
+    # reject) the same urls
+    _NODE_RE = r"^https?://[^/]+/doc/(\d+)-\d+$"
+
     def add_node(t: pa.Table) -> pa.Table:
-        nodes = [src_doc_of_url(u) for u in t["url"].to_pylist()]
+        nodes = (
+            pd.Series(t["url"].to_pylist(), dtype=object)
+            .str.extract(_NODE_RE, expand=False)
+            .fillna(-1)
+            .astype("int64")
+            .to_numpy()
+        )
         return t.append_column("node", pa.array(nodes, pa.int64()))
 
     titled = pages_title_index(sf_dir).map_batches(add_node, batch_format="pyarrow")
