@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_grouped_split": urlops.host_grouped_split,
         "url_path_templates": urlops.url_path_templates,
         "embedding_outlier_scores": mlops.embedding_outlier_scores,
+        "embedding_sq8_digest": mlops.embedding_sq8_digest,
         "pages_title_index": textops.pages_title_index,
         # --- TPC-H long tail ---
         "q5_local_supplier_volume": rel.q5_local_supplier_volume,
@@ -683,6 +684,7 @@ def oracle_sql() -> dict[str, str]:
     _vp8rt_oracle = _rro._oracle_path(_oracle_sf, "vp8_roundtrip")
     _kmeans_oracle = _rro._oracle_path(_oracle_sf, "kmeans_clusters")
     _kmeans_outlier_oracle = _rro._oracle_path(_oracle_sf, "kmeans_outliers")
+    _sq8_oracle = _rro._oracle_path(_oracle_sf, "sq8_digest")
     _pq_oracle = _rro._oracle_path(_oracle_sf, "pq_topk")
     _ridge_oracle = _rro._oracle_path(_oracle_sf, "ridge_model")
     _bpe_oracle = _rro._oracle_path(_oracle_sf, "bpe_merges")
@@ -737,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
         _rro.write_cross_doc_spans_oracle(_oracle_sf)
         _rro.write_kmeans_oracle(_oracle_sf)
         _rro.write_kmeans_outlier_oracle(_oracle_sf)
+        _rro.write_sq8_digest_oracle(_oracle_sf)
         _rro.write_pq_topk_oracle(_oracle_sf)
         _rro.write_ridge_oracle(_oracle_sf)
         _rro.write_bpe_oracle(_oracle_sf)
@@ -1581,6 +1584,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outlier_scores": f"""
             SELECT vec_id, cluster, sim_q
             FROM read_parquet('{_kmeans_outlier_oracle}')
+        """,
+        "embedding_sq8_digest": f"""
+            SELECT vec_id, q_md5 FROM read_parquet('{_sq8_oracle}')
         """,
         "kmeans_doc_clusters": f"""
             SELECT vec_id, cluster FROM read_parquet('{_kmeans_oracle}')

@@ -9,8 +9,11 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 KMEANS_K = 8
@@ -150,3 +153,75 @@ def unigram_encode_docs(sf_dir: str) -> rd.Dataset:
     from .tokenizer import unigram_encode_docs as _encode
 
     return _encode(sf_dir)
+
+
+SQ8_SCHEMA = pa.schema([("vec_id", pa.int64()), ("q_md5", pa.string())])
+
+
+def sq8_quantize(mat: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Per-dimension scalar quantization to uint8 — elementwise float64
+    arithmetic with no accumulation, so any partitioning produces the
+    identical bytes (the oracle twin runs this same kernel flat).
+    Constant dimensions (hi == lo) quantize to 0."""
+    span = (hi - lo).astype(np.float64)
+    span[span == 0.0] = 1.0
+    q = np.round((mat.astype(np.float64) - lo) / span * 255.0)
+    return np.clip(q, 0.0, 255.0).astype(np.uint8)
+
+
+def embedding_sq8_digest(sf_dir: str) -> pd.DataFrame:
+    """SQ8 index-export check: quantize every embedding to per-dimension
+    uint8 (the scalar-quantized ANN index format) and emit each vector's
+    md5 over the quantized bytes — the digest a serving tier verifies
+    after shipping the index.  Two streaming passes:
+
+    1. per-dimension (min, max) bounds — per-batch partial bound rows
+       (2 × d floats each) folded on the driver (min/max folds are
+       order-independent and exact, so distributed ≡ flat);
+    2. a stateless quantize+md5 map with the bounds broadcast via
+       ``ray.put``.
+
+    The per-element float arithmetic has no accumulation, so the bytes
+    (and digests) are bit-identical between the engine and the flat
+    oracle twin regardless of batching."""
+    from ..stages.similarity import _stack
+    from .relational import _cached_broadcast
+
+    ds = _embeddings(sf_dir).materialize()  # two consumers
+
+    bound_rows = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": [_stack(t["embedding"]).min(axis=0).tolist()],
+                "hi": [_stack(t["embedding"]).max(axis=0).tolist()],
+            }
+        )
+        if t.num_rows
+        else pa.table({"lo": pa.array([], pa.list_(pa.float64())), "hi": pa.array([], pa.list_(pa.float64()))}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if bound_rows.empty:
+        return SQ8_SCHEMA.empty_table().to_pandas()
+    lo = np.minimum.reduce([np.asarray(v, np.float32) for v in bound_rows["lo"]])
+    hi = np.maximum.reduce([np.asarray(v, np.float32) for v in bound_rows["hi"]])
+    bref = ray.put((lo, hi))
+
+    def digest(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        blo, bhi = _cached_broadcast(bref)
+        mat = _stack(t["embedding"])
+        if mat.size == 0:
+            return SQ8_SCHEMA.empty_table()
+        q = sq8_quantize(mat, blo, bhi)
+        md5s = [hashlib.md5(row.tobytes()).hexdigest() for row in q]
+        return pa.Table.from_pydict(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "q_md5": pa.array(md5s, pa.string()),
+            },
+            schema=SQ8_SCHEMA,
+        )
+
+    out = ds.map_batches(digest, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id", ignore_index=True)

@@ -886,6 +886,31 @@ def write_kmeans_outlier_oracle(sf_dir: str, k: int = 8, iters: int = 4, k_out: 
     )
 
 
+def write_sq8_digest_oracle(sf_dir: str) -> str:
+    """Oracle for ``embedding_sq8_digest``: flat per-dimension bounds +
+    the same elementwise quantize kernel + per-vector md5 (no
+    accumulation anywhere, so equality is by construction)."""
+    import hashlib
+
+    from ..pipelines.mlops import sq8_quantize
+
+    path = _oracle_path(sf_dir, "sq8_digest")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = _ids_np(t["vec_id"])
+    mat = _stack(t["embedding"])
+    q = sq8_quantize(mat, mat.min(axis=0), mat.max(axis=0))
+    md5s = [hashlib.md5(row.tobytes()).hexdigest() for row in q]
+    out = pd.DataFrame({"vec_id": ids, "q_md5": md5s}).sort_values(
+        "vec_id", ignore_index=True
+    )
+    return _commit(
+        _from_pandas(out, pa.schema([("vec_id", pa.int64()), ("q_md5", pa.string())])),
+        path,
+    )
+
+
 def write_pq_topk_oracle(sf_dir: str, k: int = 10) -> str:
     """Oracle for ``similarity_topk_pq``: same sample, same driver-side
     codebooks, flat integer encode + ADC recompute."""

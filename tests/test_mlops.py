@@ -413,3 +413,42 @@ class TestKMeansOutliers:
         cent = kmeans_fit_flat(ids, mat, k=8, iters=4, target_sample=KMEANS_SAMPLE)
         want = kmeans_outlier_scores_flat(ids, mat, cent)
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestSq8:
+    def test_quantize_bounds_and_constant_dim(self) -> None:
+        import numpy as np
+
+        from png_from_pdf_extracter_ray.pipelines.mlops import sq8_quantize
+
+        mat = np.array([[0.0, 5.0, 1.0], [1.0, 5.0, 3.0]], dtype=np.float32)
+        lo, hi = mat.min(axis=0), mat.max(axis=0)
+        q = sq8_quantize(mat, lo, hi)
+        assert q.dtype == np.uint8
+        assert q[:, 0].tolist() == [0, 255]  # full range maps to [0, 255]
+        assert q[:, 1].tolist() == [0, 0]  # constant dim -> 0
+        assert q[:, 2].tolist() == [0, 255]
+
+    def test_distributed_equals_flat(self, ray_session, sf_dir) -> None:  # noqa: ANN001
+        import hashlib
+        import os
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from png_from_pdf_extracter_ray.pipelines.mlops import (
+            embedding_sq8_digest,
+            sq8_quantize,
+        )
+        from png_from_pdf_extracter_ray.stages.similarity import _stack
+
+        got = embedding_sq8_digest(sf_dir)
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        mat = _stack(t["embedding"])
+        q = sq8_quantize(mat, mat.min(axis=0), mat.max(axis=0))
+        want = pd.DataFrame(
+            {"vec_id": ids, "q_md5": [hashlib.md5(r.tobytes()).hexdigest() for r in q]}
+        ).sort_values("vec_id", ignore_index=True)
+        pd.testing.assert_frame_equal(got, want)
