@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": rel.orders_rollup,
         "orders_cube": rel.orders_cube,
         "events_trailing_mean": rel.events_trailing_mean,
+        "events_trailing_stats": rel.events_trailing_stats,
         "nation_balance_full_outer": rel.nation_balance_full_outer,
         "top_orders_per_customer": rel.top_orders_per_customer,
         "q4_priority_exists": rel.q4_priority_exists,
@@ -1781,6 +1782,21 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
                    ), 6) AS trailing_mean
             FROM events
+        """,
+        # windowed second moment: STDDEV_POP over the identical RANGE
+        # frame; the engine computes it from per-user prefix sums of v
+        # and v^2 — numerically within round-6 of the oracle's
+        # per-partition accumulation
+        "events_trailing_stats": """
+            SELECT event_id,
+                   ROUND(AVG(value) OVER w, 6) AS trailing_mean,
+                   ROUND(COALESCE(STDDEV_POP(value) OVER w, 0.0), 6)
+                       AS trailing_std
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+            )
         """,
         # exact global window without a global sort (bounded-cardinality
         # histogram + broadcast CDF in the engine)

@@ -1986,6 +1986,70 @@ def events_trailing_mean(
     )
 
 
+def events_trailing_stats(
+    sf_dir: str, window_s: int = 3600, num_buckets: int = 64
+) -> pd.DataFrame:
+    """Trailing RANGE-window mean AND population std-dev per event —
+    :func:`events_trailing_mean` extended with a second moment, the
+    windowed-variance primitive behind streaming anomaly detection
+    (flag events whose value strays k·σ from their user's trailing
+    window).  The window bounds come from the same composite-key
+    double-searchsorted; the variance is
+    ``sumsq/n − (sum/n)²`` from per-user prefix sums of ``v`` and
+    ``v²`` (per-user reset bounds the cancellation at window magnitude,
+    as in the mean op), rounded to 6 — numerically within the parity
+    tolerance of the oracle's per-partition accumulation.
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def stats_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        ts_us = g["ts"].astype("int64").to_numpy()
+        u = pd.factorize(g["user_id"])[0].astype(np.int64)
+        base = ts_us - ts_us.min() if len(ts_us) else ts_us
+        if len(base) and (base.max() >= (1 << 44) or u.max() >= (1 << 19)):
+            raise ValueError("composite range-join key overflow: re-bucket finer")
+        key = (u << 44) + base
+        lo = np.searchsorted(
+            key, (u << 44) + np.maximum(base - window_s * 1_000_000, 0), side="left"
+        )
+        hi = np.searchsorted(key, key, side="right")
+        vals = g["value"].to_numpy(np.float64)
+        pu = pd.Series(vals).groupby(u).cumsum().to_numpy()
+        pu2 = pd.Series(vals * vals).groupby(u).cumsum().to_numpy()
+        ustart = np.searchsorted(key, u << 44, side="left")
+        prev = np.where(lo > ustart, np.maximum(lo - 1, 0), 0)
+        take_prev = lo > ustart
+        wsum = pu[hi - 1] - np.where(take_prev, pu[prev], 0.0)
+        wsum2 = pu2[hi - 1] - np.where(take_prev, pu2[prev], 0.0)
+        n = (hi - lo).astype(np.float64)
+        mean = wsum / n
+        # round the variance BEFORE the sqrt: a constant window's true
+        # variance is exactly 0 but the prefix-difference formula leaves
+        # ~1e-12 of cancellation residue, which sqrt amplifies to ~1e-6 —
+        # right at the parity tolerance.  Round-8 kills the residue and
+        # cannot touch a real variance (values have 2-decimal
+        # granularity, so any true nonzero variance is ≥ ~1e-6).
+        var = np.round(np.maximum(wsum2 / n - mean * mean, 0.0), 8)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "trailing_mean": pd.Series(np.round(mean, 6), dtype="float64"),
+                "trailing_std": pd.Series(np.round(np.sqrt(var), 6), dtype="float64"),
+            }
+        )
+
+    return (
+        _bucket_by(ds, "user_id", num_buckets)
+        .groupby("__bucket")
+        .map_groups(stats_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+
+
 def q8_market_share(
     sf_dir: str,
     nation: str = "NATION_9",

@@ -125,3 +125,42 @@ def test_semi_join_returns_matched_left_once(ray_session) -> None:  # noqa: ANN0
     assert list(out["k"]) == [2, 4]
     assert list(out.columns) == ["k", "l"]
     assert pd.api.types.is_integer_dtype(out["k"])
+
+
+def test_events_trailing_stats_crafted(ray_session, tmp_path) -> None:  # noqa: ANN001
+    """Windowed mean+std on a crafted events table: constant window ->
+    std exactly 0; two-value window -> population std by hand."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from png_from_pdf_extracter_ray.pipelines.relational import events_trailing_stats
+
+    us = 1_000_000
+    rows = [
+        # user A: values 10, 10 within one hour -> window of both at e2
+        (1, "a", 0, 10.0),
+        (2, "a", 60 * us, 10.0),
+        # user A: far later (outside window) -> fresh window
+        (3, "a", 7200_000_000, 40.0),
+        # user B: 1.0 then 3.0 within window -> mean 2.0, std 1.0
+        (4, "b", 0, 1.0),
+        (5, "b", 60 * us, 3.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    t = pa.table(
+        {
+            "event_id": pa.array(df.event_id, pa.int64()),
+            "user_id": pa.array(df.user_id, pa.string()),
+            "ts": pa.array(df.ts, pa.timestamp("us")),
+            "value": pa.array(df.value, pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = events_trailing_stats(str(tmp_path)).set_index("event_id")
+    assert out.loc[2, "trailing_std"] == 0.0  # constant window, no residue
+    assert out.loc[3, "trailing_std"] == 0.0  # window reset
+    assert abs(out.loc[5, "trailing_mean"] - 2.0) < 1e-9
+    assert abs(out.loc[5, "trailing_std"] - 1.0) < 1e-9
+    assert np.isfinite(out["trailing_std"]).all()
