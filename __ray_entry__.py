@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_recrawl_intervals": snaps.pages_recrawl_intervals,
         "host_crawl_trend": snaps.host_crawl_trend,
         "adaptive_recrawl_schedule": snaps.adaptive_recrawl_schedule,
+        "content_dedup_winner_map": snaps.content_dedup_winner_map,
         "crawl_novelty_by_day": snaps.crawl_novelty_by_day,
         "url_canonicalize": urlops.url_canonicalize,
         "crawl_politeness_schedule": urlops.crawl_politeness_schedule,
@@ -929,6 +930,18 @@ def oracle_sql() -> dict[str, str]:
                    MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
                    ROUND(AVG(CAST(gap AS DOUBLE)), 6) AS mean_gap_us
             FROM g GROUP BY url
+        """,
+        # dedup provenance: loser url -> winning (min) url per shared
+        # content fingerprint, urls distinct regardless of snapshot count
+        "content_dedup_winner_map": f"""
+            WITH d AS (
+                SELECT DISTINCT url, text_md5
+                FROM read_parquet('{_pages_slim_oracle}')
+            ), w AS (
+                SELECT text_md5, MIN(url) AS winner FROM d GROUP BY text_md5
+            )
+            SELECT d.url, w.winner AS winner_url
+            FROM d JOIN w USING (text_md5) WHERE d.url <> w.winner
         """,
         # adaptive revisit policy (Cho & Garcia-Molina multiplicative):
         # all-integer arithmetic over the SAME lag window as churn —

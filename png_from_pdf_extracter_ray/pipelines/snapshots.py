@@ -651,3 +651,70 @@ def schedule_batch(t: pa.Table) -> pa.Table:
         ],
         schema=_SCHED_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-dedup provenance (loser → winner audit map)
+# ---------------------------------------------------------------------------
+
+_WINNER_SCHEMA = pa.schema([("url", pa.string()), ("winner_url", pa.string())])
+
+
+def content_dedup_winner_map(
+    sf_dir: str, expand: int = 2, num_buckets: int = 32
+) -> rd.Dataset:
+    """Dedup PROVENANCE: for every url whose content fingerprint is
+    shared with other urls, the url that would win a content-level
+    dedup (lexicographically smallest url per fingerprint) — the audit
+    map a production dedup stage must emit so "why did my document
+    disappear" is answerable (the audit twin of the drop itself;
+    mirror_host_pairs aggregates the same signal per host pair, this
+    keeps the per-url lineage).  Urls appear once regardless of how
+    many snapshots they have; a url equal to its winner emits nothing.
+
+    Ray shape: per-batch DISTINCT (url, text_md5) combiner shrinks the
+    slim rows before the one hash-bucket shuffle BY FINGERPRINT; each
+    bucket re-distincts (batch-combiner survivors can repeat across
+    batches), takes the per-fingerprint min url, and emits losers in
+    one vectorized transform-broadcast pass.
+    """
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {"url": t["url"].to_pylist(), "text_md5": t["text_md5"].to_pylist()}
+            )
+            .drop_duplicates()
+        )
+        pt = pa.Table.from_pandas(
+            df,
+            schema=pa.schema([("url", pa.string()), ("text_md5", pa.string())]),
+            preserve_index=False,
+        )
+        b = (
+            stable_bucket_ids(pt["text_md5"], num_buckets)
+            if pt.num_rows
+            else np.empty(0, np.int32)
+        )
+        return pt.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def losers(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return _WINNER_SCHEMA.empty_table()
+        d = g.drop_duplicates(["url", "text_md5"])
+        win = d.groupby("text_md5", sort=False)["url"].transform("min")
+        out = d[d["url"] != win]
+        if out.empty:
+            return _WINNER_SCHEMA.empty_table()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"url": out["url"], "winner_url": win[out.index]}),
+            schema=_WINNER_SCHEMA,
+            preserve_index=False,
+        )
+
+    return (
+        _slim_pages(sf_dir, expand)
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(losers, batch_format="pandas")
+    )

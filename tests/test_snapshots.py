@@ -183,3 +183,33 @@ def test_adaptive_recrawl_schedule_crafted(ray_session) -> None:  # noqa: ANN001
         "b": (40, 0, 170),
         "d": (0, 1, 500),
     }
+
+
+def test_content_dedup_winner_map_crafted(ray_session, tmp_path) -> None:  # noqa: ANN001
+    """Same text on urls b and a (and on c alone): winner is the min
+    url; single-url fingerprints and the winner itself emit nothing."""
+    import pyarrow.parquet as pq
+
+    from png_from_pdf_extracter_ray.pipelines.snapshots import (
+        content_dedup_winner_map,
+    )
+
+    # drive through the public op over a tiny documents table: every
+    # synthesized doc's expand=2 variants share text, so each doc
+    # contributes exactly one loser (its lexicographically larger url)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["alpha beta", "gamma delta"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["t", "t"], pa.string()),
+            "n_chars": pa.array([10, 11], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = content_dedup_winner_map(str(tmp_path)).to_pandas()
+    # one loser per doc (the two variants share text; recrawl drift, if
+    # injected, differs in content and cannot join another url's fp)
+    assert len(out) >= 2
+    assert (out["url"] != out["winner_url"]).all()
+    assert (out["winner_url"] < out["url"]).all()
